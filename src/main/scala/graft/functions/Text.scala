@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single source of truth for text primitives shared by Q1–Q7, Q26–Q27 and
+  * the text-analysis extension operators (SURVEY.md §2.8, §2.9).
+  *
+  * Tokenizer spec (SURVEY.md §2.12 normalization protocol): split
+  * `lower(text)` on `[^a-z]+` and drop empty tokens — the Spark-exact
+  * equivalent of the reference's letters-only word rule
+  * (`strings.FieldsFunc(contents, !unicode.IsLetter)` in the MIT 6.824
+  * Lab 1 wc plugin; /root/reference is the empty-shell repo for that lab).
+  *
+  * Everything here is built-in-function based (codegen'd, no UDFs) so the
+  * whole token pipeline stays inside WholeStageCodegen at 100 TB scale.
+  */
+object Text {
+  /** The word boundary regex — identical string is used in the DuckDB
+    * oracle SQL (`regexp_split_to_array(lower(text), '[^a-z]+')`). */
+  val WordPattern = "[^a-z]+"
+
+  /** Tokenize a column into an array of non-empty lowercase words. */
+  def wordsOf(text: Column): Column =
+    filter(split(lower(text), WordPattern), w => length(w) > 0)
+
+  /** Explode documents(doc_id, text, ...) into (doc_id, word) rows,
+    * carrying any extra columns requested. */
+  def tokens(docs: DataFrame, extraCols: String*): DataFrame = {
+    val keep = (Seq("doc_id") ++ extraCols).map(col)
+    docs.select(keep :+ explode(wordsOf(col("text"))).as("word"): _*)
+  }
+
+  /** Deterministic polynomial rolling hash of a string, seeded — the
+    * fingerprinting primitive for minhash/simhash/doc-fingerprint
+    * operators. Pure built-in HOFs so the SAME fold is expressible in the
+    * DuckDB oracle:
+    *   list_reduce(list_prepend(seed, list_transform(
+    *     regexp_split_to_array(s,''), x -> unicode(x))),
+    *     (acc,x) -> (acc*31+x) % 1000000007)
+    * ASCII-only input by fixture construction (31-word lowercase vocab).
+    */
+  val HashMod = 1000000007L
+
+  def polyHash(s: Column, seed: Long): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(seed),
+      (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+
+  /** Sum of character codes — used by the multimodal checksum op. */
+  def charSum(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => acc + ascii(c))
+}

@@ -1,0 +1,440 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Text
+
+/** Declared queries Q1–Q24 (SURVEY.md §2.12): the reference's own
+  * MapReduce workloads (word count, inverted index, grep, top-k, source
+  * frequency — MIT 6.824 Lab 1 / Dean & Ghemawat OSDI'04 §2.3) plus the
+  * mandated relational surface (aggregations, joins, windows, set ops).
+  *
+  * Scale posture: all pure built-in Catalyst expressions (whole-stage
+  * codegen), partial aggregation map-side for every groupBy, dimension
+  * tables (nation/region/customer at these shapes) broadcast by Catalyst
+  * under the auto-broadcast threshold; no driver-side collects.
+  */
+object Relational {
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Text.tokens(Tables.documents(s, d))
+
+  /** Q1 word count — the reference's flagship query. Map-side partial
+    * count → shuffle by word → final count: exactly the combiner pattern
+    * of MRPAPER §4.3, chosen automatically by HashAggregateExec. */
+  val q01_wordcount = QueryDef(
+    "q01_wordcount",
+    """WITH tokens AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0)
+      |SELECT word, COUNT(*) AS c FROM tokens GROUP BY word ORDER BY word""".stripMargin) {
+    (s, d) => tokens(s, d).groupBy("word").agg(count(lit(1)).as("c")).orderBy("word")
+  }
+
+  /** Q2 inverted index (Lab 1 indexer app): per word, distinct doc count
+    * and the sorted distinct posting list. */
+  val q02_inverted_index = QueryDef(
+    "q02_inverted_index",
+    """WITH tokens AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0),
+      |d AS (SELECT DISTINCT word, doc_id FROM tokens)
+      |SELECT word, COUNT(*) AS df,
+      |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+      |FROM d GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
+    tokens(s, d).select("word", "doc_id").distinct()
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("docs"))
+      .orderBy("word")
+  }
+
+  /** Q3 distributed grep (MRPAPER §2.3): predicate pushdown to the
+    * parquet scan — the filter shows up in PushedFilters. */
+  val q03_grep = QueryDef(
+    "q03_grep",
+    "SELECT doc_id, text FROM documents WHERE text LIKE '%spark%' ORDER BY doc_id") {
+    (s, d) =>
+      Tables.documents(s, d).where(col("text").like("%spark%"))
+        .select("doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Q4 top-k words: agg then global top-k (TakeOrderedAndProject — no
+    * full sort at scale). */
+  val q04_topk_words = QueryDef(
+    "q04_topk_words",
+    """WITH tokens AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0)
+      |SELECT word, COUNT(*) AS c FROM tokens GROUP BY word
+      |ORDER BY c DESC, word LIMIT 10""".stripMargin) { (s, d) =>
+    tokens(s, d).groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(10)
+  }
+
+  /** Q5 per-document token stats (text-analysis L4). */
+  val q05_token_stats = QueryDef(
+    "q05_token_stats",
+    """WITH tokens AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0)
+      |SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT word) AS n_uniq
+      |FROM tokens GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    tokens(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("word")).as("n_uniq"))
+      .orderBy("doc_id")
+  }
+
+  /** Q6 URL/source access frequency (MRPAPER §2.3 canonical workload). */
+  val q06_source_freq = QueryDef(
+    "q06_source_freq",
+    "SELECT source, COUNT(*) AS c FROM documents GROUP BY source ORDER BY c DESC, source") {
+    (s, d) =>
+      Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("source"))
+  }
+
+  /** Q7 reverse link graph analog (MRPAPER §2.3): per lang, the sorted
+    * distinct set of sources. */
+  val q07_lang_sources = QueryDef(
+    "q07_lang_sources",
+    """WITH d AS (SELECT DISTINCT lang, source FROM documents)
+      |SELECT lang, string_agg(source, ',' ORDER BY source) AS sources
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select("lang", "source").distinct()
+      .groupBy("lang")
+      .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .orderBy("lang")
+  }
+
+  /** Q8 global aggregation (single-reducer pattern — partial agg per
+    * partition then one final reduce; no shuffle of raw rows). */
+  val q08_global_agg = QueryDef(
+    "q08_global_agg",
+    """SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+      |  ROUND(AVG(l_discount), 2) AS avg_disc,
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+      |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      round(sum("l_extendedprice"), 2).as("sum_price"),
+      round(avg("l_discount"), 2).as("avg_disc"),
+      date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+      date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+  }
+
+  /** Q9 pricing summary (TPC-H Q1 shape): filter pushed to parquet,
+    * partial+final hash agg on 2 keys. */
+  val q09_pricing_summary = QueryDef(
+    "q09_pricing_summary",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 2) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 2) AS avg_price
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q10 rollup with grouping indicators (A7). */
+  val q10_rollup = QueryDef(
+    "q10_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d).rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping("o_orderstatus").cast("long").as("g_status"),
+          grouping("o_orderpriority").cast("long").as("g_prio"),
+          count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+  }
+
+  /** Q11 date bucketing. */
+  val q11_date_buckets = QueryDef(
+    "q11_date_buckets",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("y", "m")
+  }
+
+  /** Q12 two-way join: orders ⋈ customer (shuffle join on o_custkey at
+    * scale; AQE may demote to broadcast when customer is small). */
+  val q12_join2 = QueryDef(
+    "q12_join2",
+    """SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q13 four-way star join: fact lineitem joined to orders then the
+    * small dims; nation is explicitly broadcast (25 rows at any SF). */
+  val q13_join4 = QueryDef(
+    "q13_join4",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q14 five-way join + region filter (TPC-H Q5 shape). Filter on the
+    * tiny region dim prunes nations BEFORE the fact join (broadcast). */
+  val q14_join5_region = QueryDef(
+    "q14_join5_region",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val dims = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q15 TPC-H Q3 shape: selective filters pushed to both scans, then
+    * top-10 by revenue (TakeOrderedAndProject). */
+  val q15_topk_unshipped = QueryDef(
+    "q15_topk_unshipped",
+    """SELECT l_orderkey,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1995-03-15 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** Q16 HAVING (post-aggregation filter, A8). */
+  val q16_having = QueryDef(
+    "q16_having",
+    """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_custkey
+      |HAVING ROUND(SUM(o_totalprice), 2) > 3500000
+      |ORDER BY total DESC, o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+      .where(col("total") > 3500000)
+      .orderBy(col("total").desc, col("o_custkey"))
+  }
+
+  /** Q17 left outer join against pre-aggregated counts (J3). */
+  val q17_outer_join = QueryDef(
+    "q17_outer_join",
+    """SELECT c_custkey, COALESCE(cnt, 0) AS cnt
+      |FROM customer LEFT JOIN
+      |  (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val counts = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("ocnt"))
+    Tables.customer(s, d)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), coalesce(col("ocnt"), lit(0L)).as("cnt"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q18 semi + anti join halves, tagged and unioned (J4/J5). */
+  val q18_semi_anti = QueryDef(
+    "q18_semi_anti",
+    """SELECT 'has_orders' AS tag, c_custkey FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, c_custkey FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("has_orders").as("tag"), col("c_custkey"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("tag"), col("c_custkey"))
+    semi.unionByName(anti).orderBy("tag", "c_custkey")
+  }
+
+  /** Q19 theta (non-equi) join — BroadcastNestedLoopJoin over bounded
+    * inputs (part × supplier; both dimension-sized by contract). */
+  val q19_theta_join = QueryDef(
+    "q19_theta_join",
+    """SELECT p_partkey, COUNT(*) AS cnt
+      |FROM part JOIN supplier ON p_retailprice > s_acctbal
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("p_retailprice") > col("s_acctbal"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("p_partkey")
+  }
+
+  /** Q20 ranking window: top-3 orders by price per priority (W1/W4). */
+  val q20_rank_window = QueryDef(
+    "q20_rank_window",
+    """SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Q21 frames + lag: running sum and previous price per customer
+    * (W2/W3). Filter on the partition key commutes with the window. */
+  val q21_frames_lag = QueryDef(
+    "q21_frames_lag",
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+      |  ROUND(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev
+      |FROM orders WHERE o_custkey < 20
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d).where(col("o_custkey") < 20)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"),
+        round(coalesce(lag("o_totalprice", 1).over(w), lit(0)), 2).as("prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q22 JSON decode + batch tumbling window (S4 + T1-batch twin). */
+  val q22_json_events = QueryDef(
+    "q22_json_events",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+      |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val,
+      |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k
+      |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("sum_val"),
+          round(avg(get_json_object(col("props"), "$.k").cast("int")), 2).as("avg_k"))
+        .orderBy("h", "event_type")
+  }
+
+  /** Q23 set operations (U1–U4): BUILDING-segment customers vs customers
+    * with orders. */
+  val q23_set_ops = QueryDef(
+    "q23_set_ops",
+    """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |o AS (SELECT DISTINCT o_custkey AS k FROM orders)
+      |SELECT 'building_with_orders' AS tag, k FROM (SELECT k FROM b INTERSECT SELECT k FROM o)
+      |UNION ALL
+      |SELECT 'building_no_orders' AS tag, k FROM (SELECT k FROM b EXCEPT SELECT k FROM o)
+      |ORDER BY tag, k""".stripMargin) { (s, d) =>
+    val b = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val o = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val inter = b.intersect(o).select(lit("building_with_orders").as("tag"), col("k"))
+    val exc = b.except(o).select(lit("building_no_orders").as("tag"), col("k"))
+    inter.unionByName(exc).orderBy("tag", "k")
+  }
+
+  /** Q24 exact dedup stats (L1/U5). */
+  val q24_exact_dedup = QueryDef(
+    "q24_exact_dedup",
+    """SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS uniq,
+      |  COUNT(*) - COUNT(DISTINCT text) AS dups
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("total"),
+      countDistinct(col("text")).as("uniq"),
+      (count(lit(1)) - countDistinct(col("text"))).as("dups"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
+    q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
+    q09_pricing_summary, q10_rollup, q11_date_buckets, q12_join2,
+    q13_join4, q14_join5_region, q15_topk_unshipped, q16_having,
+    q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
+    q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup)
+}

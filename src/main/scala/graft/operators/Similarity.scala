@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the embeddings table (SURVEY.md §2.9 L3).
+  *
+  * All dot products / norms are computed with built-in higher-order
+  * functions (`zip_with` + `aggregate`) in DOUBLE after an explicit cast
+  * from float — sequential left-to-right summation, so the DuckDB oracle
+  * (which also folds in list order after CAST(... AS DOUBLE[])) computes
+  * bit-identical values.
+  *
+  * Scale posture: the exact path broadcasts the (small, bounded-by-
+  * contract) query side so the big side streams through a single
+  * BroadcastNestedLoopJoin stage with no shuffle of the corpus; norms are
+  * computed once per row, not per pair. The IVF path
+  * (`ivfTopK`) is the 100 TB strategy: cluster-prune the corpus with a
+  * coarse quantizer so each query only scans nprobe/k of the data.
+  */
+object Similarity {
+
+  /** embedding as double[] plus the L2 norm, computed once. */
+  private def withVec(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Exact brute-force top-k cosine for a bounded query set. */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = withVec(emb)
+    val q = base.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val pairs = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Q25 (declared): top-5 cosine neighbors for vec_id < 5. */
+  val q25_cosine_topk = QueryDef(
+    "q25_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT qid, e.vec_id AS nid,
+      |    ROUND(list_cosine_similarity(qv, e.v), 4) AS cos
+      |  FROM q, e WHERE e.vec_id <> qid),
+      |ranked AS (SELECT qid, nid, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+      |SELECT qid, nid, cos, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) {
+    (s, d) => cosineTopK(Tables.embeddings(s, d), col("vec_id") < 5, 5)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup family, L2): all pairs
+    * with cosine >= threshold within a bounded id range, a < b. */
+  val q35_embedding_neardup = QueryDef(
+    "q35_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 200)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_cosine_similarity(a.v, b.v) >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val base = withVec(Tables.embeddings(s, d)).where(col("vec_id") < 200)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val a = base.select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an"))
+    val b = base.select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("rawcos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .where(col("rawcos") >= 0.5)
+      .select(col("a"), col("b"), round(col("rawcos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the 100 TB scale path.
+    *
+    * Coarse quantizer: the first `nCells` vectors by id serve as
+    * deterministic centroids (no RNG — keeps results reproducible across
+    * engines and runs). Every corpus vector is assigned to its nearest
+    * centroid (broadcast centroid list, one pass). A query then probes
+    * only its `nProbe` nearest cells, so the pairwise stage scans
+    * ~nProbe/nCells of the corpus instead of all of it. Recall is
+    * approximate by design → rows-only driver check (no DuckDB oracle).
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = withVec(emb).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = base.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+
+    // nearest centroid per vector (cosine): rank assignments per vec_id
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      df.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= keep)
+        .drop("cv", "cn", "ccos", "crn")
+    }
+
+    val corpus = assign(base, 1)
+      .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val queries = assign(base.where(queryPred), nProbe)
+      .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    corpus.join(broadcast(queries), "cell")
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** ANN via IVF, approximate — driver records a rows-only check. */
+  val q38_ann_ivf = QueryDef.unchecked("q38_ann_ivf") { (s, d) =>
+    ivfTopK(Tables.embeddings(s, d), col("vec_id") < 5, 5)
+  }
+
+  val all: Seq[QueryDef] = Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf)
+}
