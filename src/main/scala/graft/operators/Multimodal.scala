@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing (SURVEY.md §2.9 L5 / builder mandate):
+  * image/audio/video as opaque `binary` columns with typed metadata,
+  * processed in partition-local batches.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — a stand-in with the
+  * same signature and batch shape a real libjpeg/ffmpeg binding would
+  * have. Everything around it — binary columns, metadata struct, typed
+  * Dataset encoders, mapPartitions batching, partition-by-kind layout —
+  * is the real 100 TB plumbing: executors stream batches of byte arrays,
+  * never the driver; feature vectors come out as ArrayType(FloatType)
+  * compatible with the Similarity operators.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque payload. */
+  case class MediaMeta(kind: String, n_bytes: Long, checksum: Long)
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                      meta: MediaMeta)
+  case class MediaFeature(media_id: Long, kind: String, width: Int,
+                          height: Int, embedding: Array[Float])
+
+  /** Build a media table from `documents` — deterministic fake payloads
+    * (UTF-8 bytes of the text, kind derived from doc_id) standing in for
+    * real image/audio blobs. The column types and layout are the
+    * production shape. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        MediaRow(id, kind, bytes,
+          MediaMeta(kind, bytes.length.toLong,
+            bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      }
+  }
+
+  // ----------------------------------------------------------------
+  // STUB: the real decoder (libjpeg/ffmpeg/soundfile) is absent in this
+  // container. This deterministic fake has the exact signature and
+  // per-batch call shape the real kernel would have; swapping it for a
+  // JNI/process-based codec changes nothing outside this function.
+  // ----------------------------------------------------------------
+  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val w = 16 + (bytes.length % 64)          // fake "decoded" dimensions
+    val h = 16 + ((bytes.length / 64) % 64)
+    val emb = new Array[Float](dim)           // fake features: byte histogram folded to dim
+    var i = 0
+    while (i < bytes.length) { emb(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    (w, h, emb)
+  }
+
+  /** Decode + feature-extract in partition-local batches: one
+    * mapPartitions pass, no shuffle; the iterator IS the batch stream
+    * (an Arrow-batched kernel would sit at the same boundary). */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, emb) = decodeStub(r.bytes, dim)
+        MediaFeature(r.media_id, r.kind, w, h, emb)
+      }
+    }
+  }
+
+  /** Frame/sample extraction: fixed-stride byte slices standing in for
+    * video frame sampling — pure column ops, stays in codegen. */
+  def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): DataFrame =
+    media.toDF()
+      .select(col("media_id"), col("kind"),
+        transform(sequence(lit(0), lit(nFrames - 1)),
+          i => substring_index(base64(col("bytes")), "=", 1).substr(
+            i * lit(8) + 1, lit(8))).as("frames"))
+
+  /** q36 (declared): metadata projection — the deterministic part of the
+    * pipeline, oracled in DuckDB over the same bytes. */
+  val q36_media_meta = QueryDef(
+    "q36_media_meta",
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0),
+      |                   c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, x) -> acc + x) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    // kind mapping note: Spark element_at(array('image','audio','video'), doc_id%3+1)
+    // vs DuckDB list indexing — both 1-based; fixture text is ASCII so
+    // byte checksum == codepoint sum on both engines.
+    mediaFromDocuments(s, d).toDF()
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+      .orderBy("media_id")
+  }
+
+  /** q39: decoded features (stub kernel) — deterministic but the fake
+    * decode has no SQL analog; driver records a rows-only check. */
+  val q39_media_features = QueryDef.unchecked("q39_media_features") { (s, d) =>
+    decodeFeatures(mediaFromDocuments(s, d)).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        round(aggregate(col("embedding"),
+          lit(0.0d), (a, x) => a + x.cast("double")), 4).as("emb_sum"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q36_media_meta, q39_media_features)
+}

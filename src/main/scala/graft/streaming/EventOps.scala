@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md
+  * §2.10 T1–T7). Every transform is expressed against an unbounded
+  * DataFrame — the same code runs on `spark.readStream` input (streaming)
+  * and on `Tables.events` (batch twin, which is what the DuckDB-checked
+  * Q22 uses, since watermark semantics have no SQL oracle).
+  *
+  * Scale posture: watermarks bound all state; windowed aggregates are
+  * partial-aggregated before the shuffle like any groupBy; the arbitrary-
+  * state op keys by user_id so state shards across executors.
+  */
+object EventOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  /** T4: 10-minute watermark — late rows dropped once event time passes. */
+  def withLateness(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** T1: tumbling 1-hour counts per event type (append-able once
+    * watermarked). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    withLateness(events)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_val"))
+
+  /** T2: sliding 1-hour window every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    withLateness(events)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T3: 30-minute session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    withLateness(events)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_val"))
+
+  /** T5: stateful dedup by event_id with bounded state. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    withLateness(events).dropDuplicatesWithinWatermark("event_id")
+
+  case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** T6: arbitrary per-key state — running event count + value sum per
+    * user via flatMapGroupsWithState (the lab's "user Reduce over a
+    * stream" analog; emits the updated aggregate on every batch). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserAgg(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Batch events as the typed Dataset (ns → µs conversion handled by
+    * graft.Tables.events). */
+  def typedEvents(spark: SparkSession, df: DataFrame): Dataset[Event] = {
+    import spark.implicits._
+    df.as[Event]
+  }
+}

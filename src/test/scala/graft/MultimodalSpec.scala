@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary payloads + typed metadata survive the
+  * Dataset boundary; the (stubbed) decode kernel runs partition-local
+  * with correct shapes. */
+class MultimodalSpec extends SparkSpec {
+
+  test("media table: binary column round-trips, metadata consistent") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val rows = media.limit(10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.meta.n_bytes == r.bytes.length.toLong)
+      assert(r.meta.kind == r.kind)
+      assert(Set("image", "audio", "video")(r.kind))
+    }
+  }
+
+  test("decodeFeatures: fixed-dim embeddings, deterministic") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val f1 = Multimodal.decodeFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.embedding.toSeq).toMap
+    val f2 = Multimodal.decodeFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.embedding.toSeq).toMap
+    assert(f1 == f2, "stub decode must be deterministic")
+    assert(f1.values.forall(_.length == 16))
+  }
+
+  test("frameSample emits n frames per row") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(5)
+    val rows = Multimodal.frameSample(media, nFrames = 4)
+      .select("frames").collect()
+    assert(rows.forall(_.getSeq[String](0).length == 4))
+  }
+}

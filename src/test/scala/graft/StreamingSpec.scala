@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventOps
+import graft.streaming.EventOps.Event
+
+/** Structured Streaming goldens via MemoryStream (SURVEY.md §5.2 #4):
+  * watermark drop/keep and windowed counts with hand-advanced event time.
+  * DuckDB has no watermark semantics, so these are in-repo goldens, not
+  * oracle-checked (§2.10). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, v, "{}")
+
+  test("T1 tumbling window counts (append mode after watermark passes)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t1").outputMode("append")
+      .start()
+    // Watermark for batch N = max event time through batch N-1, minus the
+    // 10 min delay — so each advance needs a follow-up batch to emit.
+    in.addData(ev(1, 10), ev(2, 20), ev(3, 70)) // two in hour 0, one in hour 1
+    query.processAllAvailable()
+    in.addData(ev(4, 300)) // wm becomes 60min → hour-0 window closes
+    query.processAllAvailable()
+    in.addData(ev(5, 310)) // wm becomes 290min → hour-1 window closes
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("t1")
+      .selectExpr("window.start", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+    assert(rows.contains(("2024-01-01 01:00:00.0", "click", 1L)))
+  }
+
+  test("T4 watermark drops late rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t4").outputMode("append")
+      .start()
+    in.addData(ev(1, 10))
+    query.processAllAvailable()
+    in.addData(ev(2, 300)) // watermark → 290min, closes hour-0 window
+    query.processAllAvailable()
+    in.addData(ev(3, 15)) // late: hour-0 window already closed → dropped
+    query.processAllAvailable()
+    query.stop()
+    val hour0 = spark.table("t4").selectExpr("window.start", "cnt").collect()
+      .filter(_.getTimestamp(0).toString.startsWith("2024-01-01 00:00"))
+    assert(hour0.map(_.getLong(1)).toSeq == Seq(1L), "late row was not dropped")
+  }
+
+  test("T5 dropDuplicatesWithinWatermark dedups by event_id") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("t5").outputMode("append")
+      .start()
+    in.addData(ev(1, 10), ev(1, 10), ev(2, 12))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("t5").count() == 2)
+  }
+
+  test("T6 flatMapGroupsWithState running totals across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("t6").outputMode("append")
+      .start()
+    in.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 3.0))
+    query.processAllAvailable()
+    in.addData(ev(3, 3, user = 7, v = 5.0))
+    query.processAllAvailable()
+    query.stop()
+    val states = spark.table("t6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(states.contains((7L, 2L, 5.0)))  // after batch 1
+    assert(states.contains((7L, 3L, 10.0))) // after batch 2
+  }
+
+  test("T2/T3 sliding + session windows produce sane batch-twin results") {
+    import spark.implicits._
+    val batch = Seq(ev(1, 10), ev(2, 20), ev(3, 55), ev(4, 200)).toDF()
+    val slide = EventOps.slidingCounts(batch).collect()
+    assert(slide.nonEmpty) // 1h window / 15min slide → ≥4 windows per event
+    val sess = EventOps.sessionCounts(batch)
+      .selectExpr("user_id", "cnt").collect().map(r => r.getLong(1)).sorted
+    // 10,20 chain (gap 10m < 30m); 55 is 35m after 20 → own session; 200 too
+    assert(sess.toSeq == Seq(1L, 1L, 2L))
+  }
+}

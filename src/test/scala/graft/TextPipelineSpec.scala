@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.TextPipeline
+
+/** Dedup-family operators: exact Jaccard ground truth, and the MinHash-
+  * LSH scale path validated against it (candidate pairs are verified, so
+  * precision is 1 by construction; recall is asserted ≥ threshold). */
+class TextPipelineSpec extends SparkSpec {
+
+  test("exactJaccardPairs on hand-computed sets") {
+    import spark.implicits._
+    // A={x,y,z}, B={x,y,z}, C={x}: J(A,B)=1, J(A,C)=J(B,C)=1/3
+    val rows = Seq(
+      (0L, "x"), (0L, "y"), (0L, "z"),
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x")).toDF("doc_id", "word")
+    val got = TextPipeline.exactJaccardPairs(rows, 0.3)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 1.0), (0L, 2L, 0.3333), (1L, 2L, 0.3333)))
+  }
+
+  test("LSH pairs ⊆ exact pairs, full recall on duplicate docs") {
+    val sets = Text.tokens(Tables.documents(spark, sf0001))
+      .where(col("doc_id") < 100).select("doc_id", "word").distinct()
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = toSet(TextPipeline.exactJaccardPairs(sets, 0.8))
+    val lsh = toSet(TextPipeline.minHashLshPairs(sets, 0.8))
+    assert(lsh.subsetOf(exact), "LSH produced a non-verified pair")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall (|exact|=${exact.size})")
+    }
+  }
+
+  test("minhash signature: identical word sets get identical signatures") {
+    import spark.implicits._
+    val rows = Seq((0L, "alpha"), (0L, "beta"), (1L, "alpha"), (1L, "beta"),
+      (2L, "gamma")).toDF("doc_id", "word")
+    val sig = TextPipeline.minHashSignature(rows).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L))
+  }
+}

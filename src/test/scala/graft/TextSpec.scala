@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.Text
+
+/** Tokenizer + hash primitives — the single source of truth shared by
+  * Q1–Q7/Q26–Q34 must agree with a plain-Scala model (SURVEY.md §5.2 #1). */
+class TextSpec extends SparkSpec {
+
+  private def scalaTokens(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+
+  test("wordsOf matches the reference letters-only rule on sample strings") {
+    val samples = Seq(
+      "Hello, World! 123 spark-scan", "", "   ", "a", "ALL CAPS",
+      "tab\tand\nnewline", "trailing punct...", "..leading", "a1b2c3")
+    import spark.implicits._
+    val got = samples.toDF("text")
+      .select(Text.wordsOf(col("text")).as("ws"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == samples.map(scalaTokens))
+  }
+
+  test("wordsOf property: agrees with Scala model on random ASCII") {
+    val asciiGen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val cases = Gen.listOfN(60, asciiGen).sample.get
+    import spark.implicits._
+    val got = cases.toDF("text")
+      .select(Text.wordsOf(col("text")).as("ws"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == cases.map(scalaTokens))
+  }
+
+  test("polyHash matches a plain-Scala fold") {
+    def model(s: String, seed: Long): Long =
+      s.foldLeft(seed)((acc, c) => (acc * 31 + c.toLong) % Text.HashMod)
+    val samples = Seq("", "a", "spark", "the quick brown fox")
+    import spark.implicits._
+    val got = samples.toDF("s")
+      .select(Text.polyHash(col("s"), 7L).as("h")).as[Long].collect().toSeq
+    assert(got == samples.map(model(_, 7L)))
+  }
+}
