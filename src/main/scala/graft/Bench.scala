@@ -5,6 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): times every registered
   * query on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
+  * Protocol (BASELINE.md): one untimed warmup pass over the whole suite
+  * (JIT + codegen compile + parquet footer cache), then 3 timed passes,
+  * median per query — so the numbers measure the query plans, not
+  * single-JVM classloading noise.
+  *
   * Each query is materialized through the `noop` sink — unlike `count()`,
   * this executes the full plan with all output columns (count() would let
   * Catalyst prune the projection and under-report the real work).
@@ -13,6 +18,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,22 +26,31 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM + parquet footers once so per-query times measure the
-    // query, not first-touch classloading.
-    SparkEntry.queries.get("q01_wordcount")
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+
+    queries.foreach { case (n, f) => runOne(n, f) } // warmup pass, untimed
+    val samples = (1 to passes).map { _ =>
+      queries.map { case (n, f) => n -> runOne(n, f) }.toMap
+    }
+    val medians = queries.map { case (n, _) =>
+      val xs = samples.map(_(n)).sorted
+      n -> xs(xs.length / 2)
+    }
+
+    val qs = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = medians.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
