@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+import graft.operators.Advanced
+
+class AdvancedSpec extends SparkSpec {
+
+  test("TopK aggregator: reduce/merge/finish on hand-built buffers") {
+    val agg = new TopK(3)
+    val buf = Seq(5.0, 1.0, 9.0, 7.0, 3.0).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq(9.0, 7.0, 5.0))
+    // merge keeps global top-3 across two partial buffers
+    val a = Seq(1.0, 2.0, 3.0).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(10.0, 0.5).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)) == Seq(10.0, 3.0, 2.0))
+    // fewer rows than k
+    assert(agg.finish(agg.reduce(agg.zero, 4.0)) == Seq(4.0))
+  }
+
+  test("TopK via udaf matches orderBy/limit on the orders table") {
+    val topk = udaf(new TopK(3))
+    val got = Tables.orders(spark, sf0001)
+      .agg(topk(col("o_totalprice")).as("t"))
+      .collect()(0).getSeq[Double](0)
+    val want = Tables.orders(spark, sf0001)
+      .orderBy(col("o_totalprice").desc).limit(3)
+      .collect().map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(got == want)
+  }
+
+  test("asofJoin picks the latest left row at or before each right ts") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val clicks = Seq((1L, 100L, t(1)), (2L, 100L, t(5)), (3L, 200L, t(9)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (10L, 100L, t(3)),  // after click@1 → prev=1min
+      (11L, 100L, t(5)),  // equal ts counts (<=) → prev=5min
+      (12L, 200L, t(2)),  // before any click of user 200 → null
+      (13L, 300L, t(4)))  // user with no clicks at all → null
+      .toDF("event_id", "user_id", "ts")
+    val got = Advanced.asofJoin(purchases, clicks, "user_id", "ts", "prev_click")
+      .select("rid", "prev_click").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime / 60000L))
+      .toMap
+    assert(got == Map(10L -> Some(1L), 11L -> Some(5L), 12L -> None, 13L -> None))
+  }
+
+  test("approx_count_distinct within 10% of exact on documents.text") {
+    val r = Tables.documents(spark, sf0001)
+      .agg(approx_count_distinct(col("text")).as("a"),
+        countDistinct(col("text")).as("e"))
+      .collect()(0)
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
+  }
+
+  test("q41 percentile endpoints: p50 of two values is their midpoint") {
+    import spark.implicits._
+    val df = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")
+    val p50 = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .collect()(0).getDouble(1)
+    assert(p50 == 2.0)
+  }
+}
