@@ -91,32 +91,46 @@ object Similarity {
     *
     * Coarse quantizer: the first `nCells` vectors by id serve as
     * deterministic centroids (no RNG — keeps results reproducible across
-    * engines and runs). Every corpus vector is assigned to its nearest
-    * centroid (broadcast centroid list, one pass). A query then probes
-    * only its `nProbe` nearest cells, so the pairwise stage scans
-    * ~nProbe/nCells of the corpus instead of all of it. Recall is
+    * engines and runs). The centroid list is bounded by construction, so
+    * it is collected once and embedded as a LITERAL array column; cell
+    * assignment is then a pure per-row HOF expression — no join, no
+    * window, ZERO shuffle over the corpus (the earlier formulation
+    * joined corpus × centroids and ranked with a window, shuffling
+    * nCells× the data). A query probes only its `nProbe` nearest cells,
+    * so the pairwise stage scans ~nProbe/nCells of the corpus. Recall is
     * approximate by design → rows-only driver check (no DuckDB oracle).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = withVec(emb).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = base.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
 
-    // nearest centroid per vector (cosine): rank assignments per vec_id
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
-      df.join(broadcast(cents), lit(true))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crn", row_number().over(w))
-        .where(col("crn") <= keep)
-        .drop("cv", "cn", "ccos", "crn")
-    }
+    // Bounded centroid set → driver literal (the k-means pattern).
+    val centRows = base.where(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val centLit = array(centRows.map { r =>
+      struct(
+        lit(r.getLong(0)).as("cell"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
 
-    val corpus = assign(base, 1)
+    // cells scored per row, sorted by (-cos, cell) — all codegen'd HOFs
+    def scoredCells: Column = array_sort(transform(centLit, c =>
+      struct(
+        (-dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+          .as("negcos"),
+        c.getField("cell").as("cell"))))
+
+    val corpus = base
+      .withColumn("cell", element_at(scoredCells, 1).getField("cell"))
       .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
-    val queries = assign(base.where(queryPred), nProbe)
-      .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val queries = base.where(queryPred)
+      .withColumn("sc", slice(scoredCells, 1, nProbe))
+      .select(explode(col("sc")).as("c"), col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("cell", col("c").getField("cell")).drop("c")
 
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     corpus.join(broadcast(queries), "cell")

@@ -340,9 +340,19 @@ object TextPipeline {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verification of candidates only
-    val verified = exactJaccardPairs(setRows, tau)
-    cand.join(verified, Seq("a", "b")).select("a", "b", "jac")
+    // Exact verification of CANDIDATES ONLY: join each pair to its two
+    // word sets and intersect with array HOFs. (Re-running the word-level
+    // self-join here would reintroduce exactly the quadratic stage LSH
+    // exists to avoid — candidate count, not corpus size, bounds this.)
+    val sets = setRows.groupBy("doc_id")
+      .agg(collect_set(col("word")).as("ws"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("double"))
+      .withColumn("rawjac", col("i") / (size(col("wa")) + size(col("wb")) - col("i")))
+      .where(col("rawjac") >= tau)
+      .select(col("a"), col("b"), round(col("rawjac"), 4).as("jac"))
   }
 
   val q37_minhash_lsh_pairs = QueryDef.unchecked("q37_minhash_lsh_pairs") { (s, d) =>
