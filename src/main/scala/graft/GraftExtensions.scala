@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graftvec.{CosineSim, DotProduct}
+
+/** SparkSessionExtensions hook: makes the native vector expressions
+  * available from SQL (`SELECT cosine_sim(a, b)`) when the session is
+  * built with `spark.sql.extensions=graft.GraftExtensions`. The Scala
+  * API (`VectorExpressions.cosineSim`) works without any session config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, make: (Expression, Expression) => Expression) =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        make(args(0), args(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(binary("cosine_sim", CosineSim))
+    ext.injectFunction(binary("dot_product", DotProduct))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an ALREADY-RUNNING session (the
+    * extensions config only applies when the SparkContext is first
+    * built). Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq[(String, (Expression, Expression) => Expression)](
+      "cosine_sim" -> (CosineSim(_, _)),
+      "dot_product" -> (DotProduct(_, _))
+    ).foreach { case (name, make) =>
+      reg.createOrReplaceTempFunction(
+        name, args => make(args(0), args(1)), "built-in")
+    }
+  }
+}

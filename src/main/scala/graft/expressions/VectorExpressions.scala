@@ -1,0 +1,19 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftvec.VectorKernels
+
+/** Public Column API over the native vector kernels
+  * (org.apache.spark.sql.graftvec — see that file for why the
+  * expressions live in a bridge package). */
+object VectorExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.CosineSim(
+        VectorKernels.expression(a), VectorKernels.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.DotProduct(
+        VectorKernels.expression(a), VectorKernels.expression(b)))
+}

@@ -29,8 +29,12 @@ object Similarity {
       .withColumn("v", transform(col("embedding"), _.cast("double")))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
 
+  /** Native codegen'd dot product (graft.expressions.DotProduct) — same
+    * sequential summation order as the `aggregate(zip_with(...))` HOF
+    * fold it replaced (bit-identical to the DuckDB oracle), but a fused
+    * primitive loop instead of a per-element interpreted lambda. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dotProduct(a, b)
 
   /** Exact brute-force top-k cosine for a bounded query set. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
