@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for the 100 TB posture (SURVEY.md §4.2):
+  * partitioned writes (→ partition pruning at read), bucketed tables
+  * (→ shuffle-free co-located joins), and key salting (→ skew-safe
+  * aggregation). These are the knobs a 1000-executor deployment turns;
+  * LayoutSpec asserts the resulting plan shapes (pruned InMemoryFileIndex,
+  * no Exchange over bucketed joins, salted agg == plain agg).
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet write: one directory per value of
+    * `partitionCols`. Readers filtering on those columns scan only the
+    * matching directories — partition pruning, the coarsest and
+    * cheapest filter at scale. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table write (requires the session catalog).
+    * Joining two tables bucketed by the same key into the same bucket
+    * count lets Catalyst drop BOTH shuffle exchanges — at 100 TB the
+    * dominant cost of a fact-fact join. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-phase salted aggregation: spread a skewed group key over
+    * `salt` sub-keys for the partial aggregate, then merge partials.
+    * COUNT/SUM-decomposable aggregates only — exactly the combiner
+    * algebra of MRPAPER §4.3. */
+  def saltedCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("c"))
+
+  /** Salted sum, same algebra. */
+  def saltedSum(df: DataFrame, key: String, valueCol: Column,
+                salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
+      .withColumn("_v", valueCol)
+      .groupBy(col(key), col("_salt"))
+      .agg(sum("_v").as("_partial"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as("s"))
+
+  /** Broadcast-salted join for a skewed key: replicate each small-side
+    * row `salt` times with an explicit salt column, salt the large side
+    * randomly-but-deterministically (hash of a unique column), join on
+    * (key, salt). Each skewed key's rows spread over `salt` tasks
+    * instead of one hot partition. (AQE skew-join handles this
+    * automatically for sort-merge joins; this is the manual pattern for
+    * when the optimizer can't see the skew.) */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltSrc: Column, salt: Int = 16): DataFrame = {
+    val l = large.withColumn("_salt", pmod(abs(hash(saltSrc)), lit(salt)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned write + filtered read prunes partitions") {
+    val out = Files.createTempDirectory("part").toFile.getAbsolutePath + "/orders"
+    val orders = Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Layout.writePartitioned(orders, out, "o_year")
+
+    val years = orders.select("o_year").distinct().count()
+    assert(years > 1, "fixture spans one year; pruning test is vacuous")
+
+    val read = spark.read.parquet(out).where(col("o_year") === 1995)
+    read.collect()
+    val scan = read.queryExecution.executedPlan.toString
+    // pruned scan lists only the matching partition directory
+    assert(scan.contains("o_year=1995") || scan.contains("PartitionFilters"),
+      s"no partition pruning evidence in plan:\n$scan")
+    // row-level check: only 1995 rows came back
+    assert(read.where(year(col("o_orderdate")) =!= 1995).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Layout.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+      "b_orders", 4, "o_orderkey")
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"),
+      "b_lineitem", 4, "l_orderkey")
+    // disable auto-broadcast: at sf0.001 everything fits the broadcast
+    // threshold, but the behavior under test is the big-big join shape
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // correctness: same count as the plain join
+      val plain = Tables.orders(spark, sf0001)
+        .join(Tables.lineitem(spark, sf0001),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
+  test("salted count/sum match plain groupBy") {
+    val li = Tables.lineitem(spark, sf0001)
+    val plainC = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedC = Layout.saltedCount(li, "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedC == plainC)
+
+    val plainS = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedS = Layout.saltedSum(li, "l_returnflag", col("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sums are FP: salting changes add order → compare to 1e-6 relative
+    plainS.foreach { case (k, v) =>
+      assert(math.abs(saltedS(k) - v) <= 1e-6 * math.abs(v)) }
+  }
+
+  test("salted join matches plain join row-for-row") {
+    val orders = Tables.orders(spark, sf0001).select("o_custkey", "o_orderkey")
+    val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+      .select("o_orderkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Layout.saltedJoin(orders, cust, "o_custkey", col("o_orderkey"))
+      .select("o_orderkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+}

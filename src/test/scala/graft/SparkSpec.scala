@@ -12,6 +12,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft-ms")}/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
