@@ -110,6 +110,101 @@ object Advanced {
       .orderBy("source")
   }
 
+  /** q44: batch sessionization — the oracle-checkable twin of the
+    * streaming session_window (T3): session breaks where the per-user
+    * gap exceeds 30 min, session id = running count of breaks. Pure
+    * window algebra, one shuffle by user_id. Gap compare in integer
+    * microseconds (unix_micros / epoch_us) — no float truncation drift
+    * between engines. */
+  val q44_sessionize = QueryDef(
+    "q44_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id, sid, COUNT(*) AS n,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("s_end"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** q45: full cube with grouping indicators (A7 — rollup is q10). */
+  val q45_cube = QueryDef(
+    "q45_cube",
+    """SELECT lang, source,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_l,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_s,
+      |  COUNT(*) AS cnt
+      |FROM documents GROUP BY CUBE(lang, source)
+      |ORDER BY g_l, g_s, lang NULLS LAST, source NULLS LAST""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).cube("lang", "source")
+      .agg(grouping("lang").cast("long").as("g_l"),
+        grouping("source").cast("long").as("g_s"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("g_l"), col("g_s"),
+        col("lang").asc_nulls_last, col("source").asc_nulls_last)
+  }
+
+  /** q46: the SQL-string entry point (SURVEY §3.2 E2) with a correlated
+    * scalar subquery — Catalyst decorrelates it to an aggregate + outer
+    * join (RewriteCorrelatedScalarSubquery), not a per-row loop. */
+  val q46_sql_entry = QueryDef(
+    "q46_sql_entry",
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
+      |FROM customer c WHERE c_custkey < 100
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
+        |FROM customer c WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q47: value-based RANGE frame (W3's rangeBetween half): per
+    * priority, how many orders price within ±1000. Count over a range
+    * frame is tie-order independent → deterministic. */
+  val q47_range_frame = QueryDef(
+    "q47_range_frame",
+    """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+      |FROM orders WHERE o_orderkey < 1000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).where(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("price"),
+        expr("""COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)""").as("n_near"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct)
+    Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
+      q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame)
 }
