@@ -73,12 +73,16 @@ object Advanced {
       |  ROUND(quantile_cont(o_totalprice, 0.90), 2) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
     (s, d) =>
+      // single percentile(array(...)) buffer instead of 4 independent
+      // aggregates — one sort buffer per group, not four
       Tables.orders(s, d).groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-          round(expr("percentile(o_totalprice, 0.90)"), 2).as("p90"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.50D, 0.75D, 0.90D))")
+          .as("ps"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("ps"), 1), 2).as("p25"),
+          round(element_at(col("ps"), 2), 2).as("p50"),
+          round(element_at(col("ps"), 3), 2).as("p75"),
+          round(element_at(col("ps"), 4), 2).as("p90"))
         .orderBy("o_orderpriority")
   }
 
