@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Shuffle budget regression guard: at 100 TB the shuffle count is the
+  * scarce resource, so the minimal counts observed at round 1 (see
+  * graft.ShuffleAudit, AQE off) are pinned as ceilings. A refactor that
+  * adds an Exchange to a flagship query fails here, not in production.
+  */
+class ShuffleAuditSpec extends SparkSpec {
+
+  private def shuffles(name: String): Int = {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }.size
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  // exact pins: agg+sort pipelines shuffle once per re-key, never more
+  private val pinned = Map(
+    "q01_wordcount" -> 2,      // groupBy(word) + orderBy
+    "q03_grep" -> 1,           // orderBy only (filter is scan-local)
+    "q04_topk_words" -> 1,     // groupBy; top-k is TakeOrdered, no sort shuffle
+    "q08_global_agg" -> 1,     // partial agg → single-partition final
+    "q09_pricing_summary" -> 2,
+    "q20_rank_window" -> 2,    // window partitionBy + orderBy
+    "q35_embedding_neardup" -> 1, // broadcast pair-join; orderBy only
+    "q40_asof_join" -> 2,      // union re-key by user + orderBy
+    "q44_sessionize" -> 2,     // ONE shuffle by user_id serves window AND
+                               // groupBy(user_id, sid) (subset rule) + orderBy
+    "q47_range_frame" -> 2)
+
+  pinned.foreach { case (name, budget) =>
+    test(s"$name stays within its $budget-shuffle budget") {
+      val got = shuffles(name)
+      assert(got <= budget, s"$name now shuffles $got times (budget $budget)")
+    }
+  }
+
+  test("no registered query exceeds 6 shuffles (suite-wide ceiling)") {
+    val over = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = shuffles(name)
+      if (n > 6) Some(s"$name=$n") else None
+    }
+    assert(over.isEmpty, s"over budget: ${over.mkString(", ")}")
+  }
+}
