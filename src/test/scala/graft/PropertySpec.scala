@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+import graft.operators.Advanced
+
+/** Property tests (SURVEY.md §5.2 #1): model-check the custom operators
+  * against brute-force Scala implementations on random inputs.
+  * (scalacheck Gen driven directly — scalatestplus isn't in the offline
+  * dependency cache.) */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("TopK == sorted.take(k) for random doubles and random k") {
+    val genCase = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.choose(-1e6, 1e6))
+    } yield (k, xs)
+    samples(genCase, 100).foreach { case (k, xs) =>
+      val agg = new TopK(k)
+      // random split into partial buffers exercises merge too
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val buf = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(buf) == xs.sorted.reverse.take(k))
+    }
+  }
+
+  test("asofJoin == per-row max-preceding model on random event sets") {
+    import spark.implicits._
+    val genEvents = for {
+      nL <- Gen.choose(0, 20)
+      nR <- Gen.choose(1, 20)
+      lefts <- Gen.listOfN(nL, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+      rights <- Gen.listOfN(nR, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    } yield (lefts, rights)
+    samples(genEvents, 15).foreach { case (lefts, rights) =>
+      val clicks = lefts.zipWithIndex
+        .map { case ((u, m), i) => (1000L + i, u, new Timestamp(m * 60000L)) }
+      val purchases = rights.zipWithIndex
+        .map { case ((u, m), i) => (2000L + i, u, new Timestamp(m * 60000L)) }
+      val got = Advanced.asofJoin(
+        purchases.toDF("event_id", "user_id", "ts"),
+        clicks.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "prev")
+        .select("rid", "prev").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+      val model = purchases.map { case (id, u, ts) =>
+        val preceding = clicks.collect {
+          case (_, cu, cts) if cu == u && !cts.after(ts) => cts
+        }
+        id -> (if (preceding.isEmpty) None else Some(preceding.max))
+      }.toMap
+      assert(got == model)
+    }
+  }
+
+  test("sessionization: session count == number of >30min gaps + 1") {
+    import spark.implicits._
+    samples(Gen.listOfN(30, Gen.choose(1, 60)), 8).foreach { gaps =>
+      val times = gaps.scanLeft(0L)((acc, g) => acc + g * 60000L)
+      val rows = times.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new Timestamp(t), 1L, "click", 1.0, "{}")
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val nSessions = df
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+        .agg(sum("brk")).collect()(0).getLong(0)
+      val expected = 1 + gaps.count(_ > 30) // every gap separates two events
+      assert(nSessions == expected)
+    }
+  }
+
+  test("driver smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
