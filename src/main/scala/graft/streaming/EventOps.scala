@@ -75,4 +75,41 @@ object EventOps {
     import spark.implicits._
     df.as[Event]
   }
+
+  /** T6 via the Spark 4 arbitrary-state API (`transformWithState`):
+    * same running per-user totals as [[runningUserTotals]], expressed as
+    * a [[StatefulProcessor]] with an explicit `ValueState` handle.
+    * Requires the RocksDB state store provider (set in the writeStream
+    * session conf); state is per-key, TTL-capable, and shards across
+    * executors like any keyed state. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserAgg](
+        "totals", Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserAgg] = {
+      val prev = Option(state.get()).getOrElse(UserAgg(key, 0L, 0.0))
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserAgg(key, n, total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSpec {
     assert(states.contains((7L, 3L, 10.0))) // after batch 2
   }
 
+  test("T6 transformWithState (Spark 4 API) matches flatMapGroupsWithState") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val query = EventOps.runningUserTotalsTws(in.toDS())
+        .writeStream.format("memory").queryName("t6tws").outputMode("append")
+        .start()
+      in.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 3.0))
+      query.processAllAvailable()
+      in.addData(ev(3, 3, user = 7, v = 5.0))
+      query.processAllAvailable()
+      query.stop()
+      val states = spark.table("t6tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(states.contains((7L, 2L, 5.0)))
+      assert(states.contains((7L, 3L, 10.0)))
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T2/T3 sliding + session windows produce sane batch-twin results") {
     import spark.implicits._
     val batch = Seq(ev(1, 10), ev(2, 20), ev(3, 55), ev(4, 200)).toDF()
