@@ -69,6 +69,40 @@ class MrCompatSpec extends SparkSpec {
     assert(lines.forall(_.matches("[a-z]+ \\d+")))
   }
 
+  test("runToDir commits atomically: _SUCCESS marker present before read") {
+    val out = Files.createTempDirectory("mr-suc").toFile.getAbsolutePath + "/job"
+    MapReduceJob.runToDir(spark, s"$inputDir/*",
+      MapReduceJob.wcMap, MapReduceJob.wcReduce, 2, out)
+    assert(new java.io.File(out, "_SUCCESS").exists,
+      "FileCommitProtocol success marker missing")
+  }
+
+  test("map tasks actually run in parallel (>= 2 concurrent; lab parallelism test)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit = {
+        val now = running.incrementAndGet()
+        peak.getAndUpdate(p => math.max(p, now))
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        running.decrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // slow each map task enough that executions must overlap on local[4]
+      val rdd = spark.sparkContext.wholeTextFiles(s"$inputDir/*", 4)
+        .map { kv => Thread.sleep(300); kv }
+      rdd.count()
+      // listener events are async; poll briefly for the peak to settle
+      val deadline = System.currentTimeMillis() + 10000
+      while (peak.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(peak.get() >= 2, s"peak concurrency was ${peak.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("crash tolerance: task that fails once still yields correct result") {
     val sc = spark.sparkContext
     val acc = sc.longAccumulator("attempts")
