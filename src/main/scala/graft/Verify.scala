@@ -19,8 +19,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // contract: result lands at outDir/<name>.parquet (a parquet
+      // directory with that exact name — readable by pyarrow/duckdb
+      // whether the driver treats it as a path or a glob root)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

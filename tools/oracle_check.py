@@ -39,7 +39,8 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        spark_glob = (glob.glob(os.path.join(out_dir, name + ".parquet", "*.parquet"))
+                      or glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not spark_glob:
             print(f"MISSING spark result: {name}")
             n_bad += 1
