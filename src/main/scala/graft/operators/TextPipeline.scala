@@ -362,8 +362,69 @@ object TextPipeline {
       .orderBy("a", "b")
   }
 
+  /** Connected components by iterative min-label propagation: each round
+    * every node adopts the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds. Driver
+    * coordinates the loop (the GraphX/Pregel shape), executors do all
+    * data work; `localCheckpoint` truncates the growing lineage each
+    * round — without it the plan tree doubles per iteration. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("rep"))
+      val next = labels.select("id", "rep").union(prop)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.rep") =!= col("o.rep")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** q48: dedup clustering — the step AFTER near-dup detection: group
+    * the q26 near-dup pairs into connected components and elect the
+    * min-id representative (the survivor in a keep-one dedup policy). */
+  val q48_dedup_clusters = QueryDef(
+    "q48_dedup_clusters",
+    s"""WITH RECURSIVE $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = exactJaccardPairs(
+      tokens(s, d).where(col("doc_id") < 100).select("doc_id", "word").distinct(),
+      0.8).select("a", "b")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
-    q34_ngram_jaccard, q37_minhash_lsh_pairs)
+    q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters)
 }

@@ -37,6 +37,19 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chain, triangle, and isolated pair") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val got = graft.operators.TextPipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash signature: identical word sets get identical signatures") {
     import spark.implicits._
     val rows = Seq((0L, "alpha"), (0L, "beta"), (1L, "alpha"), (1L, "beta"),
