@@ -423,8 +423,37 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q49: reproducible stratified sampling — per language, rank docs by
+    * a content hash (NOT rand(): re-runs and engines agree bit-for-bit)
+    * and keep the first 10. The standard deterministic-subset trick for
+    * training-data pipelines: the sample is a pure function of the data,
+    * so a 100 TB re-run (or a different engine) selects the same docs. */
+  val q49_stratified_sample = QueryDef(
+    "q49_stratified_sample",
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    list_reduce(list_prepend(CAST(13 AS BIGINT),
+      |      list_transform(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS hb
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, hb,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+      |      FROM h)
+      |SELECT lang, doc_id, hb, rn FROM r WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("hb", "doc_id")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        (Text.polyHash(col("text"), 13L) % 1000L).as("hb"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
-    q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters)
+    q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
+    q49_stratified_sample)
 }
