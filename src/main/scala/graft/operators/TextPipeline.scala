@@ -252,6 +252,23 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, simhash): 16-bit tf-weighted SimHash over the bounded
+    * doc_id < 100 contract — shared by q33 (signatures) and q50
+    * (neighbor query). */
+  private def simhashOf(s: SparkSession, d: String): DataFrame = {
+    val tf = tokens(s, d).where(col("doc_id") < 100)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val h = tf.withColumn("wh", Text.polyHash(col("word"), 7L))
+    val bits = h
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(shiftright(wh, b) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(shiftleft(1, b) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
   /** q33: 16-bit SimHash per document, tf-weighted. */
   val q33_simhash = QueryDef(
     "q33_simhash",
@@ -266,18 +283,7 @@ object TextPipeline {
       |SELECT doc_id,
       |  SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tf = tokens(s, d).where(col("doc_id") < 100)
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val h = tf.withColumn("wh", Text.polyHash(col("word"), 7L))
-    val bits = h
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(shiftright(wh, b) & 1) = 1"), col("tf"))
-        .otherwise(-col("tf"))).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(shiftleft(1, b) as bigint)"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+    simhashOf(s, d).orderBy("doc_id")
   }
 
   /** q34: word-bigram (2-gram shingle) Jaccard near-dup pairs. */
@@ -371,9 +377,15 @@ object TextPipeline {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+      .localCheckpoint() // edges are reused every round — cut the lineage once
+    // round 0 folded into init: adopt min(self, neighbors) immediately
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("rep"))
+      .select(col("src").as("id"), col("rep"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("rep")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -382,11 +394,12 @@ object TextPipeline {
       val next = labels.select("id", "rep").union(prop)
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.rep") =!= col("o.rep")).count()
+      // labels only ever decrease, so the fixpoint test is one scalar
+      // aggregate per round, not a join of old vs new
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
@@ -451,9 +464,45 @@ object TextPipeline {
       .orderBy("lang", "rn")
   }
 
+  /** q50: SimHash neighbor query — the retrieval half of the SimHash
+    * dedup story (q33 computes signatures): pairs whose 16-bit
+    * signatures differ in ≤ 3 bits, hamming via built-in
+    * `bit_count(xor)` (codegen'd; no custom expression needed). The
+    * pair stage joins 64-bit signatures, not documents — at 100 TB the
+    * scalable variant buckets by signature bands exactly like MinHash
+    * LSH. Bounded here by the q33 contract (doc_id < 100). */
+  val q50_simhash_neardup = QueryDef(
+    "q50_simhash_neardup",
+    s"""WITH $TokensCte,
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens WHERE doc_id < 100
+      |       GROUP BY doc_id, word),
+      |h AS (SELECT doc_id, tf, $WordHashSql AS wh FROM tf),
+      |bits AS (SELECT doc_id, b,
+      |         SUM(CASE WHEN (wh >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+      |         FROM h, (SELECT unnest(range(0, 16)) AS b)
+      |         GROUP BY doc_id, b),
+      |sh AS (SELECT doc_id,
+      |       SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash
+      |       FROM bits GROUP BY doc_id)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+      |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val sh = simhashOf(s, d)
+    val x = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val y = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    x.join(y, col("a") < col("b"))
+      .withColumn("dist",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .where(col("dist") <= 3)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
     q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
-    q49_stratified_sample)
+    q49_stratified_sample, q50_simhash_neardup)
 }
