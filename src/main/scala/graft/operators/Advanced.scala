@@ -208,7 +208,33 @@ object Advanced {
       .orderBy("o_orderkey")
   }
 
+  /** q51: typed JSON decode (S4's `from_json` half — q22 covers the
+    * path-extraction half): parse `props` into a MAP<STRING,BIGINT>,
+    * explode to key rows, aggregate per event_type and key. At scale
+    * this is the schema-on-read pattern: one parse per row inside
+    * codegen, no UDF, map type flows through the shuffle. */
+  val q51_json_map = QueryDef(
+    "q51_json_map",
+    """SELECT event_type, jk,
+      |  COUNT(*) AS cnt, SUM(jv) AS sum_v, MIN(jv) AS min_v, MAX(jv) AS max_v
+      |FROM (
+      |  SELECT event_type, k.key AS jk,
+      |    CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS jv
+      |  FROM events, unnest(json_keys(props)) AS k(key))
+      |GROUP BY event_type, jk
+      |ORDER BY event_type, jk""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("jk", "jv")))
+      .groupBy("event_type", "jk")
+      .agg(count(lit(1)).as("cnt"), sum("jv").as("sum_v"),
+        min("jv").as("min_v"), max("jv").as("max_v"))
+      .orderBy("event_type", "jk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
-      q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame)
+      q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map)
 }
