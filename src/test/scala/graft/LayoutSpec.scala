@@ -55,6 +55,28 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val out = Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/orders"
+    val orders = Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Layout.writePartitioned(orders, out, "o_year")
+    import spark.implicits._
+    // dim carries the year but the fact filter only arrives via the join;
+    // a parquet-backed dim with a residual Filter is what the
+    // PartitionPruning rule's selective-predicate check looks for
+    val dimPath = Files.createTempDirectory("dpp-dim").toFile.getAbsolutePath
+    Seq((1995, "target"), (1996, "other")).toDF("d_year", "d_tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("d_tag") === "target")
+    val fact = spark.read.parquet(out)
+    val joined = fact.join(dim, fact("o_year") === dim("d_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    assert(joined.select("o_orderkey").count() ==
+      orders.where(col("o_year") === 1995).count())
+  }
+
   test("salted count/sum match plain groupBy") {
     val li = Tables.lineitem(spark, sf0001)
     val plainC = li.groupBy("l_returnflag").count()
