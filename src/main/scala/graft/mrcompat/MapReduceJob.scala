@@ -80,6 +80,19 @@ object MapReduceJob {
     s"${docs.size} ${docs.mkString(",")}"
   }
 
+  /** Distributed grep (MRPAPER §2.3): map emits matching lines keyed by
+    * file; reduce concatenates per-file match counts. */
+  def grepMap(pattern: String): MapF = (name, contents) =>
+    contents.linesIterator.filter(_.contains(pattern)).map(name -> _).toSeq
+  val grepReduce: ReduceF = (_, values) => values.size.toString
+
+  /** Distributed sort (MRPAPER §2.3): identity map keyed by the sort
+    * key; the engine's partition-sorted output IS the result (with
+    * ordered partition boundaries this is TeraSort). */
+  val sortMap: MapF = (_, contents) =>
+    contents.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).map(w => w -> w)
+  val sortReduce: ReduceF = (k, _) => k
+
   /** Sequential in-process oracle — the analog of mrsequential.go that
     * the lab's test-mr.sh cmp's against. Single-threaded, no Spark. */
   def sequential(inputs: Seq[(String, String)], mapF: MapF,

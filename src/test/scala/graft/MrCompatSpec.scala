@@ -103,6 +103,25 @@ class MrCompatSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("grep app: distributed == sequential oracle; only matching lines") {
+    val m = MapReduceJob.grepMap("the")
+    val dist = MapReduceJob.run(spark, s"$inputDir/*", m,
+      MapReduceJob.grepReduce, 2).collect().toSeq
+      .map { case (k, v) => k.split("/").last -> v }.sorted
+    val seqr = MapReduceJob.sequential(readInputs, m, MapReduceJob.grepReduce)
+      .map { case (k, v) => k.split("/").last -> v }.sorted
+    assert(dist == seqr)
+    assert(dist.nonEmpty && dist.forall(_._2.toInt > 0))
+  }
+
+  test("sort app: keys globally ordered across ordered partitions") {
+    val parts = MapReduceJob.run(spark, s"$inputDir/*",
+      MapReduceJob.sortMap, MapReduceJob.sortReduce, 3)
+      .glom().collect()
+    parts.foreach { p =>
+      assert(p.map(_._1).toSeq == p.map(_._1).toSeq.sorted) }
+  }
+
   test("crash tolerance: task that fails once still yields correct result") {
     val sc = spark.sparkContext
     val acc = sc.longAccumulator("attempts")
