@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSim))
     ext.injectFunction(binary("dot_product", DotProduct))
+    ext.injectCheckRule(spark => CrossJoinGuard.check(spark))
   }
 }
 

@@ -41,6 +41,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("codegen id"), "word-count pipeline fell out of codegen")
   }
 
+  test("Q20 rank-limit pushes down to WindowGroupLimit (no full sort per group)") {
+    assert(plan(Relational.q20_rank_window).contains("WindowGroupLimit"))
+  }
+
   test("Q18 EXISTS/NOT EXISTS become semi/anti joins, not subquery loops") {
     val p = plan(Relational.q18_semi_anti)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
