@@ -124,6 +124,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T3 streaming session windows merge and close under the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.sessionCounts(in.toDF())
+      .selectExpr("session_window.start AS ss", "user_id", "cnt")
+      .writeStream.format("memory").queryName("t3s").outputMode("append")
+      .start()
+    // user 1: events at 0 and 20min chain (gap < 30m) into one session
+    in.addData(ev(1, 0, user = 1), ev(2, 20, user = 1))
+    query.processAllAvailable()
+    // jump event time far ahead: watermark passes session end → emit
+    in.addData(ev(3, 300, user = 2))
+    query.processAllAvailable()
+    in.addData(ev(4, 600, user = 2)) // one more advance to flush user-2's too
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("t3s").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // user 1's merged 2-event session closed; user 2's single-event session too
+    assert(rows.contains((1L, 2L)), s"got $rows")
+    assert(rows.contains((2L, 1L)), s"got $rows")
+  }
+
   test("S7 file source -> windowed agg -> file sink with checkpoint") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("stream").toString
