@@ -198,9 +198,9 @@ object Advanced {
     """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price,
       |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
       |                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
-      |FROM orders WHERE o_orderkey < 1000
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 999
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    Tables.orders(s, d).where(col("o_orderkey") < 1000)
+    Tables.orders(s, d).where(col("o_orderkey").between(1, 999))
       .select(col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice"), 2).as("price"),
         expr("""COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
