@@ -8,6 +8,8 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter (dev use)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // only stop what we start — embedding callers (tests) keep theirs
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,6 +45,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }
