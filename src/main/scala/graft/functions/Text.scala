@@ -47,11 +47,4 @@ object Text {
       filter(split(s, ""), c => length(c) > 0),
       lit(seed),
       (acc, c) => (acc * 31L + ascii(c)) % HashMod)
-
-  /** Sum of character codes — used by the multimodal checksum op. */
-  def charSum(s: Column): Column =
-    aggregate(
-      filter(split(s, ""), c => length(c) > 0),
-      lit(0L),
-      (acc, c) => acc + ascii(c))
 }
