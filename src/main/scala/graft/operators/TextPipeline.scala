@@ -464,13 +464,37 @@ object TextPipeline {
       .orderBy("lang", "rn")
   }
 
+  /** Exact hamming-neighbor pairs via pigeonhole banding: any two
+    * `bits`-bit signatures within hamming distance ≤ k must agree
+    * EXACTLY on at least one of k+1 disjoint bands — so a band-bucket
+    * equi-join generates a candidate superset losslessly (this is LSH's
+    * shape but with a correctness guarantee, no recall loss), and the
+    * original distance predicate re-filters. O(pairs-per-bucket)
+    * instead of O(n²): the all-pairs comparison never happens. */
+  def hammingNeighborPairs(sigs: DataFrame, k: Int, bits: Int = 16,
+                           id: String = "doc_id", sig: String = "simhash"): DataFrame = {
+    val nBands = k + 1
+    val bandWidth = bits / nBands
+    require(bits % nBands == 0, s"$bits bits must split into ${k + 1} bands")
+    val banded = sigs.select(col(id), col(sig),
+        explode(sequence(lit(0), lit(nBands - 1))).as("bandIdx"))
+      .withColumn("bandVal",
+        expr(s"shiftright($sig, bandIdx * $bandWidth) & ${(1 << bandWidth) - 1}"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bandIdx") === col("y.bandIdx") &&
+          col("x.bandVal") === col("y.bandVal") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
+        bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= k)
+  }
+
   /** q50: SimHash neighbor query — the retrieval half of the SimHash
     * dedup story (q33 computes signatures): pairs whose 16-bit
-    * signatures differ in ≤ 3 bits, hamming via built-in
-    * `bit_count(xor)` (codegen'd; no custom expression needed). The
-    * pair stage joins 64-bit signatures, not documents — at 100 TB the
-    * scalable variant buckets by signature bands exactly like MinHash
-    * LSH. Bounded here by the q33 contract (doc_id < 100). */
+    * signatures differ in ≤ 3 bits. Computed via the banded
+    * [[hammingNeighborPairs]] (exact, no all-pairs join); hamming via
+    * built-in `bit_count(xor)` (codegen'd). */
   val q50_simhash_neardup = QueryDef(
     "q50_simhash_neardup",
     s"""WITH $TokensCte,
@@ -489,13 +513,7 @@ object TextPipeline {
       |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
       |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val sh = simhashOf(s, d)
-    val x = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
-    val y = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
-    x.join(y, col("a") < col("b"))
-      .withColumn("dist",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .where(col("dist") <= 3)
+    hammingNeighborPairs(simhashOf(s, d), k = 3)
       .select("a", "b", "dist")
       .orderBy("a", "b")
   }

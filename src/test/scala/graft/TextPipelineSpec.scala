@@ -50,6 +50,25 @@ class TextPipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("hammingNeighborPairs (banded) == brute-force all-pairs, any k") {
+    import spark.implicits._
+    // 20 deterministic pseudo-random 16-bit signatures
+    val sigs = (0 until 20).map(i => (i.toLong, ((i * 2654435761L) % 65536)))
+      .toDF("doc_id", "simhash")
+    for (k <- Seq(1, 3, 7)) {
+      val banded = graft.operators.TextPipeline
+        .hammingNeighborPairs(sigs, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = sigs.as("x").join(sigs.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._3 <= k).toSet
+      assert(banded == brute, s"k=$k: banded ${banded.size} != brute ${brute.size}")
+    }
+  }
+
   test("minhash signature: identical word sets get identical signatures") {
     import spark.implicits._
     val rows = Seq((0L, "alpha"), (0L, "beta"), (1L, "alpha"), (1L, "beta"),
