@@ -234,7 +234,35 @@ object Advanced {
       .orderBy("event_type", "jk")
   }
 
+  /** q52: arbitrary GROUPING SETS (A7's third form beside q10 rollup and
+    * q45 cube): per-status and per-priority marginals in one pass —
+    * Catalyst expands once and shares the scan, vs two queries reading
+    * the fact twice. */
+  val q52_grouping_sets = QueryDef(
+    "q52_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+      |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY g_s, g_p, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping("o_orderstatus").cast("long").as("g_s"),
+          grouping("o_orderpriority").cast("long").as("g_p"),
+          count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("g_s"), col("g_p"),
+          col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
-      q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map)
+      q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
+      q52_grouping_sets)
 }
