@@ -23,6 +23,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,28 +31,35 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // A crashed query returns NaN, never a timing: a near-zero elapsed
+    // for a query that did no work would silently "improve" the suite
+    // total against the frozen BASELINE.md numbers.
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     queries.foreach { case (n, f) => runOne(n, f) } // warmup pass, untimed
     val samples = (1 to passes).map { _ =>
       queries.map { case (n, f) => n -> runOne(n, f) }.toMap
     }
-    val medians = queries.map { case (n, _) =>
-      val xs = samples.map(_(n)).sorted
-      n -> xs(xs.length / 2)
+    val medians = queries.flatMap { case (n, _) =>
+      val xs = samples.map(_(n)).filterNot(_.isNaN).sorted
+      if (xs.isEmpty) None else Some(n -> xs(xs.length / 2))
     }
+    val failed = queries.map(_._1).filter(n => samples.exists(_(n).isNaN))
 
     val qs = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,12 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** The conf that lets Spark read parquet TIMESTAMP(NANOS) as raw longs.
+    * Session-global by nature (checked at both schema inference and scan
+    * execution), so it must be set at session construction — every graft
+    * entry point (Bench, Verify, PlanDump, ShuffleAudit, TestSession)
+    * does. A table loader mutating the shared session as a side effect
+    * would silently change how unrelated nanos parquet reads behave. */
+  val nanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to a
-    * proper timestamp; fixture values are µs-precision so ns→µs is
-    * lossless (verified against the parquet footer 2026-08-12). */
+    * reader rejects. Read it as raw nanos (legacy conf, see
+    * [[nanosAsLongConf]]) and convert to a proper timestamp; fixture
+    * values are µs-precision so ns→µs is lossless (verified against the
+    * parquet footer 2026-08-12). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get(nanosAsLongConf, "false") == "true",
+      s"reading events.parquet (TIMESTAMP NANOS) requires $nanosAsLongConf=true " +
+        "set at session construction (see graft entry points)")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>

@@ -15,21 +15,33 @@ object Advanced {
 
   /** As-of join, the scalable formulation: instead of a per-row range
     * join (quadratic blowup per key), union both sides with a kind flag
-    * and carry the last-seen left timestamp forward with a running
+    * and carry the last-seen right-side timestamp forward with a running
     * `last(ignoreNulls)` window — ONE shuffle by key, linear scan per
     * partition. This is the 100 TB shape: no range-join explosion, no
     * broadcast of an unbounded side.
+    *
+    * Keeps one row per `left` row (the probe side), carrying into `carry`
+    * the latest `right` row's ts with right.ts <= left.ts on the same key.
+    * `leftId` names a column identifying left rows (kept in the output);
+    * when absent a synthetic `asof_id` is derived — sufficient as a window
+    * tie-break, but not stable across runs, so pass a real id when the
+    * caller needs deterministic output.
     */
-  def asofJoin(right: DataFrame, left: DataFrame, key: String, ts: String,
-               carry: String): DataFrame = {
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               carry: String, leftId: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val (idExpr, idType, idName) = leftId match {
+      case Some(c) => (col(c), left.schema(c).dataType, c)
+      case None    => (monotonically_increasing_id(), LongType, "asof_id")
+    }
     val l = left.select(col(key), col(ts),
-      col(ts).as(carry), lit(0).as("side"), lit(null).cast("long").as("rid"))
+      lit(null).cast(right.schema(ts).dataType).as(carry), lit(1).as("side"),
+      idExpr.as(idName))
     val r = right.select(col(key), col(ts),
-      lit(null).cast(left.schema(ts).dataType).as(carry), lit(1).as("side"),
-      col("event_id").as("rid"))
+      col(ts).as(carry), lit(0).as("side"), lit(null).cast(idType).as(idName))
     // side 0 sorts before side 1 at equal ts → "<=" as-of semantics
     val w = Window.partitionBy(key)
-      .orderBy(col(ts), col("side"), col("rid"))
+      .orderBy(col(ts), col("side"), col(idName))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
@@ -54,8 +66,9 @@ object Advanced {
       .select("event_id", "user_id", "ts")
     val clicks = ev.where(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
-    asofJoin(purchases, clicks, "user_id", "ts", "prev_click")
-      .select(col("rid").as("event_id"), col("user_id"),
+    asofJoin(purchases, clicks, "user_id", "ts", "prev_click",
+      leftId = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         date_format(col("prev_click"), "yyyy-MM-dd HH:mm:ss").as("prev_click"))
       .orderBy("event_id")
@@ -88,10 +101,15 @@ object Advanced {
 
   /** q42: top-3 prices per priority via the custom TopK Aggregator
     * (§2.11 A10). Unlike the window top-k (Q20), this partial-aggregates
-    * map-side: each task ships ≤k values per group to the shuffle. */
+    * map-side: each task ships ≤k values per group to the shuffle.
+    * The list is serialized to a comma-joined string (fixed 2-decimal
+    * rendering on both engines) — an array<double> result column breaks
+    * the driver's pandas-based hash compare. */
   val q42_topk_udaf = QueryDef(
     "q42_topk_udaf",
-    """SELECT o_orderpriority, list(p ORDER BY p DESC) AS top_prices FROM (
+    """SELECT o_orderpriority,
+      |  string_agg(CAST(CAST(p AS DECIMAL(18,2)) AS VARCHAR), ','
+      |             ORDER BY p DESC) AS top_prices FROM (
       |  SELECT o_orderpriority, ROUND(o_totalprice, 2) AS p,
       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
       |                       ORDER BY o_totalprice DESC) AS rn
@@ -99,7 +117,9 @@ object Advanced {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val topk = udaf(new TopK(3))
     Tables.orders(s, d).groupBy("o_orderpriority")
-      .agg(topk(round(col("o_totalprice"), 2)).as("top_prices"))
+      .agg(array_join(
+        transform(topk(round(col("o_totalprice"), 2)),
+          _.cast("decimal(18,2)").cast("string")), ",").as("top_prices"))
       .orderBy("o_orderpriority")
   }
 

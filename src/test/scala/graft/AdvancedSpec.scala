@@ -43,8 +43,9 @@ class AdvancedSpec extends SparkSpec {
       (12L, 200L, t(2)),  // before any click of user 200 → null
       (13L, 300L, t(4)))  // user with no clicks at all → null
       .toDF("event_id", "user_id", "ts")
-    val got = Advanced.asofJoin(purchases, clicks, "user_id", "ts", "prev_click")
-      .select("rid", "prev_click").collect()
+    val got = Advanced.asofJoin(purchases, clicks, "user_id", "ts", "prev_click",
+        leftId = Some("event_id"))
+      .select("event_id", "prev_click").collect()
       .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime / 60000L))
       .toMap
     assert(got == Map(10L -> Some(1L), 11L -> Some(5L), 12L -> None, 13L -> None))

@@ -20,11 +20,18 @@ class ContractSpec extends SparkSpec {
 
     val json = new ObjectMapper().readTree(
       Files.readString(Paths.get(out, "oracle_sql.json")))
+    // every oracle is keyed BOTH bare and by result-dir basename — the
+    // driver looks up by '<name>.parquet' (round-1 CORRECTNESS evidence)
     assert(json.has("q01_wordcount"), "checked query missing from oracle dump")
+    assert(json.has("q01_wordcount.parquet"),
+      "oracle must also be keyed by the result-dir basename")
     assert(!json.has("q38_ann_ivf"), "unchecked query must not have an oracle")
+    assert(!json.has("q38_ann_ivf.parquet"))
     assert(json.get("q01_wordcount").asText.toUpperCase.contains("SELECT"))
+    assert(json.get("q01_wordcount.parquet").asText ==
+      json.get("q01_wordcount").asText)
     // the dump always carries EVERY oracle (filter only limits result
     // dumps) so the driver can compare any subset
-    assert(json.size() == SparkEntry.oracleSql.size)
+    assert(json.size() == 2 * SparkEntry.oracleSql.size)
   }
 }

@@ -50,8 +50,8 @@ class PropertySpec extends SparkSpec {
       val got = Advanced.asofJoin(
         purchases.toDF("event_id", "user_id", "ts"),
         clicks.toDF("event_id", "user_id", "ts"),
-        "user_id", "ts", "prev")
-        .select("rid", "prev").collect()
+        "user_id", "ts", "prev", leftId = Some("event_id"))
+        .select("event_id", "prev").collect()
         .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
       val model = purchases.map { case (id, u, ts) =>
         val preceding = clicks.collect {
