@@ -25,11 +25,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSim))
     ext.injectFunction(binary("dot_product", DotProduct))
+    ext.injectFunction(hyperplaneSig)
     ext.injectCheckRule(spark => CrossJoinGuard.check(spark))
+    // opt-in (spark.graft.lsh.autoRewrite.enabled) cosine-join → LSH rewrite
+    ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
   }
+
+  /** `hyperplane_sig(vec[, bits[, seed]])` — bits/seed must be literals. */
+  private def hyperplaneSig = (
+    FunctionIdentifier("hyperplane_sig"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "hyperplane_sig"),
+    GraftExtensions.buildHyperplaneSig _)
 }
 
 object GraftExtensions {
+  /** Builds `hyperplane_sig(vec[, bits[, seed]])` from SQL args —
+    * bits/seed must be literals (they parameterize codegen). */
+  def buildHyperplaneSig(args: Seq[Expression]): Expression = {
+    require(args.nonEmpty && args.length <= 3,
+      s"hyperplane_sig expects 1-3 arguments, got ${args.length}")
+    require(args.drop(1).forall(_.foldable), "bits/seed must be literals")
+    val bits = if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue else 64
+    val seed = if (args.length > 2) args(2).eval().asInstanceOf[Number].longValue else 42L
+    org.apache.spark.sql.graftvec.HyperplaneSig(args(0), bits, seed)
+  }
+
   /** Register the same functions on an ALREADY-RUNNING session (the
     * extensions config only applies when the SparkContext is first
     * built). Idempotent. */
@@ -42,5 +62,7 @@ object GraftExtensions {
       reg.createOrReplaceTempFunction(
         name, args => make(args(0), args(1)), "built-in")
     }
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig", buildHyperplaneSig, "built-in")
   }
 }

@@ -16,4 +16,11 @@ object VectorExpressions {
     VectorKernels.column(
       org.apache.spark.sql.graftvec.DotProduct(
         VectorKernels.expression(a), VectorKernels.expression(b)))
+
+  /** Random-hyperplane LSH signature of an array<double> vector
+    * ([[org.apache.spark.sql.graftvec.HyperplaneSig]]). */
+  def hyperplaneSig(v: Column, bits: Int = 64, seed: Long = 42L): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.HyperplaneSig(
+        VectorKernels.expression(v), bits, seed))
 }

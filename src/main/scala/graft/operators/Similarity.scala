@@ -152,5 +152,39 @@ object Similarity {
     ivfTopK(Tables.embeddings(s, d), col("vec_id") < 5, 5)
   }
 
-  val all: Seq[QueryDef] = Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf)
+  /** The EXACT cosine-threshold pair join, declared declaratively — the
+    * plan shape [[graft.plans.LshJoinRewrite]] detects: an inner join
+    * whose condition carries a `cosine_sim(av, bv) >= t` conjunct. */
+  def cosineThresholdPairs(emb: DataFrame, idBound: Long, threshold: Double): DataFrame = {
+    val base = withVec(emb).where(col("vec_id") < idBound)
+      .select(col("vec_id"), col("v"))
+    val a = base.select(col("vec_id").as("a"), col("v").as("av"))
+    val b = base.select(col("vec_id").as("b"), col("v").as("bv"))
+    val cos = graft.expressions.VectorExpressions.cosineSim(col("av"), col("bv"))
+    a.join(b, col("a") < col("b") && cos >= lit(threshold))
+      .select(col("a"), col("b"), round(cos, 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** Cosine near-dup pairs through the banded-LSH rewrite
+    * ([[graft.plans.LshJoinRewrite]] applied explicitly to the exact
+    * plan): equi-join on (band index, band signature) + exact post-filter
+    * — precision 1.0, recall < 1, no all-pairs comparison. The 100 TB
+    * path for embedding dedup. */
+  def lshNeardupPairs(emb: DataFrame, idBound: Long, threshold: Double): DataFrame = {
+    val exact = cosineThresholdPairs(emb, idBound, threshold)
+    org.apache.spark.sql.graftvec.PlanBridge.ofRows(
+      emb.sparkSession,
+      graft.plans.LshJoinRewrite.rewrite(exact.queryExecution.analyzed))
+  }
+
+  /** q53: embedding near-dup via the LSH join rewrite — approximate
+    * (recall < 1 by construction) → rows-only driver check; the spec
+    * bounds recall against the exact twin (q35 family). */
+  val q53_lsh_neardup = QueryDef.unchecked("q53_lsh_neardup") { (s, d) =>
+    lshNeardupPairs(Tables.embeddings(s, d), idBound = 500L, threshold = 0.3)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup)
 }
