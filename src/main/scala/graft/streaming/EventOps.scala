@@ -112,4 +112,76 @@ object EventOps {
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class SessionAgg(n: Long, total: Double, lastMs: Long)
+  case class SessionClosed(user_id: Long, n: Long, total: Double,
+                           last_ts: Timestamp)
+
+  /** T6 with EVENT-TIME TIMERS: gap-based session close as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]. Each input
+    * batch advances the per-user aggregate and re-arms a timer at
+    * `last event time + gap`; when the watermark passes the timer,
+    * [[handleExpiredTimer]] emits the closed session once and clears the
+    * state — so state size is bounded by ACTIVE sessions, not history,
+    * and emission needs no second pass. This is the timer/TTL half of
+    * the arbitrary-state surface ([[UserTotalsProcessor]] covers value
+    * state); the declarative twin is `session_window` (T3) and the batch
+    * twin is q44. */
+  class SessionCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionClosed] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var agg: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[SessionAgg](
+        "session", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[SessionClosed] = {
+      // Sessions can close two ways: (a) a later event arrives past
+      // last+gap BEFORE the watermark got there — close inline and start
+      // a new session; (b) no event ever comes — the armed timer fires.
+      // Sorting the batch is per-key per-batch, bounded memory.
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var cur = Option(agg.get()).getOrElse(SessionAgg(0L, 0.0, Long.MinValue))
+      val closed = Seq.newBuilder[SessionClosed]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (cur.n > 0 && t > cur.lastMs + gapMs) {
+          closed += SessionClosed(key, cur.n, cur.total, new Timestamp(cur.lastMs))
+          cur = SessionAgg(0L, 0.0, Long.MinValue)
+        }
+        cur = SessionAgg(cur.n + 1, cur.total + e.value, math.max(cur.lastMs, t))
+      }
+      // one armed timer per key: re-arm at the new session end
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(cur.lastMs + gapMs)
+      agg.update(cur)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val cur = agg.get()
+      agg.clear()
+      if (cur == null) Iterator.empty
+      else Iterator.single(
+        SessionClosed(key, cur.n, cur.total, new Timestamp(cur.lastMs)))
+    }
+  }
+
+  /** Closed sessions per user, emitted exactly when the watermark passes
+    * `last event + gap`. Requires a watermark (event-time timers). */
+  def sessionClosesTws(events: Dataset[Event],
+                       gapMs: Long = 30L * 60 * 1000,
+                       lateness: String = "10 minutes"): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

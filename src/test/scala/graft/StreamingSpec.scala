@@ -124,6 +124,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T6 event-time timers: session close fires when the watermark passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val query = EventOps.sessionClosesTws(in.toDS())
+        .writeStream.format("memory").queryName("t6timer").outputMode("append")
+        .start()
+      // user 1: two events 20min apart → one session, timer armed at 20+30min
+      in.addData(ev(1, 0, user = 1, v = 2.0), ev(2, 20, user = 1, v = 3.0))
+      query.processAllAvailable()
+      assert(spark.table("t6timer").isEmpty,
+        "session must stay open until the watermark passes last+gap")
+      // user 2 at 300min pushes the watermark to 290min > 50min → user 1's
+      // timer fires (no-data batch), emitting the closed session once
+      in.addData(ev(3, 300, user = 2, v = 7.0))
+      query.processAllAvailable()
+      in.addData(ev(4, 600, user = 2)) // advance again → user 2's first session closes
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("t6timer").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 5.0)), s"got $rows")
+      assert(rows.contains((2L, 1L, 7.0)), s"got $rows")
+      // exactly-once emission per closed session
+      assert(rows.size == spark.table("t6timer").count())
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("T3 streaming session windows merge and close under the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
