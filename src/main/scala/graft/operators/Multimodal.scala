@@ -75,6 +75,35 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------------
+  // STUB (batch shape): a vectorized codec binding (Arrow FFI, JNI
+  // batch call, or a subprocess fed a whole batch) amortizes its
+  // per-call overhead across rows. This stub has that call shape: one
+  // invocation per batch of payloads, columnar in/out.
+  // ----------------------------------------------------------------
+  private[operators] def decodeBatchStub(batch: Array[Array[Byte]], dim: Int): Array[(Int, Int, Array[Float])] =
+    batch.map(decodeStub(_, dim))
+
+  /** [[decodeFeatures]] with an explicitly BATCHED kernel boundary: rows
+    * are grouped into fixed-size batches inside each partition and the
+    * kernel is called once per batch — the iterator shape `mapInArrow` /
+    * `mapInPandas` give Python UDFs, expressed Scala-side. Per-row and
+    * per-batch kernels produce identical results (spec-pinned); the batch
+    * variant is what a real FFI codec would bind to, since per-row JNI
+    * or subprocess calls drown in call overhead at 100 TB. */
+  def decodeFeaturesBatched(media: Dataset[MediaRow], dim: Int = 64,
+                            batchSize: Int = 256): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        val out = decodeBatchStub(chunk.map(_.bytes).toArray, dim)
+        chunk.lazyZip(out).map { case (r, (w, h, emb)) =>
+          MediaFeature(r.media_id, r.kind, w, h, emb)
+        }
+      }
+    }
+  }
+
   /** Frame/sample extraction: fixed-stride byte slices standing in for
     * video frame sampling — pure column ops, stays in codegen. */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): DataFrame =

@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(_.length == 16))
   }
 
+  test("batched kernel matches the per-row kernel exactly") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    def key(f: Multimodal.MediaFeature) =
+      (f.media_id, f.kind, f.width, f.height, f.embedding.toSeq)
+    val perRow = Multimodal.decodeFeatures(media, dim = 16).collect()
+      .map(key).toSet
+    // batchSize smaller than partitions' row counts → multiple kernel
+    // calls per partition, exercising the chunk boundaries
+    val batched = Multimodal.decodeFeaturesBatched(media, dim = 16,
+      batchSize = 7).collect().map(key).toSet
+    assert(batched == perRow)
+  }
+
   test("frameSample emits n frames per row") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(5)
     val rows = Multimodal.frameSample(media, nFrames = 4)
