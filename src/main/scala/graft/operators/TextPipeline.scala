@@ -518,9 +518,129 @@ object TextPipeline {
       .orderBy("a", "b")
   }
 
+  /** Lowercased a–z word array of a doc — the shared Spark-side tokenizer
+    * as an ARRAY column (the exploded twin is [[tokens]]). */
+  private def wordsCol: Column =
+    filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+
+  /** q54: within-document repetition filter (the Gopher-rules shape):
+    * fraction of word bigrams that are duplicates of an earlier bigram
+    * in the same doc. Pure per-row array algebra — stays in whole-stage
+    * codegen, NO shuffle except the output sort; the 100 TB cost is one
+    * scan. Docs over the 0.2 threshold are flagged for removal. */
+  val q54_repetition_filter = QueryDef(
+    "q54_repetition_filter",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(words)),
+      |                   i -> words[i] || ' ' || words[i+1]) AS bg
+      |  FROM w WHERE len(words) >= 2)
+      |SELECT doc_id,
+      |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+      |  ROUND(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS dup_frac,
+      |  CAST(CASE WHEN 1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) > 0.2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("words")) - 1),
+          i => concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1))).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+          .as("raw"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(col("raw"), 4).as("dup_frac"),
+        when(col("raw") > 0.2, 1L).otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** q55: cross-corpus boilerplate detection — word trigrams shared by
+    * ≥ 3 distinct documents (the "find repeated template text" step of a
+    * crawl-cleaning pipeline). explode→hash-agg with map-side partial
+    * aggregation; hot boilerplate shingles are exactly the keys partial
+    * agg collapses best, so the shuffle carries one row per (task,
+    * shingle), not one per occurrence. */
+  val q55_boilerplate_ngrams = QueryDef(
+    "q55_boilerplate_ngrams",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+      |  FROM w WHERE len(words) >= 3)
+      |SELECT shingle,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total
+      |FROM g GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3
+      |ORDER BY n_docs DESC, n_total DESC, shingle""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("words")) - 2),
+          i => concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2)))).as("shingle"))
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .where(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("shingle"))
+  }
+
+  /** q56: token-budget shard packing — assign each doc (per lang, in
+    * doc_id order) to the training shard its running token count starts
+    * in. The sequence-packing step of a training-data pipeline as one
+    * window cumsum: a single shuffle by lang. At real scale lang is too
+    * coarse a partition key (skew) — production would pack per
+    * (lang, hash bucket); the per-lang form keeps the DuckDB oracle
+    * exact. */
+  val q56_shard_pack = QueryDef(
+    "q56_shard_pack",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                         x -> length(x) > 0)) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, n_tok,
+      |  CAST(FLOOR((cum - n_tok) / 500.0) AS BIGINT) AS shard
+      |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(wordsCol).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(500.0)).cast("long").as("shard"))
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
     q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
-    q49_stratified_sample, q50_simhash_neardup)
+    q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
+    q55_boilerplate_ngrams, q56_shard_pack)
 }
