@@ -33,6 +33,24 @@ class TextSpec extends SparkSpec {
     assert(got == cases.map(scalaTokens))
   }
 
+  test("wordsOf property: agrees with Scala model on random unicode") {
+    // non-ASCII letters, combining marks, surrogate pairs (emoji), CJK:
+    // all are non-[a-z] codepoints, i.e. separators — in BOTH engines'
+    // regex semantics (one codepoint each, never a partial surrogate)
+    val unicodeGen = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(32.toChar, 126.toChar),
+      2 -> Gen.oneOf('é', 'ß', 'İ', 'ñ', 'Ø', '中', '文', '́'),
+      1 -> Gen.oneOf("😀", "🧪", "👍🏽").map(_.charAt(0)), // lone high surrogate stress
+      1 -> Gen.oneOf("😀", "🧪").flatMap(s => Gen.oneOf(s.toSeq))))
+      .map(_.mkString)
+    val cases = Gen.listOfN(60, unicodeGen).sample.get
+    import spark.implicits._
+    val got = cases.toDF("text")
+      .select(Text.wordsOf(col("text")).as("ws"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == cases.map(scalaTokens))
+  }
+
   test("polyHash matches a plain-Scala fold") {
     def model(s: String, seed: Long): Long =
       s.foldLeft(seed)((acc, c) => (acc * 31 + c.toLong) % Text.HashMod)
