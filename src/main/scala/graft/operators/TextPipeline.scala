@@ -637,10 +637,184 @@ object TextPipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** q57: language-model quality scoring — per-document cross-entropy
+    * (bits/token) under the corpus's own unigram LM, the classic
+    * perplexity-style filter of a training-data pipeline (outlier docs
+    * with unusual vocabulary score high; near-boilerplate scores low).
+    * Self-contained: the "model" is the corpus unigram distribution, so
+    * no external model table is needed and the DuckDB oracle is exact.
+    *
+    * Scale posture: one explode→(doc_id, word) hash-agg shuffle builds
+    * per-doc counts; the vocab table derived from it is tiny relative to
+    * the corpus (distinct words) and is BROADCAST back, as is the 1-row
+    * token total — so the per-doc scoring join adds no shuffle beyond
+    * the groupBy(doc_id), which AQE coalesces. At 100 TB the vocab of a
+    * deduplicated web corpus is still ~10⁷ rows ≪ broadcast threshold
+    * after the count aggregation. */
+  val q57_lm_xent = QueryDef(
+    "q57_lm_xent",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                       x -> length(x) > 0)) AS word
+      |  FROM documents),
+      |dc AS (
+      |  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT word, SUM(c) AS cnt FROM dc GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS t FROM vocab)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  ROUND(-SUM(c * log2(cnt / t)) / SUM(c), 4) AS xent_bits
+      |FROM dc JOIN vocab USING (word) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    lmCrossEntropy(Tables.documents(s, d))
+  }
+
+  /** Cross-entropy (bits/token) of each doc under the corpus unigram
+    * distribution — the operator behind [[q57_lm_xent]]; takes any
+    * (doc_id, text) frame so specs can hand-compute tiny corpora. */
+  def lmCrossEntropy(docs: DataFrame): DataFrame = {
+    val dc = docs
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val vocab = dc.groupBy("word").agg(sum("c").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("t"))
+    dc.join(broadcast(vocab), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        round(-sum(col("c") * log2(col("cnt") / col("t"))) / sum(col("c")), 4)
+          .as("xent_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** q58: dedup survivor selection — the keep-WHICH-one policy step
+    * after clustering: per q48 near-dup cluster, elect the member with
+    * the best q29 quality score (ties → min doc_id). Composes three
+    * pipeline stages (near-dup pairs → components → quality ranking),
+    * the end-to-end shape of a real corpus dedup.
+    *
+    * Scale posture: the clusters frame only holds docs that appear in a
+    * near-dup pair — a small fraction of the corpus — so it broadcasts
+    * to the per-doc score side; the survivor election window partitions
+    * by cluster_rep (bounded groups). ORDER BY uses the ROUNDED score so
+    * rank is reproducible across engines. */
+  val q58_dedup_survivors = QueryDef(
+    "q58_dedup_survivors",
+    s"""WITH RECURSIVE $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_rep
+      |             FROM reach GROUP BY id),
+      |score AS (SELECT doc_id,
+      |  ROUND(ln(1 + COUNT(*)) *
+      |    (1 - CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*)), 4) AS score
+      |  FROM tokens GROUP BY doc_id),
+      |m AS (SELECT c.cluster_rep, c.doc_id, s.score,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+      |                     ORDER BY s.score DESC, c.doc_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+      |  FROM clusters c JOIN score s ON s.doc_id = c.doc_id)
+      |SELECT cluster_rep, doc_id AS survivor, score,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM m WHERE rn = 1 ORDER BY cluster_rep""".stripMargin) { (s, d) =>
+    val toks = tokens(s, d)
+    val pairs = exactJaccardPairs(
+      toks.where(col("doc_id") < 100).select("doc_id", "word").distinct(), 0.8)
+      .select("a", "b")
+    val clusters = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+    val stop = col("word").isin("the", "a")
+    val score = toks.groupBy("doc_id").agg(
+      round(log(lit(1) + count(lit(1))) *
+        (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))), 4)
+        .as("score"))
+    val w = Window.partitionBy("cluster_rep").orderBy(col("score").desc, col("doc_id"))
+    val wc = Window.partitionBy("cluster_rep")
+    score.join(broadcast(clusters), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc).cast("long"))
+      .where(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("survivor"),
+        col("score"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
+  /** q59: benchmark decontamination — for every training doc (source ≠
+    * 'src0'), the fraction of its distinct word trigrams that occur
+    * anywhere in the held-out benchmark set (source = 'src0'). The
+    * eval-leak scan every training pipeline runs before a data release.
+    *
+    * Scale posture: the benchmark shingle set is bounded by the eval
+    * suites (tiny vs the corpus) → distinct once, BROADCAST into the
+    * train side's left join; the train side is one explode → per-doc
+    * distinct → hash-agg, all with map-side partial aggregation. The
+    * 100 TB cost is one scan of the corpus. */
+  val q59_decontam = QueryDef(
+    "q59_decontam",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(words) - 1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |bench AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+      |train AS (SELECT DISTINCT doc_id, sh FROM g WHERE source <> 'src0'),
+      |m AS (SELECT t.doc_id, CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END AS hit
+      |      FROM train t LEFT JOIN bench b ON t.sh = b.sh)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+      |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS contam_frac,
+      |  CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.5
+      |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), wordsCol.as("words"))
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("words")) - 2),
+          i => concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2)))).as("sh"))
+    val bench = sh.where(col("source") === "src0")
+      .select("sh").distinct().withColumn("hit", lit(1L))
+    val train = sh.where(col("source") =!= "src0")
+      .select("doc_id", "sh").distinct()
+    train.join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("contam_frac"),
+        when(col("n_hit").cast("double") / col("n_shingles") >= 0.5, 1L)
+          .otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
     q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
-    q55_boilerplate_ngrams, q56_shard_pack)
+    q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
+    q58_dedup_survivors, q59_decontam)
 }

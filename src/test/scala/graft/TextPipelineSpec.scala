@@ -78,4 +78,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(sig(0L) == sig(1L))
     assert(sig(0L) != sig(2L))
   }
+
+  test("lmCrossEntropy: hand-computed unigram cross-entropy") {
+    import spark.implicits._
+    // corpus counts: a=2, b=2, c=1, total=5 → p(a)=p(b)=0.4, p(c)=0.2
+    // doc0 "a a b": -(2·log2 .4 + log2 .4)/3 = -log2 .4      = 1.3219
+    // doc1 "b c":   -(log2 .4 + log2 .2)/2                   = 1.8219
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = TextPipeline.lmCrossEntropy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 3L, 1.3219), (1L, 2L, 1.8219)))
+  }
 }
