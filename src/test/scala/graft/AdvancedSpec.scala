@@ -60,6 +60,29 @@ class AdvancedSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
   }
 
+  test("count_min_sketch: estimates over-count only, within eps*N") {
+    // CMS guarantee: exact <= estimate <= exact + eps*N (w.p. 1-confidence).
+    // Built-in sketch agg (codegen'd partial+final — the 100 TB shape for
+    // heavy-hitter counting: fixed-size buffer per task, no per-key state).
+    val toks = functions.Text.tokens(Tables.documents(spark, sf0001))
+    val eps = 0.01
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(word, CAST($eps AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    exact.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"CMS under-counted '$w': est=$est exact=$c")
+      assert(est <= c + (eps * n).toLong + 1,
+        s"CMS over-counted '$w' beyond eps*N: est=$est exact=$c n=$n")
+    }
+  }
+
   test("q41 percentile endpoints: p50 of two values is their midpoint") {
     import spark.implicits._
     val df = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")

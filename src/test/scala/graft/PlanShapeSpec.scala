@@ -16,6 +16,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan(Relational.q13_join4).contains("BroadcastHashJoin"))
   }
 
+  test("runtime bloom filter injected on a selective shuffle join") {
+    // At 100 TB the big-big join's scan is the cost: with a selective
+    // filter on one side, Catalyst injects a bloom filter built from the
+    // filtered side into the other side's scan (runtime row pruning).
+    // Thresholds are sized for real scans — relax them to demonstrate
+    // the mechanism at sf0.001, and force the join out of broadcast.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf0001)
+      val ord = Tables.orders(spark, sf0001).where(col("o_totalprice") > 100000)
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), s"no bloom filter in:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Q9 pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q09_pricing_summary)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

@@ -29,6 +29,15 @@ class SourcesSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("ORC round-trip preserves schema and rows") {
+    val dir = Files.createTempDirectory("orc").toString + "/docs"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("text round-trip of the full documents text column") {
     val dir = Files.createTempDirectory("txt").toString + "/docs"
     val texts = Tables.documents(spark, sf0001).select("text")
