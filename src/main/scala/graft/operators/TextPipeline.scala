@@ -810,11 +810,99 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q60: BM25 relevance scoring of the corpus against a fixed query
+    * term set — the ranked-retrieval primitive behind "keep docs
+    * relevant to topic X" training-data curation. Okapi BM25 with
+    * k1=1.2, b=0.75 and the +1 idf variant (never negative).
+    *
+    * Scale posture: per-doc term frequencies and length are PER-ROW
+    * array expressions (no explode, no groupBy — the corpus never
+    * shuffles); the only aggregates are the 1-row corpus stats
+    * (N/avgdl/df per query term), broadcast back; top-20 is
+    * TakeOrdered, not a global sort. One scan, one scalar-agg
+    * exchange — the minimal 100 TB plan for fixed-query retrieval.
+    * ORDER BY uses the ROUNDED score so ranking is reproducible
+    * across engines. */
+  val q60_bm25 = QueryDef(
+    "q60_bm25",
+    s"""WITH $TokensCte,
+      |dl AS (SELECT doc_id, COUNT(*) AS len FROM tokens GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens
+      |       WHERE word IN ('spark', 'join', 'table') GROUP BY doc_id, word),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+      |s AS (SELECT tf.doc_id,
+      |  SUM(ln((n - df + 0.5) / (df + 0.5) + 1) *
+      |      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))) AS score
+      |  FROM tf JOIN df ON tf.word = df.word
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, ROUND(score, 4) AS bm25
+      |FROM s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val terms = Seq("spark", "join", "table")
+    def tfCol(t: String): Column =
+      size(filter(col("words"), w => w === lit(t))).cast("long")
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(Seq(col("doc_id"), size(col("words")).cast("long").as("len")) ++
+        terms.map(t => tfCol(t).as(s"tf_$t")): _*)
+    // 1-row corpus stats: N/avgdl over docs with >=1 token, df per term
+    val statCols =
+      Seq(count(when(col("len") > 0, 1)).as("n"),
+        avg(when(col("len") > 0, col("len"))).as("avgdl")) ++
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = per.agg(statCols.head, statCols.tail: _*)
+    // k1=1.2, b=0.75: idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*len/avgdl))
+    val score = terms.map { t =>
+      log((col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1) *
+        col(s"tf_$t") * 2.2 /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl")))
+    }.reduce(_ + _)
+    per.crossJoin(broadcast(stats))
+      .where(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** q61: robust length-outlier filter — flag docs whose n_chars falls
+    * outside their language's exact [p05, p95] band. The
+    * robust-statistics twin of q29's heuristic scoring: thresholds come
+    * from the data, not constants.
+    *
+    * Scale posture: per-lang exact percentiles are one hash-agg over
+    * (lang → tdigest-sized state); the tiny threshold table broadcasts
+    * back, so flagging is a scan-local comparison. */
+  val q61_length_outliers = QueryDef(
+    "q61_length_outliers",
+    """WITH b AS (
+      |  SELECT lang,
+      |    quantile_cont(n_chars, 0.05) AS lo_raw,
+      |    quantile_cont(n_chars, 0.95) AS hi_raw
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang, n_chars,
+      |  ROUND(lo_raw, 2) AS lo, ROUND(hi_raw, 2) AS hi,
+      |  CAST(CASE WHEN n_chars < lo_raw OR n_chars > hi_raw THEN 1 ELSE 0 END
+      |       AS BIGINT) AS outlier
+      |FROM documents d JOIN b ON d.lang = b.lang
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bands = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("lo_raw"),
+      expr("percentile(n_chars, 0.95)").as("hi_raw"))
+    docs.join(broadcast(bands), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("lo_raw"), 2).as("lo"), round(col("hi_raw"), 2).as("hi"),
+        when(col("n_chars") < col("lo_raw") || col("n_chars") > col("hi_raw"), 1L)
+          .otherwise(0L).as("outlier"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
     q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
-    q58_dedup_survivors, q59_decontam)
+    q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers)
 }

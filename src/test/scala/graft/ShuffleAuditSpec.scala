@@ -30,7 +30,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q40_asof_join" -> 2,      // union re-key by user + orderBy
     "q44_sessionize" -> 2,     // ONE shuffle by user_id serves window AND
                                // groupBy(user_id, sid) (subset rule) + orderBy
-    "q47_range_frame" -> 2)
+    "q47_range_frame" -> 2,
+    "q60_bm25" -> 2)       // corpus stats agg only; scoring is scan-local,
+                           // top-20 is TakeOrdered (no sort shuffle)
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
