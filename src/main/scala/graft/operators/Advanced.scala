@@ -281,8 +281,55 @@ object Advanced {
           col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
   }
 
+  /** q62: funnel analysis — per user, the furthest stage reached of the
+    * ordered view(1) → click(2) → purchase(3) funnel, where a stage only
+    * counts if it occurs AFTER the previous one (strict event-order
+    * state machine, not bag-of-events).
+    *
+    * Implementation: one groupBy(user_id) collects the time-ordered
+    * event-code array, then an `aggregate` HOF folds the state machine
+    * per row (depth advances iff the next code equals depth+1). The
+    * 100 TB posture: ONE shuffle by user_id; per-user state is a bounded
+    * array (events per user), and the fold is scan-local — the classic
+    * alternative (3 self-joins on ts ranges) shuffles the table 3×. */
+  val q62_funnel = QueryDef(
+    "q62_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT) AS code
+      |  FROM events),
+      |l AS (SELECT user_id, list(code ORDER BY ts, event_id) AS codes
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+      |    (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+      |    AS funnel_depth
+      |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+    funnelDepth(Tables.events(s, d))
+  }
+
+  /** Per-user funnel state machine behind [[q62_funnel]]; takes any
+    * (user_id, ts, event_id, event_type) frame so specs can hand-build
+    * orderings. */
+  def funnelDepth(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("code"))))
+        .as("evs"))
+      .select(col("user_id"),
+        aggregate(transform(col("evs"), e => e.getField("code")), lit(0L),
+          (acc, x) => when(x === acc + 1, acc + 1).otherwise(acc))
+          .as("funnel_depth"))
+      .orderBy("user_id")
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
-      q52_grouping_sets)
+      q52_grouping_sets, q62_funnel)
 }

@@ -60,6 +60,23 @@ class AdvancedSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
   }
 
+  test("funnelDepth: order matters — purchase before click doesn't count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(60000L * min)
+    // u1: view,click,purchase in order → 3
+    // u2: purchase first, then view,click → 2 (purchase was too early)
+    // u3: click,purchase but never view → 0
+    val ev = Seq(
+      (1L, t(0), 0L, "view"), (1L, t(1), 1L, "click"), (1L, t(2), 2L, "purchase"),
+      (2L, t(0), 3L, "purchase"), (2L, t(1), 4L, "view"), (2L, t(2), 5L, "click"),
+      (3L, t(0), 6L, "click"), (3L, t(1), 7L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = operators.Advanced.funnelDepth(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 0L))
+  }
+
   test("count_min_sketch: estimates over-count only, within eps*N") {
     // CMS guarantee: exact <= estimate <= exact + eps*N (w.p. 1-confidence).
     // Built-in sketch agg (codegen'd partial+final — the 100 TB shape for
