@@ -430,11 +430,52 @@ object Relational {
       (count(lit(1)) - countDistinct(col("text"))).as("dups"))
   }
 
+  /** q63: the remaining W1 ranking variants — rank / dense_rank /
+    * percent_rank over a COARSE key (price bucket) so ties exist and the
+    * three genuinely diverge, plus ntile over a unique ordering (ntile
+    * of tied rows is order-dependent, so its ORDER BY must be total for
+    * cross-engine determinism). Same window-exchange posture as q20:
+    * one shuffle by the partition key. */
+  val q63_rank_variants = QueryDef(
+    "q63_rank_variants",
+    """WITH b AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |    o_totalprice
+      |  FROM orders WHERE o_custkey < 100)
+      |SELECT o_orderpriority, o_orderkey, bucket,
+      |  CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC)
+      |       AS BIGINT) AS rnk,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC)
+      |       AS BIGINT) AS drnk,
+      |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+      |                             ORDER BY bucket DESC), 4) AS prk,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC, o_orderkey)
+      |       AS BIGINT) AS nt
+      |FROM b ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val byBucket = Window.partitionBy("o_orderpriority").orderBy(col("bucket").desc)
+    val unique = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .where(col("o_custkey") < 100)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("bucket"),
+        rank().over(byBucket).cast("long").as("rnk"),
+        dense_rank().over(byBucket).cast("long").as("drnk"),
+        round(percent_rank().over(byBucket), 4).as("prk"),
+        ntile(4).over(unique).cast("long").as("nt"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
     q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
     q09_pricing_summary, q10_rollup, q11_date_buckets, q12_join2,
     q13_join4, q14_join5_region, q15_topk_unshipped, q16_having,
     q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
-    q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup)
+    q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup,
+    q63_rank_variants)
 }

@@ -164,6 +164,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T7 foreachBatch idempotent parquet sink (epoch-keyed overwrite)") {
+    // The production exactly-once file-sink pattern: key each micro-batch
+    // write by its epoch id with overwrite mode, so a failure-recovery
+    // REPLAY of an epoch lands on the same path and cannot duplicate.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fb").toString
+    val data = s"$root/data"
+    def writeBatch(df: org.apache.spark.sql.DataFrame, epochId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream.foreachBatch(writeBatch _)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    in.addData(ev(1, 10), ev(2, 20))
+    q.processAllAvailable()
+    in.addData(ev(3, 30))
+    q.processAllAvailable()
+    q.stop()
+    val first = spark.read.parquet(data)
+    assert(first.count() == 3)
+    // replay epoch 0 (failure-recovery path): same rows, same epoch dir
+    writeBatch(Seq(ev(1, 10), ev(2, 20)).toDF(), 0L)
+    assert(spark.read.parquet(data).count() == 3, "replay duplicated rows")
+  }
+
   test("T3 streaming session windows merge and close under the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
