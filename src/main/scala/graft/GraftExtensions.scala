@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("cosine_sim", CosineSim))
     ext.injectFunction(binary("dot_product", DotProduct))
     ext.injectFunction(hyperplaneSig)
+    ext.injectFunction(polyHash)
     ext.injectCheckRule(spark => CrossJoinGuard.check(spark))
     // opt-in (spark.graft.lsh.autoRewrite.enabled) cosine-join → LSH rewrite
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
@@ -36,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     FunctionIdentifier("hyperplane_sig"),
     new ExpressionInfo(classOf[GraftExtensions].getName, "hyperplane_sig"),
     GraftExtensions.buildHyperplaneSig _)
+
+  /** `poly_hash(str[, seed])` — seed must be a literal. */
+  private def polyHash = (
+    FunctionIdentifier("poly_hash"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "poly_hash"),
+    GraftExtensions.buildPolyHash _)
 }
 
 object GraftExtensions {
@@ -64,5 +71,17 @@ object GraftExtensions {
     }
     reg.createOrReplaceTempFunction(
       "hyperplane_sig", buildHyperplaneSig, "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_hash", buildPolyHash, "built-in")
+  }
+
+  /** Builds `poly_hash(str[, seed])` from SQL args — seed must be a
+    * literal (it parameterizes codegen). */
+  def buildPolyHash(args: Seq[Expression]): Expression = {
+    require(args.nonEmpty && args.length <= 2,
+      s"poly_hash expects 1-2 arguments, got ${args.length}")
+    require(args.drop(1).forall(_.foldable), "seed must be a literal")
+    val seed = if (args.length > 1) args(1).eval().asInstanceOf[Number].longValue else 7L
+    org.apache.spark.sql.graftvec.PolyHash(args(0), seed)
   }
 }

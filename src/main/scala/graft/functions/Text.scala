@@ -33,18 +33,18 @@ object Text {
 
   /** Deterministic polynomial rolling hash of a string, seeded — the
     * fingerprinting primitive for minhash/simhash/doc-fingerprint
-    * operators. Pure built-in HOFs so the SAME fold is expressible in the
-    * DuckDB oracle:
+    * operators. Native codegen expression
+    * ([[org.apache.spark.sql.graftvec.PolyHash]]): one fused loop over
+    * code points per row, no per-character array. The SAME fold is
+    * expressed in the DuckDB oracle as
     *   list_reduce(list_prepend(seed, list_transform(
     *     regexp_split_to_array(s,''), x -> unicode(x))),
     *     (acc,x) -> (acc*31+x) % 1000000007)
-    * ASCII-only input by fixture construction (31-word lowercase vocab).
     */
-  val HashMod = 1000000007L
+  val HashMod = org.apache.spark.sql.graftvec.PolyHash.Mod
 
-  def polyHash(s: Column, seed: Long): Column =
-    aggregate(
-      filter(split(s, ""), c => length(c) > 0),
-      lit(seed),
-      (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+  def polyHash(s: Column, seed: Long): Column = {
+    import org.apache.spark.sql.graftvec.{PolyHash, VectorKernels}
+    VectorKernels.column(PolyHash(VectorKernels.expression(s), seed))
+  }
 }

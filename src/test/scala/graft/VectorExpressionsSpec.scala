@@ -36,6 +36,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.where(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("poly_hash native == HOF char fold on fixture text; unicode = code points") {
+    // the HOF formulation polyHash replaced — kept here as the reference
+    def hofHash(s: org.apache.spark.sql.Column, seed: Long) =
+      aggregate(
+        filter(split(s, ""), c => length(c) > 0),
+        lit(seed),
+        (acc, c) => (acc * 31L + ascii(c)) % graft.functions.Text.HashMod)
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val both = docs.select(
+      graft.functions.Text.polyHash(col("text"), 7L).as("native"),
+      hofHash(col("text"), 7L).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    // non-BMP input folds full code points (DuckDB unicode() semantics):
+    // "a😀" → ((7*31+97) % M * 31 + 0x1F600) % M
+    import spark.implicits._
+    val got = Seq("a😀").toDF("s")
+      .select(graft.functions.Text.polyHash(col("s"), 7L)).collect()(0).getLong(0)
+    val expect = ((7L * 31 + 97) % graft.functions.Text.HashMod * 31 + 0x1F600) %
+      graft.functions.Text.HashMod
+    assert(got == expect)
+  }
+
+  test("poly_hash callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT poly_hash('ab', 7)").collect()(0).getLong(0)
+    val m = graft.functions.Text.HashMod
+    assert(r == ((7L * 31 + 97) % m * 31 + 98) % m)
+  }
+
   test("interpreted eval (null path) and nulls propagate") {
     val r = vecs.select(cosineSim(lit(null).cast("array<double>"), col("b"))).collect()
     assert(r.forall(_.isNullAt(0)))
