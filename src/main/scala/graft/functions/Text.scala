@@ -47,4 +47,40 @@ object Text {
     import org.apache.spark.sql.graftvec.{PolyHash, VectorKernels}
     VectorKernels.column(PolyHash(VectorKernels.expression(s), seed))
   }
+
+  // ------------------------------------------------- PII / URL scrubbing
+  // Training-data release hygiene. Chained regexp_replace stays inside
+  // whole-stage codegen — scrubbing is scan-local, zero-shuffle at any
+  // scale. The fixture corpus contains no PII/URLs by construction, so
+  // these are spec-verified on synthetic strings (TextSpec), not
+  // oracle-checked.
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe =
+    "(?<![0-9])(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}(?![0-9])"
+  private val Ipv4Re =
+    "(?<![0-9.])(?:[0-9]{1,3}\\.){3}[0-9]{1,3}(?![0-9.])"
+  private val CardRe = "(?<![0-9])[0-9]{4}(?:[- ]?[0-9]{4}){3}(?![0-9])"
+
+  /** Redact emails, phone numbers, IPv4 addresses and 16-digit card-like
+    * runs with typed placeholder tags (longest/most-specific first so a
+    * card number is not half-eaten by the phone pattern). */
+  def scrubPii(text: Column): Column = {
+    val tagged = Seq(
+      CardRe -> "<CARD>", EmailRe -> "<EMAIL>",
+      PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
+    tagged.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+  }
+
+  /** Count of PII hits by kind — the audit twin of [[scrubPii]]. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"),
+      size(regexp_extract_all(text, lit(CardRe), lit(0))).as("cards"))
+
+  /** All http(s) URLs in a text column, in order of appearance. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s<>\"]+"), lit(0))
 }

@@ -60,4 +60,33 @@ class TextSpec extends SparkSpec {
       .select(Text.polyHash(col("s"), 7L).as("h")).as[Long].collect().toSeq
     assert(got == samples.map(model(_, 7L)))
   }
+
+  test("scrubPii redacts email/phone/ip/card with typed tags") {
+    import spark.implicits._
+    val in = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "call (555) 123-4567 or 555-987-6543",
+      "host 192.168.0.1 responded",
+      "card 4111 1111 1111 1111 declined",
+      "clean text stays untouched").toDF("s")
+    val got = in.select(Text.scrubPii(col("s"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "call <PHONE> or <PHONE>",
+      "host <IP> responded",
+      "card <CARD> declined",
+      "clean text stays untouched"))
+  }
+
+  test("piiCounts audits hits by kind; extractUrls keeps order") {
+    import spark.implicits._
+    val r = Seq("a@b.io and c@d.io via 10.0.0.7")
+      .toDF("s").select(Text.piiCounts(col("s")).as("p"))
+      .selectExpr("p.emails", "p.phones", "p.ips", "p.cards")
+      .collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((2, 0, 1, 0)))
+    val urls = Seq("see https://a.io/x then http://b.io?q=1 end")
+      .toDF("s").select(Text.extractUrls(col("s"))).collect()(0).getSeq[String](0)
+    assert(urls == Seq("https://a.io/x", "http://b.io?q=1"))
+  }
 }
