@@ -31,8 +31,12 @@ class ShuffleAuditSpec extends SparkSpec {
     "q44_sessionize" -> 2,     // ONE shuffle by user_id serves window AND
                                // groupBy(user_id, sid) (subset rule) + orderBy
     "q47_range_frame" -> 2,
-    "q60_bm25" -> 2)       // corpus stats agg only; scoring is scan-local,
+    "q60_bm25" -> 2,       // corpus stats agg only; scoring is scan-local,
                            // top-20 is TakeOrdered (no sort shuffle)
+    "q61_length_outliers" -> 2, // per-lang band agg + output sort; the
+                                // flagging join is broadcast
+    "q62_funnel" -> 2)     // ONE user_id shuffle; the state-machine fold
+                           // is scan-local (vs 3x self-join formulation)
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
