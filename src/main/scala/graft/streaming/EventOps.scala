@@ -48,6 +48,26 @@ object EventOps {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     withLateness(events).dropDuplicatesWithinWatermark("event_id")
 
+  /** T8: stream-stream interval join — attribute each purchase to any
+    * click by the same user in the preceding 30 minutes. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, which is what lets Spark expire buffered join state:
+    * without the time bound the state grows with the stream. The
+    * production attribution-join shape at scale. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p, col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   case class UserAgg(user_id: Long, n: Long, total: Double)
 
   /** T6: arbitrary per-key state — running event count + value sum per

@@ -164,6 +164,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T8 stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t8").outputMode("append")
+      .start()
+    clicks.addData(ev(1, 10, user = 1, typ = "click"))
+    purchases.addData(
+      ev(2, 20, user = 1, typ = "purchase", v = 5.0),  // 10 min after click → joins
+      ev(3, 50, user = 1, typ = "purchase", v = 7.0),  // 40 min after → outside bound
+      ev(4, 20, user = 2, typ = "purchase", v = 9.0))  // other user → no click
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t8")
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 2L)))
+  }
+
   test("T7 foreachBatch idempotent parquet sink (epoch-keyed overwrite)") {
     // The production exactly-once file-sink pattern: key each micro-batch
     // write by its epoch id with overwrite mode, so a failure-recovery
