@@ -470,6 +470,43 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** q64: the remaining outer-join variants (J3) — FULL OUTER between
+    * deliberately asymmetric per-nation aggregates (high-balance
+    * customers vs negative-balance suppliers, so unmatched rows exist on
+    * both sides) plus a RIGHT OUTER half, tagged and unioned. Both
+    * inputs are post-aggregation nation tables (≤25 rows) — at scale
+    * this is a broadcast-able dim-dim join, never a fact shuffle. */
+  val q64_outer_variants = QueryDef(
+    "q64_outer_variants",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt
+      |           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt
+      |      FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      |SELECT tag, nk, c_cnt, s_cnt FROM (
+      |  SELECT 'full' AS tag, COALESCE(c.nk, s.nk) AS nk,
+      |    COALESCE(c_cnt, 0) AS c_cnt, COALESCE(s_cnt, 0) AS s_cnt
+      |  FROM c FULL JOIN s ON c.nk = s.nk
+      |  UNION ALL
+      |  SELECT 'right', s.nk, COALESCE(c_cnt, 0), s_cnt
+      |  FROM c RIGHT JOIN s ON c.nk = s.nk)
+      |ORDER BY tag, nk""".stripMargin) { (sp, d) =>
+    val c = Tables.customer(sp, d).where(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val s = Tables.supplier(sp, d).where(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val full = c.join(s, col("c_nk") === col("s_nk"), "full_outer")
+      .select(lit("full").as("tag"),
+        coalesce(col("c_nk"), col("s_nk")).as("nk"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+    val right = c.join(s, col("c_nk") === col("s_nk"), "right_outer")
+      .select(lit("right").as("tag"), col("s_nk").as("nk"),
+        coalesce(col("c_cnt"), lit(0L)).as("c_cnt"), col("s_cnt"))
+    full.unionByName(right).orderBy("tag", "nk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
     q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
@@ -477,5 +514,5 @@ object Relational {
     q13_join4, q14_join5_region, q15_topk_unshipped, q16_having,
     q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
     q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup,
-    q63_rank_variants)
+    q63_rank_variants, q64_outer_variants)
 }
