@@ -898,11 +898,38 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q65: incremental ingest dedup — the production "don't re-ingest"
+    * step: from a new batch (doc_id ≡ 4 mod 5, an sf-stable split),
+    * keep only docs whose exact text does NOT already exist in the
+    * standing corpus (the other 4/5). A content anti-join.
+    *
+    * Scale posture: LEFT ANTI on the text key — Spark shuffles both
+    * sides by the key's hash, so the exchange is corpus-hash-partitioned
+    * exactly like a fingerprint bucketing; at real scale the standing
+    * corpus side would be a bucketed table so only the new batch
+    * shuffles. No driver-side state, no collect. */
+  val q65_incremental_dedup = QueryDef(
+    "q65_incremental_dedup",
+    """SELECT n.doc_id, n.n_chars
+      |FROM documents n
+      |WHERE n.doc_id % 5 = 4
+      |  AND NOT EXISTS (SELECT 1 FROM documents e
+      |                  WHERE e.doc_id % 5 <> 4 AND e.text = n.text)
+      |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fresh = docs.where(col("doc_id") % 5 === 4)
+    val standing = docs.where(col("doc_id") % 5 =!= 4).select("text")
+    fresh.join(standing, Seq("text"), "left_anti")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
     q34_ngram_jaccard, q37_minhash_lsh_pairs, q48_dedup_clusters,
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
-    q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers)
+    q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
+    q65_incremental_dedup)
 }

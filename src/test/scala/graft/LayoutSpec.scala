@@ -77,6 +77,41 @@ class LayoutSpec extends SparkSpec {
       orders.where(col("o_year") === 1995).count())
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The other half of the skew story beside manual salting: AQE's
+    // OptimizeSkewedJoin splits an oversized shuffle partition at
+    // runtime. Thresholds are sized for real scans — shrink them to
+    // demonstrate the mechanism on a 99%-one-key join at test scale.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val pad = "x" * 100
+      val left = spark.range(0, 50000).select(
+        when(col("id") % 100 =!= 0, lit(0L))
+          .otherwise(col("id") % 7).as("k"), // ~99% of rows share key 0
+        concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(0, 7).select(col("id").as("k"), lit("dim").as("d"))
+      // keep the payload through the join so the skewed partition's
+      // shuffle bytes survive column pruning
+      val j = left.join(right, "k").select(col("k"), col("payload"))
+      j.collect() // finalize the adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"no skew split in final adaptive plan:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted count/sum match plain groupBy") {
     val li = Tables.lineitem(spark, sf0001)
     val plainC = li.groupBy("l_returnflag").count()
