@@ -924,6 +924,34 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q66: positional token index — first occurrence position (1-based)
+    * of every word per document, via `posexplode` (the
+    * generator/UDTF-with-ordinality surface; DuckDB twin zips parallel
+    * `unnest`s). The primitive behind positional inverted indexes and
+    * lead-paragraph heuristics. Explode → hash-agg with map-side
+    * partial min, one shuffle. */
+  val q66_first_positions = QueryDef(
+    "q66_first_positions",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents WHERE doc_id < 50),
+      |p AS (
+      |  SELECT doc_id, unnest(words) AS word,
+      |    unnest(range(1, len(words) + 1)) AS pos
+      |  FROM w)
+      |SELECT doc_id, word, CAST(MIN(pos) AS BIGINT) AS first_pos
+      |FROM p GROUP BY doc_id, word
+      |ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos0", "word")))
+      .groupBy("doc_id", "word")
+      .agg(min(col("pos0") + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id", "word")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -931,5 +959,5 @@ object TextPipeline {
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
-    q65_incremental_dedup)
+    q65_incremental_dedup, q66_first_positions)
 }
