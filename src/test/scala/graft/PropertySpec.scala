@@ -84,6 +84,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnelDepth == plain-Scala state machine on random event sequences") {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val genUsers = for {
+      n <- Gen.choose(1, 30)
+      evs <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(1L, 5L), Gen.choose(0, 500), Gen.choose(0, types.size - 1)))
+    } yield evs
+    def code(t: String): Long = t match {
+      case "view" => 1L; case "click" => 2L; case "purchase" => 3L; case _ => 0L
+    }
+    samples(genUsers, 10).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, min, ti), i) =>
+        (u, new Timestamp(min * 60000L), i.toLong, types(ti))
+      }
+      val expect = rows.groupBy(_._1).map { case (u, es) =>
+        // model: same ordering key (ts, event_id), same advance rule
+        val depth = es.sortBy(e => (e._2.getTime, e._3)).map(e => code(e._4))
+          .foldLeft(0L)((acc, x) => if (x == acc + 1) acc + 1 else acc)
+        u -> depth
+      }
+      val got = Advanced.funnelDepth(
+        rows.toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"events: $rows")
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
