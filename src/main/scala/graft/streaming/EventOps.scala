@@ -53,8 +53,14 @@ object EventOps {
     * carry watermarks and the join condition bounds event time in both
     * directions, which is what lets Spark expire buffered join state:
     * without the time bound the state grows with the stream. The
-    * production attribution-join shape at scale. */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * production attribution-join shape at scale.
+    *
+    * `joinType = "left_outer"` additionally emits unmatched clicks with
+    * null purchase columns — but only once the watermark passes the end
+    * of the click's join window (that's when "no purchase arrived" is
+    * final). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -63,7 +69,7 @@ object EventOps {
         col("event_id").as("purchase_id"), col("value"))
     c.join(p, col("c_user") === col("p_user") &&
       col("p_ts") >= col("c_ts") &&
-      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"), joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("value"))
   }

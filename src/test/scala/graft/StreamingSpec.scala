@@ -185,6 +185,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 1L, 2L)))
   }
 
+  test("T8 left-outer stream-stream join emits unmatched clicks after watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("t8o").outputMode("append")
+      .start()
+    clicks.addData(ev(1, 10, user = 1, typ = "click"))
+    purchases.addData(ev(2, 20, user = 1, typ = "purchase", v = 5.0)) // matches
+    clicks.addData(ev(3, 30, user = 2, typ = "click")) // never matched
+    q.processAllAvailable()
+    // the null row is final only once BOTH watermarks pass click3's
+    // window end (30m bound + 10m delay); advance with disjoint users
+    clicks.addData(ev(4, 600, user = 8))
+    purchases.addData(ev(5, 600, user = 9))
+    q.processAllAvailable()
+    clicks.addData(ev(6, 700, user = 8))
+    purchases.addData(ev(7, 700, user = 9))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t8o")
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((1L, 1L, 2L)), s"matched row missing: $rows")
+    assert(rows.contains((2L, 3L, -1L)), s"unmatched null row missing: $rows")
+  }
+
   test("T7 foreachBatch idempotent parquet sink (epoch-keyed overwrite)") {
     // The production exactly-once file-sink pattern: key each micro-batch
     // write by its epoch id with overwrite mode, so a failure-recovery
