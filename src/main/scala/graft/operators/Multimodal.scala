@@ -104,6 +104,32 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------------
+  // STUB: a real resize is libvips/ffmpeg scale. The fake keeps the
+  // kernel signature (payload in → smaller payload out) via fixed-stride
+  // subsampling, standing in for pixel/sample resampling.
+  // ----------------------------------------------------------------
+  private[operators] def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val step = bytes.length.toDouble / targetBytes
+      Array.tabulate(targetBytes)(i => bytes((i * step).toInt))
+    }
+
+  /** Resize/downsample each payload to ≤ targetBytes, recomputing the
+    * typed metadata — partition-local like [[decodeFeatures]], no
+    * shuffle; output rows keep the MediaRow schema so resize composes
+    * with decode/frame-sample stages. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 1024): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out = resizeStub(r.bytes, targetBytes)
+      r.copy(bytes = out,
+        meta = MediaMeta(r.meta.kind, out.length.toLong,
+          out.foldLeft(0L)((a, b) => a + (b & 0xff))))
+    })
+  }
+
   /** Frame/sample extraction: fixed-stride byte slices standing in for
     * video frame sampling — pure column ops, stays in codegen. */
   def frameSample(media: Dataset[MediaRow], nFrames: Int = 4): DataFrame =

@@ -47,4 +47,24 @@ class MultimodalSpec extends SparkSpec {
       .select("frames").collect()
     assert(rows.forall(_.getSeq[String](0).length == 4))
   }
+
+  test("resize bounds payloads, keeps metadata consistent, is deterministic") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(50)
+    val out = Multimodal.resize(media, targetBytes = 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.bytes.length <= 64)
+      assert(r.meta.n_bytes == r.bytes.length.toLong)
+      assert(r.meta.checksum == r.bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
+    }
+    // deterministic: a second pass produces byte-identical payloads
+    val again = Multimodal.resize(media, targetBytes = 64).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    out.foreach(r => assert(again(r.media_id) == r.bytes.toSeq))
+    // small payloads pass through untouched
+    val tiny = Multimodal.resize(media, targetBytes = 1 << 20).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    val orig = media.collect().map(r => r.media_id -> r.bytes.toSeq).toMap
+    assert(tiny == orig)
+  }
 }
