@@ -952,6 +952,40 @@ object TextPipeline {
       .orderBy("doc_id", "word")
   }
 
+  /** One-call corpus dedup — THE end-to-end pipeline a user of this
+    * library runs: near-dup pair generation (exact Jaccard or the
+    * MinHash-LSH scale path) → connected components → per-cluster
+    * survivor election by q29 quality score (ties → min doc_id) →
+    * original frame with the losing duplicates removed.
+    *
+    * Scale posture: with `method = "minhash-lsh"` no stage is ever
+    * all-pairs (bucket join bounds candidates); the clusters/losers
+    * frames hold only near-dup members (≪ corpus) so the final removal
+    * is a broadcast anti join against the full corpus scan. */
+  def dedupCorpus(docs: DataFrame, tau: Double = 0.8,
+                  method: String = "exact"): DataFrame = {
+    val sets = Text.tokens(docs).select("doc_id", "word").distinct()
+    val pairs = (method match {
+      case "exact" => exactJaccardPairs(sets, tau)
+      case "minhash-lsh" => minHashLshPairs(sets, tau)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup method '$other' (expected exact | minhash-lsh)")
+    }).select("a", "b")
+    val clusters = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+    val stop = col("word").isin("the", "a")
+    val score = Text.tokens(docs).groupBy("doc_id").agg(
+      (log(lit(1) + count(lit(1))) *
+        (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))))
+        .as("score"))
+    val w = Window.partitionBy("rep").orderBy(col("score").desc, col("doc_id"))
+    val losers = score.join(broadcast(clusters), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select("doc_id")
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,

@@ -79,6 +79,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(sig(0L) != sig(2L))
   }
 
+  test("dedupCorpus keeps exactly one best-quality survivor per cluster") {
+    val docs = Tables.documents(spark, sf0001).where(col("doc_id") < 100)
+    val kept = TextPipeline.dedupCorpus(docs, 0.8, "exact")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth from the already-verified pipeline stages
+    val sets = Text.tokens(docs).select("doc_id", "word").distinct()
+    val pairs = TextPipeline.exactJaccardPairs(sets, 0.8).select("a", "b")
+    val clusters = TextPipeline.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nMembers = clusters.length
+    val nClusters = clusters.map(_._2).distinct.length
+    assert(kept.count() == docs.count() - (nMembers - nClusters))
+    // every cluster keeps exactly one member
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._1).count(keptIds) == 1)
+    }
+    // LSH path removes a subset of what exact removes (recall < 1)
+    val keptLsh = TextPipeline.dedupCorpus(docs, 0.8, "minhash-lsh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(keptLsh))
+  }
+
   test("lmCrossEntropy: hand-computed unigram cross-entropy") {
     import spark.implicits._
     // corpus counts: a=2, b=2, c=1, total=5 → p(a)=p(b)=0.4, p(c)=0.2
