@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[String](0).length == 4))
   }
 
+  test("media features compose with the similarity operators") {
+    import org.apache.spark.sql.functions.col
+    // the real multimodal use case: decoded embeddings feed the same
+    // top-k/dedup machinery as the text embeddings table
+    val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(60)
+    val emb = Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val topk = operators.Similarity.cosineTopK(emb, col("vec_id") < 3, 5)
+    val rows = topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15) // 3 queries x 5 neighbors
+    assert(rows.forall { case (q, n, c) => q != n && c <= 1.0001 })
+    val again = topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq) // stub decode + top-k fully deterministic
+  }
+
   test("resize bounds payloads, keeps metadata consistent, is deterministic") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(50)
     val out = Multimodal.resize(media, targetBytes = 64).collect()
