@@ -83,4 +83,30 @@ object Text {
   /** All http(s) URLs in a text column, in order of appearance. */
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit("https?://[^\\s<>\"]+"), lit(0))
+
+  /** Deflate-compression ratio (compressed/raw bytes) of a text column —
+    * the classic repetition/boilerplate proxy of crawl-cleaning
+    * pipelines: highly repetitive docs compress far below ~0.5. A JVM
+    * `Deflater` at a FIXED level is bit-deterministic, so re-runs agree;
+    * this is a genuine UDF-as-last-resort case (no built-in expression
+    * can express deflate), kept off the hot path by design — run it
+    * AFTER the cheap codegen filters have pruned. */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val raw = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(raw); d.finish()
+        // deflate worst case ≈ raw + 5 B per 16 KB stored block + header;
+        // undersizing would spin the loop forever on incompressible input
+        val buf = new Array[Byte](raw.length + (raw.length >> 9) + 128)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        math.round(n.toDouble / raw.length * 10000).toDouble / 10000
+      }
+    }
+    f(text)
+  }
 }

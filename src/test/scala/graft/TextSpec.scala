@@ -78,6 +78,23 @@ class TextSpec extends SparkSpec {
       "clean text stays untouched"))
   }
 
+  test("compressionRatio: repetitive text compresses far below random-ish text") {
+    import spark.implicits._
+    val rep = "spam ham " * 500
+    val varied = (1 to 500).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val got = Seq(("rep", rep), ("var", varied), ("empty", ""))
+      .toDF("k", "s")
+      .select(col("k"), Text.compressionRatio(col("s")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rep") < 0.1, s"repetitive ratio ${got("rep")}")
+    assert(got("var") > 0.3, s"varied ratio ${got("var")}")
+    assert(got("empty") == 1.0)
+    // deterministic across runs (fixed Deflater level)
+    val again = Seq(("rep", rep)).toDF("k", "s")
+      .select(Text.compressionRatio(col("s"))).collect()(0).getDouble(0)
+    assert(again == got("rep"))
+  }
+
   test("piiCounts audits hits by kind; extractUrls keeps order") {
     import spark.implicits._
     val r = Seq("a@b.io and c@d.io via 10.0.0.7")
