@@ -91,33 +91,71 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Mini k-means coarse quantizer for [[ivfTopK]]: deterministic init
+    * (first `nCells` vectors by id — no RNG, reproducible), then `iters`
+    * Lloyd rounds where EXECUTORS do all the data work (assign by
+    * cosine, per-cell element-wise means via posexplode + hash-agg —
+    * nCells×dim result rows, tiny) and the driver only collects the new
+    * centroid table each round (the same coordination shape as
+    * [[TextPipeline.connectedComponents]]). Balanced cells are what
+    * make nProbe/nCells pruning hold on skewed corpora. Empty cells
+    * keep their previous centroid. */
+  private[operators] def lloydCentroids(base: DataFrame, nCells: Int,
+                                        iters: Int): Array[(Long, Seq[Double], Double)] = {
+    def norm(v: Seq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    var cents: Array[(Long, Seq[Double], Double)] = base
+      .where(col("vec_id") < nCells).orderBy("vec_id")
+      .select("vec_id", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .zipWithIndex.map { case ((_, v, n), i) => (i.toLong, v, n) }
+    for (_ <- 1 to iters) {
+      val centLit = array(cents.map { case (cell, cv, cn) =>
+        struct(lit(cell).as("cell"),
+          array(cv.map(lit(_)): _*).as("cv"), lit(cn).as("cn"))
+      }: _*)
+      val assignedCell = element_at(array_sort(transform(centLit, c =>
+        struct((-dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+          .as("negcos"), c.getField("cell").as("cell")))), 1).getField("cell")
+      val means = base.withColumn("cell", assignedCell)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (cell, rows) =>
+          cell -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+      cents = cents.map { case (cell, oldV, oldN) =>
+        means.get(cell) match {
+          case Some(m) => (cell, m, norm(m))
+          case None => (cell, oldV, oldN) // empty cell: keep previous
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the 100 TB scale path.
     *
-    * Coarse quantizer: the first `nCells` vectors by id serve as
-    * deterministic centroids (no RNG — keeps results reproducible across
-    * engines and runs). The centroid list is bounded by construction, so
-    * it is collected once and embedded as a LITERAL array column; cell
-    * assignment is then a pure per-row HOF expression — no join, no
-    * window, ZERO shuffle over the corpus (the earlier formulation
-    * joined corpus × centroids and ranked with a window, shuffling
-    * nCells× the data). A query probes only its `nProbe` nearest cells,
-    * so the pairwise stage scans ~nProbe/nCells of the corpus. Recall is
-    * approximate by design → rows-only driver check (no DuckDB oracle).
+    * Coarse quantizer: mini k-means ([[lloydCentroids]] — deterministic
+    * init, 2 Lloyd rounds). The centroid list is bounded by
+    * construction, so it is collected once and embedded as a LITERAL
+    * array column; cell assignment is then a pure per-row HOF
+    * expression — no join, no window, ZERO shuffle over the corpus (the
+    * earlier formulation joined corpus × centroids and ranked with a
+    * window, shuffling nCells× the data). A query probes only its
+    * `nProbe` nearest cells, so the pairwise stage scans
+    * ~nProbe/nCells of the corpus. Recall is approximate by design →
+    * rows-only driver check (no DuckDB oracle).
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val base = withVec(emb).select(col("vec_id"), col("v"), col("nrm"))
 
-    // Bounded centroid set → driver literal (the k-means pattern).
-    val centRows = base.where(col("vec_id") < nCells)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .collect()
-      .sortBy(_.getLong(0))
-    val centLit = array(centRows.map { r =>
-      struct(
-        lit(r.getLong(0)).as("cell"),
-        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"),
-        lit(r.getDouble(2)).as("cn"))
+    val centLit = array(lloydCentroids(base, nCells, kmeansIters).map {
+      case (cell, cv, cn) =>
+        struct(
+          lit(cell).as("cell"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cn).as("cn"))
     }: _*)
 
     // cells scored per row, sorted by (-cos, cell) — all codegen'd HOFs
