@@ -67,6 +67,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("codegen id"), "word-count pipeline fell out of codegen")
   }
 
+  test("native poly_hash stays inside whole-stage codegen (q30 fingerprint scan)") {
+    import graft.operators.TextPipeline
+    val q30 = TextPipeline.q30_fingerprint.build(spark, sf0001)
+    q30.collect()
+    val p = q30.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("poly_hash"), "poly_hash missing from the plan")
+    assert(p.contains("codegen id"), "fingerprint scan fell out of codegen")
+  }
+
   test("Q20 rank-limit pushes down to WindowGroupLimit (no full sort per group)") {
     assert(plan(Relational.q20_rank_window).contains("WindowGroupLimit"))
   }
