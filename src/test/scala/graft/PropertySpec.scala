@@ -112,6 +112,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lmCrossEntropy == plain-Scala unigram model on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(0, vocab.size - 1)))
+    } yield docs.map(_.map(vocab))
+    samples(genCorpus, 10).foreach { docs =>
+      val rows = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val counts = docs.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val total = docs.map(_.size).sum.toDouble
+      def xent(ws: Seq[String]): Double =
+        -ws.map(w => math.log(counts(w) / total) / math.log(2)).sum / ws.size
+      val got = graft.operators.TextPipeline.lmCrossEntropy(
+        rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        assert(math.abs(got(i.toLong) - xent(ws)) < 1e-3,
+          s"doc $i: got ${got(i.toLong)} model ${xent(ws)}")
+      }
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
