@@ -74,6 +74,14 @@ object EventOps {
         col("purchase_id"), col("value"))
   }
 
+  /** Stream-static enrichment: join the live stream against a batch
+    * dimension (no watermark needed — the static side is re-read per
+    * micro-batch, so dim updates between batches are picked up; at
+    * scale the dim is broadcast when under threshold, exactly as in
+    * batch). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   case class UserAgg(user_id: Long, n: Long, total: Double)
 
   /** T6: arbitrary per-key state — running event count + value sum per

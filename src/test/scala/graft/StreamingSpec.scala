@@ -164,6 +164,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment joins the live stream against a batch dim") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventOps.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append")
+      .start()
+    in.addData(ev(1, 10, user = 1), ev(2, 11, user = 2), ev(3, 12, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enr").select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "-" else r.getString(1))).toMap
+    assert(got == Map(1L -> "gold", 2L -> "basic", 3L -> "-"))
+  }
+
   test("T8 stream-stream interval join attributes purchases to recent clicks") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
