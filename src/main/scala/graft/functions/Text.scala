@@ -24,6 +24,16 @@ object Text {
   def wordsOf(text: Column): Column =
     filter(split(lower(text), WordPattern), w => length(w) > 0)
 
+  /** The reference's TRUE word rule — split on every non-letter rune
+    * (`strings.FieldsFunc(contents, !unicode.IsLetter)` in wc.go),
+    * Unicode-correct: `\p{L}` covers all letter categories, so accented
+    * and non-Latin words survive intact. The declared-contract queries
+    * use [[wordsOf]] (`[^a-z]+`) because the fixture vocab is ASCII and
+    * DuckDB's regex engine must agree byte-for-byte; this variant is the
+    * one to use on real-world corpora. */
+  def wordsOfLetters(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}]+"), w => length(w) > 0)
+
   /** Explode documents(doc_id, text, ...) into (doc_id, word) rows,
     * carrying any extra columns requested. */
   def tokens(docs: DataFrame, extraCols: String*): DataFrame = {

@@ -61,6 +61,24 @@ class TextSpec extends SparkSpec {
     assert(got == samples.map(model(_, 7L)))
   }
 
+  test("wordsOfLetters matches the wc.go unicode letters-only rule") {
+    import spark.implicits._
+    // the Go model: FieldsFunc(s, r => !unicode.IsLetter(r)) on lowered text
+    def goModel(s: String): Seq[String] =
+      s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    val samples = Seq(
+      "Grüße aus Köln! 123",
+      "日本語 and English, mixed.",
+      "naïve café—déjà vu",
+      "ALL-CAPS42WORDS")
+    val got = samples.toDF("s")
+      .select(Text.wordsOfLetters(col("s"))).collect()
+      .map(_.getSeq[String](0).toSeq)
+    samples.zip(got).foreach { case (s, words) =>
+      assert(words == goModel(s), s"input: $s")
+    }
+  }
+
   test("scrubPii redacts email/phone/ip/card with typed tags") {
     import spark.implicits._
     val in = Seq(
