@@ -507,6 +507,34 @@ object Relational {
     full.unionByName(right).orderBy("tag", "nk")
   }
 
+  /** q67: scalar-function sweep — the §2.8 families not yet pinned by a
+    * dedicated query in one scan-local projection: to_date + datediff,
+    * trim, nullif/coalesce, abs, pow, substring. Zero shuffles beyond
+    * the output sort; everything stays in whole-stage codegen. */
+  val q67_scalar_sweep = QueryDef(
+    "q67_scalar_sweep",
+    """SELECT o_orderkey,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |       AS BIGINT) AS days_since,
+      |  trim('  ' || o_orderpriority || ' ') AS prio,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), '-') AS status_or_dash,
+      |  ROUND(ABS(o_totalprice - 150000), 2) AS absdiff,
+      |  ROUND(POWER(1.0001, o_orderkey % 100), 4) AS powv,
+      |  substring(o_orderpriority, 1, 3) AS prio3
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d).where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          trim(concat(lit("  "), col("o_orderpriority"), lit(" "))).as("prio"),
+          coalesce(expr("nullif(o_orderstatus, 'O')"), lit("-")).as("status_or_dash"),
+          round(abs(col("o_totalprice") - 150000), 2).as("absdiff"),
+          round(pow(lit(1.0001), (col("o_orderkey") % 100).cast("double")), 4).as("powv"),
+          substring(col("o_orderpriority"), 1, 3).as("prio3"))
+        .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
     q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
@@ -514,5 +542,5 @@ object Relational {
     q13_join4, q14_join5_region, q15_topk_unshipped, q16_having,
     q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
     q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup,
-    q63_rank_variants, q64_outer_variants)
+    q63_rank_variants, q64_outer_variants, q67_scalar_sweep)
 }
