@@ -839,10 +839,18 @@ object TextPipeline {
       |  GROUP BY tf.doc_id)
       |SELECT doc_id, ROUND(score, 4) AS bm25
       |FROM s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-    val terms = Seq("spark", "join", "table")
+    bm25Scores(Tables.documents(s, d), Seq("spark", "join", "table"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Okapi BM25 (k1=1.2, b=0.75, +1 idf) of every doc containing at
+    * least one query term — the operator behind [[q60_bm25]]; takes any
+    * (doc_id, text) frame so specs can model-check tiny corpora. */
+  def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     def tfCol(t: String): Column =
       size(filter(col("words"), w => w === lit(t))).cast("long")
-    val per = Tables.documents(s, d)
+    val per = docs
       .select(col("doc_id"), wordsCol.as("words"))
       .select(Seq(col("doc_id"), size(col("words")).cast("long").as("len")) ++
         terms.map(t => tfCol(t).as(s"tf_$t")): _*)
@@ -861,8 +869,6 @@ object TextPipeline {
     per.crossJoin(broadcast(stats))
       .where(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
       .select(col("doc_id"), round(score, 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** q61: robust length-outlier filter — flag docs whose n_chars falls

@@ -135,6 +135,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bm25Scores == plain-Scala Okapi model on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("spark", "join", "table", "noise", "other", "pad")
+    val terms = Seq("spark", "join", "table")
+    val genCorpus = for {
+      nDocs <- Gen.choose(3, 8)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(0, vocab.size - 1)))
+    } yield docs.map(_.map(vocab))
+    samples(genCorpus, 8).foreach { docs =>
+      val n = docs.size.toDouble
+      val avgdl = docs.map(_.size).sum.toDouble / n
+      def df(t: String) = docs.count(_.contains(t)).toDouble
+      def model(ws: Seq[String]): Double = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl))
+      }.sum
+      val rows = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val got = graft.operators.TextPipeline.bm25Scores(
+        rows.toDF("doc_id", "text"), terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val m = model(ws)
+        if (m > 0) assert(math.abs(got(i.toLong) - m) < 1e-3,
+          s"doc $i: got ${got.get(i.toLong)} model $m")
+        else assert(!got.contains(i.toLong), s"doc $i should be filtered out")
+      }
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
