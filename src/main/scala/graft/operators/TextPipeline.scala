@@ -992,6 +992,33 @@ object TextPipeline {
     docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
   }
 
+  /** q68: term vector per host — the last of the six canonical
+    * MapReduce workloads (MRPAPER §2.3: "Term-Vector per Host": the
+    * most frequent terms per document source). groupBy(source, word)
+    * hash-agg with map-side combine, then a window top-5 per source —
+    * the same one-shuffle-plus-bounded-window shape as q20. */
+  val q68_term_vectors = QueryDef(
+    "q68_term_vectors",
+    """WITH w AS (
+      |  SELECT source, w AS word FROM (
+      |    SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0),
+      |c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      |r AS (SELECT source, word, cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |                         ORDER BY cnt DESC, word) AS rn
+      |      FROM c)
+      |SELECT source, word, cnt, rn FROM r WHERE rn <= 5
+      |ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))
+    Text.tokens(Tables.documents(s, d), "source")
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "word", "cnt", "rn")
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -999,5 +1026,5 @@ object TextPipeline {
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
-    q65_incremental_dedup, q66_first_positions)
+    q65_incremental_dedup, q66_first_positions, q68_term_vectors)
 }
