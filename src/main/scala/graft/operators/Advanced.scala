@@ -148,11 +148,12 @@ object Advanced {
       |  FROM events),
       |s AS (
       |  SELECT user_id, ts,
-      |    SUM(CASE WHEN prev IS NULL
+      |    CAST(SUM(CASE WHEN prev IS NULL
       |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
       |             THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sid
       |  FROM e)
       |SELECT user_id, sid, COUNT(*) AS n,
       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
@@ -236,7 +237,8 @@ object Advanced {
   val q51_json_map = QueryDef(
     "q51_json_map",
     """SELECT event_type, jk,
-      |  COUNT(*) AS cnt, SUM(jv) AS sum_v, MIN(jv) AS min_v, MAX(jv) AS max_v
+      |  COUNT(*) AS cnt, CAST(SUM(jv) AS BIGINT) AS sum_v,
+      |  MIN(jv) AS min_v, MAX(jv) AS max_v
       |FROM (
       |  SELECT event_type, k.key AS jk,
       |    CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS jv

@@ -281,7 +281,8 @@ object TextPipeline {
       |         FROM h, (SELECT unnest(range(0, 16)) AS b)
       |         GROUP BY doc_id, b)
       |SELECT doc_id,
-      |  SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END) AS simhash
+      |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << b AS BIGINT) ELSE 0 END)
+      |       AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     simhashOf(s, d).orderBy("doc_id")
   }

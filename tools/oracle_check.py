@@ -47,6 +47,19 @@ def main():
             continue
         try:
             o = con.sql(oracle[name])
+            # Driver-side normalization goes through pandas/pyarrow, where
+            # HUGEINT (DuckDB SUM over integers) and other exotic types
+            # stringify differently than Python's fetchall() ints — a
+            # mismatch invisible to this script but fatal at the driver
+            # (round-2 q33/q44/q51). Flag any non-plain oracle type.
+            SAFE = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
+                    "TIMESTAMP", "BOOLEAN"}
+            exotic = [(c, str(t)) for c, t in zip(o.columns, o.types)
+                      if str(t) not in SAFE]
+            if exotic:
+                print(f"EXOTIC-TYPE {name}: {exotic} — CAST in the oracle SQL")
+                n_bad += 1
+                continue
             o_rows, o_cols = o.fetchall(), o.columns
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
