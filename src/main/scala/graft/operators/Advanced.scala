@@ -330,8 +330,44 @@ object Advanced {
           .as("funnel_depth"))
       .orderBy("user_id")
 
+  /** q70: SLIDING window in batch (T2's batch twin — T1 tumbling has
+    * q22, T3 session has q44; this closes the last §2.10 row with no
+    * DuckDB-checked twin). Spark's built-in `window(ts, "1 hour",
+    * "15 minutes")` is the T2 primitive itself: Catalyst's TimeWindowing
+    * rule expands it to the explode of the ≤ size/slide = 4 overlapping
+    * windows per row, identical in batch and streaming. The oracle
+    * spells that expansion out: each event lands in the 4 slide-aligned
+    * windows [ws, ws+1h) with ws = floor(ts/15min)·15min − k·15min,
+    * k ∈ 0..3 (each such ws satisfies ws ≤ ts < ws+1h by construction).
+    *
+    * Scale posture: a constant ×4 row expansion feeding a partial+final
+    * hash agg — one shuffle on (window, event_type); no self-joins, no
+    * range joins. Timestamps compared as epoch-µs integers, formatted
+    * once at output (UTC session). */
+  val q70_sliding_window = QueryDef(
+    "q70_sliding_window",
+    """WITH k AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k),
+      |e AS (
+      |  SELECT make_timestamp(
+      |    CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
+      |      - k.k * 900000000) AS ws,
+      |    event_type, value
+      |  FROM events CROSS JOIN k)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+      |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
+      |FROM e GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"), col("sum_val"))
+      .orderBy("w_start", "event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
-      q52_grouping_sets, q62_funnel)
+      q52_grouping_sets, q62_funnel, q70_sliding_window)
 }

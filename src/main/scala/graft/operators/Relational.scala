@@ -535,6 +535,43 @@ object Relational {
         .orderBy("o_orderkey")
   }
 
+  /** q69: the remaining W2 navigation functions — lead / first_value /
+    * last_value / nth_value — over per-customer order histories. The
+    * offset functions share the ordered window of q21's lag; the value
+    * functions use an explicit ROWS UNBOUNDED..UNBOUNDED frame because
+    * the default frame (RANGE ..CURRENT ROW) makes last_value degenerate
+    * to the current row — the explicit frame is the semantics users
+    * mean, identically in Spark and DuckDB. nth_value(_, 2) is NULL for
+    * single-order customers — kept (NULLS are part of the contract).
+    * Same window-exchange posture as q20/q21: one shuffle by the
+    * partition key serves all four functions. */
+  val q69_window_nav = QueryDef(
+    "q69_window_nav",
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(COALESCE(LEAD(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS next_price,
+      |  ROUND(FIRST_VALUE(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_price,
+      |  ROUND(LAST_VALUE(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+      |  CAST(NTH_VALUE(o_orderkey, 2) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_key
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).where(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(coalesce(lead("o_totalprice", 1).over(w), lit(0)), 2).as("next_price"),
+        round(first("o_totalprice").over(wf), 2).as("first_price"),
+        round(last("o_totalprice").over(wf), 2).as("last_price"),
+        nth_value(col("o_orderkey"), 2).over(wf).cast("long").as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
     q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
@@ -542,5 +579,6 @@ object Relational {
     q13_join4, q14_join5_region, q15_topk_unshipped, q16_having,
     q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
     q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup,
-    q63_rank_variants, q64_outer_variants, q67_scalar_sweep)
+    q63_rank_variants, q64_outer_variants, q67_scalar_sweep,
+    q69_window_nav)
 }

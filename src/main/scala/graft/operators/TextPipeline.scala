@@ -646,12 +646,15 @@ object TextPipeline {
     * no external model table is needed and the DuckDB oracle is exact.
     *
     * Scale posture: one explode→(doc_id, word) hash-agg shuffle builds
-    * per-doc counts; the vocab table derived from it is tiny relative to
-    * the corpus (distinct words) and is BROADCAST back, as is the 1-row
-    * token total — so the per-doc scoring join adds no shuffle beyond
-    * the groupBy(doc_id), which AQE coalesces. At 100 TB the vocab of a
-    * deduplicated web corpus is still ~10⁷ rows ≪ broadcast threshold
-    * after the count aggregation. */
+    * per-doc counts; the vocab table derived from it is much smaller than
+    * the corpus, but at web scale it is NOT broadcast-small — a 100 TB
+    * deduplicated corpus has ~10⁷ distinct words, i.e. hundreds of MB of
+    * (word, count) rows, far over the 10 MB auto threshold. So the
+    * vocab join carries no hint: AQE broadcasts it when the runtime size
+    * statistics say it fits (as at every test SF) and falls back to a
+    * shuffle join of the (doc_id, word, c) AGGREGATE — one extra exchange
+    * of the compacted aggregate, never of the corpus — when it doesn't.
+    * Only the 1-row token total is force-broadcast. */
   val q57_lm_xent = QueryDef(
     "q57_lm_xent",
     """WITH w AS (
@@ -681,7 +684,9 @@ object TextPipeline {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val vocab = dc.groupBy("word").agg(sum("c").as("cnt"))
     val total = vocab.agg(sum("cnt").as("t"))
-    dc.join(broadcast(vocab), "word")
+    // No broadcast hint on vocab: let AQE pick broadcast-vs-shuffle from
+    // the actual post-aggregation size (see scale posture in [[q57_lm_xent]]).
+    dc.join(vocab, "word")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(sum("c").cast("long").as("n_tokens"),

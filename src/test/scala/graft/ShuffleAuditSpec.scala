@@ -31,6 +31,11 @@ class ShuffleAuditSpec extends SparkSpec {
     "q44_sessionize" -> 2,     // ONE shuffle by user_id serves window AND
                                // groupBy(user_id, sid) (subset rule) + orderBy
     "q47_range_frame" -> 2,
+    "q57_lm_xent" -> 5,    // explode-agg + vocab agg + un-hinted vocab join
+                           // (shuffle-join worst case re-keys the compacted
+                           // (doc_id, word, c) aggregate) + groupBy(doc_id)
+                           // + orderBy; AQE broadcasts the vocab side at
+                           // test SFs, removing the join exchange
     "q60_bm25" -> 2,       // corpus stats agg only; scoring is scan-local,
                            // top-20 is TakeOrdered (no sort shuffle)
     "q61_length_outliers" -> 2, // per-lang band agg + output sort; the
