@@ -326,7 +326,16 @@ object TextPipeline {
   val LshHashes = 16
   val LshBands = 4
 
-  def minHashLshPairs(setRows: DataFrame, tau: Double): DataFrame = {
+  /** Hot-bucket cap for the LSH candidate join: a (band, bsig) bucket
+    * with more members than this switches from all-pairs to star edges.
+    * 128 keeps every fixture bucket on the all-pairs path (largest
+    * observed fixture bucket: 76 — the shared-31-word-vocab docs
+    * collide heavily) while bounding the worst bucket at 8128 pairs. */
+  val LshMaxBucket = 128
+
+  /** MinHash signature + band explode: (doc_id, band, bsig) rows, one
+    * per document per band. */
+  private[graft] def minHashBanded(setRows: DataFrame): DataFrame = {
     val wh = Text.polyHash(col("word"), 7L)
     // 16 deterministic (a,b) parameter pairs
     val params = (0 until LshHashes).map(i => (2L * i + 3L, 7L * i + 1L))
@@ -340,13 +349,50 @@ object TextPipeline {
       struct(lit(bnd).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"h${bnd * rows + r}")): _*).as("bsig"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
-    val cand = banded.as("x").join(banded.as("y"),
+  }
+
+  /** Candidate pairs from banded signatures with a HOT-BUCKET GUARD.
+    *
+    * The failure mode this removes: a degenerate corpus (thousands of
+    * byte-identical or boilerplate documents — routine in web crawls)
+    * collapses into ONE band bucket, and the plain self-join then emits
+    * n²/2 pairs from that single bucket — a straggler task that stalls
+    * the whole stage at 100 TB no matter how well everything else is
+    * partitioned. The guard: buckets with ≤ cap members keep the exact
+    * all-pairs join; larger buckets emit STAR edges only (bucket-min
+    * doc_id → every other member), i.e. O(n) pairs per bucket instead of
+    * O(n²). Star edges preserve exactly what the dedup pipeline
+    * (connectedComponents → survivor election in [[dedupCorpus]]) needs —
+    * every bucket member stays reachable from the representative, so
+    * cluster membership is unchanged for mutually-similar buckets — at
+    * the price of not enumerating every intra-bucket pair in the PAIRS
+    * output on adversarial input (the pair list of n identical docs is
+    * inherently quadratic; no bounded algorithm can emit it).
+    *
+    * One extra shuffle vs the unguarded join: the per-bucket count/min
+    * window partitions by (band, bsig) — the same key the candidate join
+    * hashes on. */
+  private[graft] def bucketGuardedCandidates(banded: DataFrame, cap: Int): DataFrame = {
+    val wB = Window.partitionBy("band", "bsig")
+    val sized = banded
+      .withColumn("bn", count(lit(1)).over(wB))
+      .withColumn("rep", min("doc_id").over(wB))
+    val small = sized.where(col("bn") <= cap)
+      .select("doc_id", "band", "bsig")
+    val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val starPairs = sized.where(col("bn") > cap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
+  def minHashLshPairs(setRows: DataFrame, tau: Double,
+                      maxBucket: Int = LshMaxBucket): DataFrame = {
+    val cand = bucketGuardedCandidates(minHashBanded(setRows), maxBucket)
     // Exact verification of CANDIDATES ONLY: join each pair to its two
     // word sets and intersect with array HOFs. (Re-running the word-level
     // self-join here would reintroduce exactly the quadratic stage LSH
