@@ -366,8 +366,28 @@ object Advanced {
       .orderBy("w_start", "event_type")
   }
 
+  /** q73: approximate percentiles — the SKETCH twin of q41. Exact
+    * `percentile` buffers every group value in memory (unbounded per-key
+    * state — the thing that OOMs at 100 TB group sizes);
+    * `approx_percentile` folds a bounded Greenwald–Khanna sketch with
+    * rank error ≤ n/accuracy, mergeable map-side like any partial agg.
+    * Approximate by contract → rows-only driver check; AdvancedSpec
+    * bounds every output against exact q41 at accuracy=10000. */
+  val q73_approx_percentiles = QueryDef.unchecked("q73_approx_percentiles") { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(expr(
+        "approx_percentile(o_totalprice, array(0.25D, 0.50D, 0.75D, 0.90D), 10000)")
+        .as("ps"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(element_at(col("ps"), 4), 2).as("p90"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
-      q52_grouping_sets, q62_funnel, q70_sliding_window)
+      q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles)
 }

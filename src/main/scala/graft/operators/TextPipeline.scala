@@ -1032,9 +1032,12 @@ object TextPipeline {
     val clusters = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("rep"))
     val stop = col("word").isin("the", "a")
+    // score rounded to 4 decimals BEFORE ranking (q58 protocol): the
+    // survivor election must be reproducible across engines/libm — a
+    // 1-ULP ln() difference must not flip which duplicate we keep.
     val score = Text.tokens(docs).groupBy("doc_id").agg(
-      (log(lit(1) + count(lit(1))) *
-        (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))))
+      round(log(lit(1) + count(lit(1))) *
+        (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))), 4)
         .as("score"))
     val w = Window.partitionBy("rep").orderBy(col("score").desc, col("doc_id"))
     val losers = score.join(broadcast(clusters), "doc_id")
@@ -1042,6 +1045,64 @@ object TextPipeline {
       .where(col("rn") > 1)
       .select("doc_id")
     docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+  }
+
+  /** q71: [[dedupCorpus]] itself as a registry query — the one-call
+    * end-to-end dedup API (pairs → connected components → quality
+    * election → anti-join) oracle-checked as a WHOLE, not just its
+    * pieces (q26 pairs, q48 components, q58 election). The DuckDB twin
+    * replays the full pipeline with a recursive CTE for components and
+    * NOT IN for the anti-join; survivors are compared by id. Bounded to
+    * doc_id < 100 like the other exact-Jaccard oracles. */
+  val q71_dedup_corpus = QueryDef(
+    "q71_dedup_corpus",
+    """WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < 100),
+      |tokens AS (
+      |  SELECT doc_id, w AS word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM docs) WHERE length(w) > 0),
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_rep
+      |             FROM reach GROUP BY id),
+      |score AS (SELECT doc_id,
+      |  ROUND(ln(1 + COUNT(*)) *
+      |    (1 - CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*)), 4) AS score
+      |  FROM tokens GROUP BY doc_id),
+      |m AS (SELECT c.doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+      |                     ORDER BY s.score DESC, c.doc_id) AS rn
+      |  FROM clusters c JOIN score s ON s.doc_id = c.doc_id)
+      |SELECT d.doc_id, d.source, d.lang FROM docs d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM m WHERE rn > 1)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    dedupCorpus(Tables.documents(s, d).where(col("doc_id") < 100), 0.8, "exact")
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** q72: the same one-call dedup through the MinHash-LSH scale path.
+    * Approximate recall (a missed pair can split a cluster and leave an
+    * extra survivor) → rows-only driver check; TextPipelineSpec bounds
+    * LSH pairs against exact, and LshGuardSpec pins the hot-bucket
+    * behavior this path rides on. */
+  val q72_dedup_corpus_lsh = QueryDef.unchecked("q72_dedup_corpus_lsh") { (s, d) =>
+    dedupCorpus(Tables.documents(s, d).where(col("doc_id") < 100), 0.8, "minhash-lsh")
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
   }
 
   /** q68: term vector per host — the last of the six canonical
@@ -1078,5 +1139,6 @@ object TextPipeline {
     q49_stratified_sample, q50_simhash_neardup, q54_repetition_filter,
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
-    q65_incremental_dedup, q66_first_positions, q68_term_vectors)
+    q65_incremental_dedup, q66_first_positions, q68_term_vectors,
+    q71_dedup_corpus, q72_dedup_corpus_lsh)
 }

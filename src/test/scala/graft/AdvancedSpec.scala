@@ -60,6 +60,21 @@ class AdvancedSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.10, s"approx=$a exact=$e")
   }
 
+  test("q73 approx percentiles within 2% of exact q41 on every cell") {
+    val exact = SparkEntry.queries("q41_percentiles")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+    val approx = SparkEntry.queries("q73_approx_percentiles")(spark, sf0001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq(1, 2, 3, 4).foreach { i =>
+        val (a, x) = (r.getDouble(i), e(i - 1))
+        assert(math.abs(a - x) / x < 0.02,
+          s"${r.getString(0)} col $i: approx=$a exact=$x")
+      }
+    }
+  }
+
   test("funnelDepth: order matters — purchase before click doesn't count") {
     import spark.implicits._
     import java.sql.Timestamp
