@@ -37,7 +37,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional args = query-name filter (the "single-query Bench pass"
+    // of BASELINE.md's adjudication rule)
+    val only = args.toSet
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
 
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

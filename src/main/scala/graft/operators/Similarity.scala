@@ -223,6 +223,103 @@ object Similarity {
     lshNeardupPairs(Tables.embeddings(s, d), idBound = 500L, threshold = 0.3)
   }
 
+  /** Hyperplane-LSH banding for embeddings, DataFrame-side: 64-bit
+    * random-hyperplane signature (codegen [[graft.expressions
+    * .VectorExpressions.hyperplaneSig]]) split into `bands` contiguous
+    * bit-bands and exploded to (vec_id, band, bsig) rows — the same
+    * bucket shape as [[TextPipeline.minHashBanded]], so the hot-bucket
+    * guard applies unchanged. Same banding math as the Catalyst rewrite
+    * ([[graft.plans.LshJoinRewrite]]); this explicit form exists so the
+    * CLUSTERING consumer below can guard oversized buckets, which a
+    * pairs-contract rewrite cannot (n identical vectors really do have
+    * n²/2 qualifying pairs). */
+  private[graft] def hyperplaneBanded(emb: DataFrame, bits: Int = 64,
+                                      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 64 && bands >= 1 && bits % bands == 0)
+    val rows = bits / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1L
+    val sig = withVec(emb).select(col("vec_id"),
+      graft.expressions.VectorExpressions.hyperplaneSig(col("v"), bits, seed).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask)).as("bsig"))
+    }
+    sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+  }
+
+  /** One-call EMBEDDING corpus dedup — the vector twin of
+    * [[TextPipeline.dedupCorpus]]: near-dup pairs (exact all-pairs or
+    * hot-bucket-guarded hyperplane-LSH buckets) → connected components →
+    * keep the min-vec_id representative per cluster → anti-join the
+    * losers out.
+    *
+    * Scale posture (`method = "lsh"`, the default): banding is
+    * scan-local; the candidate join is an equi-join on (band, bsig) with
+    * [[TextPipeline.bucketGuardedCandidates]] bounding any degenerate
+    * bucket (identical/boilerplate embeddings) to LINEAR star edges;
+    * candidates are verified with the codegen cosine kernel against the
+    * two vectors only — never all pairs; the losers set (pair members
+    * only) broadcasts into the final anti-join. `method = "exact"` is
+    * the bounded-contract oracle twin. */
+  def dedupEmbeddings(emb: DataFrame, threshold: Double,
+                      method: String = "lsh",
+                      maxBucket: Int = TextPipeline.LshMaxBucket): DataFrame = {
+    val pairs = (method match {
+      case "exact" => cosineThresholdPairs(emb, Long.MaxValue, threshold)
+      case "lsh" =>
+        val cand = TextPipeline.bucketGuardedCandidates(
+          hyperplaneBanded(emb), maxBucket, idCol = "vec_id")
+        val base = withVec(emb).select(col("vec_id"), col("v"), col("nrm"))
+        cand
+          .join(base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+          .join(base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+          .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup method '$other' (expected exact | lsh)")
+    }).select("a", "b")
+    val losers = TextPipeline.connectedComponents(pairs)
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as("vec_id"))
+    emb.join(broadcast(losers), Seq("vec_id"), "left_anti")
+  }
+
+  /** q74: [[dedupEmbeddings]] end-to-end with the exact pair method on
+    * the bounded q35 subset, oracle-checked as a whole against a
+    * recursive-CTE DuckDB twin (pairs → components → min-id survivor →
+    * NOT IN). The vector counterpart of q71. */
+  val q74_dedup_embeddings = QueryDef(
+    "q74_dedup_embeddings",
+    """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 200),
+      |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a, e b
+      |          WHERE a.vec_id < b.vec_id
+      |            AND list_cosine_similarity(a.v, b.v) >= 0.3),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT g.src, reach.r FROM edges g JOIN reach ON g.dst = reach.id),
+      |clusters AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+      |SELECT vec_id FROM e
+      |WHERE vec_id NOT IN (SELECT id FROM clusters WHERE id <> rep)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    dedupEmbeddings(Tables.embeddings(s, d).where(col("vec_id") < 200), 0.3, "exact")
+      .select("vec_id").orderBy("vec_id")
+  }
+
+  /** q75: the same one-call embedding dedup through the guarded
+    * hyperplane-LSH path — approximate recall (a missed pair can split a
+    * cluster and keep an extra survivor) → rows-only driver check;
+    * SimilaritySpec pins exact-survivors ⊆ LSH-survivors and the
+    * adversarial-corpus bound. */
+  val q75_dedup_embeddings_lsh = QueryDef.unchecked("q75_dedup_embeddings_lsh") { (s, d) =>
+    dedupEmbeddings(Tables.embeddings(s, d).where(col("vec_id") < 200), 0.3, "lsh")
+      .select("vec_id").orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup)
+    Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup,
+      q74_dedup_embeddings, q75_dedup_embeddings_lsh)
 }

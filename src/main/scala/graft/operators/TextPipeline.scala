@@ -374,19 +374,20 @@ object TextPipeline {
     * One extra shuffle vs the unguarded join: the per-bucket count/min
     * window partitions by (band, bsig) — the same key the candidate join
     * hashes on. */
-  private[graft] def bucketGuardedCandidates(banded: DataFrame, cap: Int): DataFrame = {
+  private[graft] def bucketGuardedCandidates(banded: DataFrame, cap: Int,
+                                             idCol: String = "doc_id"): DataFrame = {
     val wB = Window.partitionBy("band", "bsig")
     val sized = banded
       .withColumn("bn", count(lit(1)).over(wB))
-      .withColumn("rep", min("doc_id").over(wB))
+      .withColumn("rep", min(idCol).over(wB))
     val small = sized.where(col("bn") <= cap)
-      .select("doc_id", "band", "bsig")
+      .select(idCol, "band", "bsig")
     val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val starPairs = sized.where(col("bn") > cap && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a"), col("doc_id").as("b"))
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    val starPairs = sized.where(col("bn") > cap && col(idCol) =!= col("rep"))
+      .select(col("rep").as("a"), col(idCol).as("b"))
     smallPairs.union(starPairs).distinct()
   }
 

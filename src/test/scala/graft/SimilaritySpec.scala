@@ -37,4 +37,38 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("dedupEmbeddings: identical-vector corpus keeps ONE survivor, " +
+    "guarded buckets stay linear") {
+    // 200 copies of the same vector + 3 mutually-orthogonal singletons:
+    // every band bucket of the copies holds all 200 (over any small cap)
+    val d = df(
+      ((0L until 200L).map(i => i -> Seq(1f, 2f, 3f, 4f)) ++
+        Seq(200L -> Seq(1f, 0f, 0f, 0f), 201L -> Seq(0f, 1f, 0f, 0f),
+          202L -> Seq(0f, 0f, 1f, 0f))): _*)
+    val cand = operators.TextPipeline.bucketGuardedCandidates(
+      Similarity.hyperplaneBanded(d), cap = 8, idCol = "vec_id")
+    // identical vectors share every band bucket → star edges only from
+    // those buckets: candidate count is LINEAR (199 + a few singleton
+    // collisions), nowhere near 200*199/2 = 19900
+    assert(cand.count() <= 199L + 3 * 16)
+    val kept = Similarity.dedupEmbeddings(d, 0.9, "lsh", maxBucket = 8)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.contains(0L), "min-id representative survives")
+    assert(!kept.exists(k => k > 0L && k < 200L), "all other copies removed")
+    assert(Seq(200L, 201L, 202L).forall(kept.contains), "orthogonal vectors kept")
+  }
+
+  test("dedupEmbeddings: exact survivors ⊆ LSH survivors on fixture") {
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 200)
+    val exact = Similarity.dedupEmbeddings(emb, 0.3, "exact")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.dedupEmbeddings(emb, 0.3, "lsh")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // a missed LSH pair can only SPLIT a cluster — every exact cluster's
+    // min-id rep is also the min of whichever LSH sub-cluster holds it
+    assert(exact.subsetOf(lsh),
+      s"exact-only survivors: ${(exact -- lsh).toSeq.sorted.take(5)}")
+    assert(exact.nonEmpty && lsh.size <= 200)
+  }
 }
