@@ -36,6 +36,11 @@ class ShuffleAuditSpec extends SparkSpec {
                            // (doc_id, word, c) aggregate) + groupBy(doc_id)
                            // + orderBy; AQE broadcasts the vocab side at
                            // test SFs, removing the join exchange
+    "q69_window_nav" -> 2, // ONE o_custkey window exchange serves all four
+                           // navigation functions + orderBy
+    "q70_sliding_window" -> 2, // TimeWindowing explode is scan-local; one
+                               // (window, event_type) agg + orderBy
+    "q73_approx_percentiles" -> 2, // GK sketch partial+final + orderBy
     "q60_bm25" -> 2,       // corpus stats agg only; scoring is scan-local,
                            // top-20 is TakeOrdered (no sort shuffle)
     "q61_length_outliers" -> 2, // per-lang band agg + output sort; the

