@@ -166,6 +166,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketGuardedCandidates: guarded ⊆ unguarded, every ≥2-bucket " +
+    "member covered, per-bucket counts bounded — random corpora") {
+    import spark.implicits._
+    import graft.operators.TextPipeline
+    // random (doc_id, band, bsig) assignments: small vocab of bucket
+    // signatures forces collisions of every size around the cap
+    val genCase = for {
+      n <- Gen.choose(2, 60)
+      cap <- Gen.choose(2, 10)
+      sigs <- Gen.listOfN(n, Gen.choose(0L, 4L)) // 5 possible buckets
+    } yield (cap, sigs)
+    samples(genCase, 25).foreach { case (cap, sigs) =>
+      val banded = sigs.zipWithIndex
+        .map { case (s, i) => (i.toLong, 0, s.toString) }
+        .toDF("doc_id", "band", "bsig")
+      val guarded = TextPipeline.bucketGuardedCandidates(banded, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val unguarded = TextPipeline
+        .bucketGuardedCandidates(banded, Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(guarded.subsetOf(unguarded), s"cap=$cap emitted a non-bucket pair")
+      // coverage: every member of a ≥2 bucket appears in some pair
+      val byBucket = sigs.zipWithIndex.groupBy(_._1).values.filter(_.size >= 2)
+      val inPairs = guarded.flatMap(p => Seq(p._1, p._2))
+      byBucket.foreach(_.foreach { case (_, i) =>
+        assert(inPairs.contains(i.toLong), s"cap=$cap dropped member $i entirely")
+      })
+      // bound: per bucket ≤ max(all-pairs under cap, star size)
+      byBucket.foreach { members =>
+        val ids = members.map(_._2.toLong).toSet
+        val cnt = guarded.count(p => ids.contains(p._1) && ids.contains(p._2))
+        val bound = math.max(cap * (cap - 1) / 2, members.size - 1)
+        assert(cnt <= bound,
+          s"cap=$cap bucket of ${members.size} emitted $cnt pairs (> $bound)")
+      }
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -318,11 +318,21 @@ class StreamingSpec extends SparkSpec {
     assert(hour0 == Seq(2L), s"got $hour0")
   }
 
-  test("T2/T3 sliding + session windows produce sane batch-twin results") {
+  test("T2/T3 sliding + session windows produce exact batch-twin results") {
     import spark.implicits._
     val batch = Seq(ev(1, 10), ev(2, 20), ev(3, 55), ev(4, 200)).toDF()
-    val slide = EventOps.slidingCounts(batch).collect()
-    assert(slide.nonEmpty) // 1h window / 15min slide → ≥4 windows per event
+    // 1h window / 15min slide → each event lands in exactly 4 windows;
+    // hand-computed per-window counts (start minute relative to
+    // 2024-01-01 00:00 → count):
+    val expected = Map(
+      -45 -> 1L, -30 -> 2L, -15 -> 2L, 0 -> 3L, 15 -> 2L, 30 -> 1L,
+      45 -> 1L, 150 -> 1L, 165 -> 1L, 180 -> 1L, 195 -> 1L)
+    val epoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val slide = EventOps.slidingCounts(batch)
+      .selectExpr("window.start AS s", "cnt").collect()
+      .map(r => (((r.getTimestamp(0).getTime - epoch) / 60000L).toInt,
+        r.getLong(1))).toMap
+    assert(slide === expected)
     val sess = EventOps.sessionCounts(batch)
       .selectExpr("user_id", "cnt").collect().map(r => r.getLong(1)).sorted
     // 10,20 chain (gap 10m < 30m); 55 is 35m after 20 → own session; 200 too
