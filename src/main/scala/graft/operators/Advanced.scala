@@ -202,9 +202,13 @@ object Advanced {
       |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
       |FROM customer c WHERE c_custkey < 100
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(
+    // Isolated newSession (shared SparkContext/cache, own temp-view
+    // catalog): registering the views never mutates the caller's session
+    // state — same library-surface posture as graft.SqlEntry.run.
+    val iso = s.newSession()
+    Tables.customer(iso, d).createOrReplaceTempView("customer")
+    Tables.orders(iso, d).createOrReplaceTempView("orders")
+    iso.sql(
       """SELECT c_custkey,
         |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS cnt
         |FROM customer c WHERE c_custkey < 100
