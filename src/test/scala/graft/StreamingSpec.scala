@@ -43,6 +43,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00.0", "click", 1L)))
   }
 
+  test("T2 sliding window counts through the STREAMING engine (append " +
+    "mode, exact per-window counts after the watermark closes them)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val query = EventOps.slidingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t2s").outputMode("append")
+      .start()
+    in.addData(ev(1, 10), ev(2, 20)) // 1h/15min windows: starts -45..+15
+    query.processAllAvailable()
+    in.addData(ev(3, 300)) // wm → 290min: every window of events 1–2 closes
+    query.processAllAvailable()
+    query.stop()
+    val epoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val emitted = spark.table("t2s")
+      .selectExpr("window.start AS s", "cnt").collect()
+      .map(r => (((r.getTimestamp(0).getTime - epoch) / 60000L).toInt,
+        r.getLong(1)))
+      .filter(_._1 < 60).toMap // event-3 windows are still open, excluded
+    // identical numbers to the batch twin's hand computation for {10, 20}
+    assert(emitted === Map(-45 -> 1L, -30 -> 2L, -15 -> 2L, 0 -> 2L, 15 -> 1L))
+  }
+
   test("T4 watermark drops late rows") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
