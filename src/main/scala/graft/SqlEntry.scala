@@ -218,6 +218,77 @@ object SqlEntry {
         |SELECT doc_id, word, weight, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin)
 
+  /** Spark SQL texts for EXTENSION queries beyond the declared 27 —
+    * widens the parser-path coverage to the remaining window-function
+    * families (rank variants with NULLS LAST, navigation functions with
+    * explicit frames, the `window()` table expression in GROUP BY) and
+    * GROUPING ROLLUP. Pinned result-equal to the builders in
+    * SqlParitySpec alongside the contract 27. */
+  val extensionSql: Map[String, String] = ListMap(
+    "q63_rank_variants" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT o_orderpriority, o_orderkey, bucket,
+        |  CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC)
+        |       AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC)
+        |       AS BIGINT) AS drnk,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+        |                             ORDER BY bucket DESC), 4) AS prk,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice DESC, o_orderkey)
+        |       AS BIGINT) AS nt
+        |FROM b ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q64_outer_variants" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt
+        |           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt
+        |      FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+        |SELECT tag, nk, c_cnt, s_cnt FROM (
+        |  SELECT 'full' AS tag, COALESCE(c.nk, s.nk) AS nk,
+        |    COALESCE(c_cnt, CAST(0 AS BIGINT)) AS c_cnt,
+        |    COALESCE(s_cnt, CAST(0 AS BIGINT)) AS s_cnt
+        |  FROM c FULL JOIN s ON c.nk = s.nk
+        |  UNION ALL
+        |  SELECT 'right' AS tag, s.nk AS nk,
+        |    COALESCE(c_cnt, CAST(0 AS BIGINT)) AS c_cnt, s_cnt
+        |  FROM c RIGHT JOIN s ON c.nk = s.nk) u
+        |ORDER BY tag, nk""".stripMargin,
+    "q67_scalar_sweep" ->
+      """SELECT o_orderkey,
+        |  CAST(datediff(to_date(o_orderdate), DATE '1995-01-01') AS BIGINT)
+        |    AS days_since,
+        |  trim(concat('  ', o_orderpriority, ' ')) AS prio,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), '-') AS status_or_dash,
+        |  ROUND(ABS(o_totalprice - 150000), 2) AS absdiff,
+        |  ROUND(POWER(1.0001, CAST(o_orderkey % 100 AS DOUBLE)), 4) AS powv,
+        |  substring(o_orderpriority, 1, 3) AS prio3
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q69_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(COALESCE(LEAD(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS next_price,
+        |  ROUND(FIRST_VALUE(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_price,
+        |  ROUND(LAST_VALUE(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+        |  CAST(NTH_VALUE(o_orderkey, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_key
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q70_sliding_window" ->
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
+        |FROM events
+        |GROUP BY window(ts, '1 hour', '15 minutes'), event_type
+        |ORDER BY w_start, event_type""".stripMargin)
+
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,
     * shared SparkContext/cache) so registering the table views never
@@ -236,6 +307,6 @@ object SqlEntry {
       "lineitem" -> Tables.lineitem, "events" -> Tables.events,
       "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
     loaders.foreach { case (t, f) => f(s, dir).createOrReplaceTempView(t) }
-    s.sql(sql(name))
+    s.sql(sql.getOrElse(name, extensionSql(name)))
   }
 }

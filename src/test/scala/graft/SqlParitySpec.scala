@@ -28,7 +28,7 @@ class SqlParitySpec extends SparkSpec {
     (cols, rows)
   }
 
-  SqlEntry.sql.keys.toSeq.sorted.foreach { name =>
+  (SqlEntry.sql.keys ++ SqlEntry.extensionSql.keys).toSeq.sorted.foreach { name =>
     test(s"$name: spark.sql text matches the DataFrame builder") {
       val (dfCols, dfRows) = rendered(SparkEntry.queries(name)(spark, sf0001))
       val (sqlCols, sqlRows) = rendered(SqlEntry.run(spark, sf0001, name))
@@ -46,7 +46,9 @@ class SqlParitySpec extends SparkSpec {
 
   test("the SQL surface covers all 27 declared-contract queries") {
     assert(SqlEntry.sql.size === 27)
-    assert(SqlEntry.sql.keys.forall(SparkEntry.queries.contains),
+    assert((SqlEntry.sql.keys ++ SqlEntry.extensionSql.keys)
+      .forall(SparkEntry.queries.contains),
       "every SQL text keys a registered query")
+    assert(SqlEntry.sql.keySet.intersect(SqlEntry.extensionSql.keySet).isEmpty)
   }
 }
