@@ -22,17 +22,21 @@ object Advanced {
     *
     * Keeps one row per `left` row (the probe side), carrying into `carry`
     * the latest `right` row's ts with right.ts <= left.ts on the same key.
-    * `leftId` names a column identifying left rows (kept in the output);
-    * when absent a synthetic `asof_id` is derived — sufficient as a window
-    * tie-break, but not stable across runs, so pass a real id when the
-    * caller needs deterministic output.
+    * `leftId` names a column identifying left rows (kept in the output).
+    *
+    * Determinism: the carry value depends only on (key, ts) — every right
+    * row with right.ts <= left.ts sorts BEFORE the left row (side 0 first
+    * at equal ts), so two left rows tied on (key, ts) see the same running
+    * `last`. Without a `leftId` the synthetic window tie-break id is
+    * therefore DROPPED from the output: the result is a deterministic
+    * (key, ts, carry) multiset, never a run-varying synthetic id column.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                carry: String, leftId: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val (idExpr, idType, idName) = leftId match {
       case Some(c) => (col(c), left.schema(c).dataType, c)
-      case None    => (monotonically_increasing_id(), LongType, "asof_id")
+      case None    => (monotonically_increasing_id(), LongType, "_asof_tiebreak")
     }
     val l = left.select(col(key), col(ts),
       lit(null).cast(right.schema(ts).dataType).as(carry), lit(1).as("side"),
@@ -43,10 +47,11 @@ object Advanced {
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("side"), col(idName))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val out = l.unionByName(r)
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
       .where(col("side") === 1)
       .drop("side")
+    if (leftId.isDefined) out else out.drop(idName)
   }
 
   /** q40: as-of join on events — for every purchase, the most recent

@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, AttributeReference, BitwiseAnd, CreateArray, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal, PosExplode, ShiftRightUnsigned}
+  Literal, Or, PosExplode, RowFrame, RowOrdering, ShiftRightUnsigned,
+  SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
+  WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Min}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Generate, Join, LogicalPlan, Project}
+  Aggregate, Filter, Generate, Join, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftvec.{CosineSim, HyperplaneSig}
 import org.apache.spark.sql.internal.SQLConf
@@ -38,10 +41,18 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * pre-existing fully-identical result rows — acceptable for the dedup /
   * near-dup workloads this targets, and the rewrite is opt-in).
   *
+  * Degenerate corpora are bounded the same way as the DataFrame LSH
+  * operators: [[guardHotBuckets]] thins oversized (band idx, band sig)
+  * buckets on the left exploded side to their min-key representative
+  * before the join, so n identical vectors produce O(n) star candidates
+  * instead of O(n²) pairs (cap: `spark.graft.lsh.maxBucket`, default
+  * [[graft.operators.TextPipeline.LshMaxBucket]]; <= 0 restores the
+  * unguarded join).
+  *
   * OPT-IN because approximate: enable with `spark.graft.lsh.autoRewrite
   * .enabled=true` (plus `graft.GraftExtensions` in `spark.sql.extensions`,
   * or `spark.experimental.extraOptimizations`). Tune via
-  * `spark.graft.lsh.bits` / `.bands` / `.seed`.
+  * `spark.graft.lsh.bits` / `.bands` / `.seed` / `.maxBucket`.
   */
 object LshJoinRewrite extends Rule[LogicalPlan] {
 
@@ -49,10 +60,14 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   val BitsKey = "spark.graft.lsh.bits"
   val BandsKey = "spark.graft.lsh.bands"
   val SeedKey = "spark.graft.lsh.seed"
+  /** Hot-bucket cap (see [[guardHotBuckets]]); <= 0 disables the guard. */
+  val MaxBucketKey = "spark.graft.lsh.maxBucket"
 
   private val SigName = "_graft_lsh_sig"
   private val PosName = "_graft_lsh_band_idx"
   private val BandName = "_graft_lsh_band"
+  private val BucketCountName = "_graft_lsh_bn"
+  private val BucketRepName = "_graft_lsh_rep"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SQLConf.get.getConfString(EnabledKey, "false").toBoolean) plan
@@ -64,6 +79,8 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
     val bits = SQLConf.get.getConfString(BitsKey, "64").toInt
     val bands = SQLConf.get.getConfString(BandsKey, "16").toInt
     val seed = SQLConf.get.getConfString(SeedKey, "42").toLong
+    val cap = SQLConf.get.getConfString(MaxBucketKey,
+      graft.operators.TextPipeline.LshMaxBucket.toString).toInt
     require(bits >= 1 && bits <= 64 && bands >= 1 && bits % bands == 0,
       s"need 1 <= bands <= bits <= 64 with bands | bits, got bits=$bits bands=$bands")
     plan.transformUp {
@@ -71,8 +88,9 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
           if !alreadyRewritten(cond) =>
         cosinePredicateSides(cond, left, right) match {
           case Some((lv, rv)) =>
-            val (lGen, lPos, lBand) = explodeBands(left, lv, bits, bands, seed)
+            val (lGenRaw, lPos, lBand) = explodeBands(left, lv, bits, bands, seed)
             val (rGen, rPos, rBand) = explodeBands(right, rv, bits, bands, seed)
+            val lGen = guardHotBuckets(lGenRaw, lPos, lBand, left.output, cap)
             val newCond = And(And(EqualTo(lPos, rPos), EqualTo(lBand, rBand)), cond)
             // GROUP BY all output columns — what ReplaceDeduplicateWithAggregate
             // would produce from Deduplicate(j.output, ...). Emitted directly
@@ -90,6 +108,50 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
     * prevents the fixed-point optimizer batch from rewriting twice. */
   private def alreadyRewritten(cond: Expression): Boolean =
     cond.references.exists(_.name == BandName)
+
+  /** Hot-bucket STAR guard for the rule path — the Catalyst mirror of
+    * [[graft.operators.TextPipeline.bucketGuardedCandidates]]: a degenerate
+    * corpus (thousands of identical/boilerplate vectors, routine in web
+    * crawls) collapses into one (band idx, band sig) bucket, and the
+    * banded equi-join then emits O(n²) candidate pairs from that single
+    * bucket — the straggler task the rewrite exists to avoid.
+    *
+    * The guard thins the LEFT exploded side only: a Window over the
+    * bucket key computes the member count and the min "identity" value
+    * (the first sort-orderable attribute of the original left output —
+    * vec_id/doc_id-style schemas lead with exactly such a key); rows in
+    * buckets over `cap` survive only if they carry that min value. An
+    * oversized bucket thus joins as {representative} × members — linear
+    * STAR candidates — while every bucket at or under `cap` keeps the
+    * exact all-pairs candidate set. Guarding one side (not both) is what
+    * preserves dedup-clustering connectivity: the representative still
+    * reaches every member. The window partitions by the same (band idx,
+    * band sig) key the candidate join hashes on, so it rides the join's
+    * own exchange.
+    *
+    * Skipped when `cap` <= 0 or no left attribute is orderable (then the
+    * unguarded join is the declared contract, as before). If the chosen
+    * identity attribute is not unique within a bucket, every row tied at
+    * the min survives — the bound degrades gracefully toward the
+    * unguarded join only on corpora with fully duplicated lead columns. */
+  private def guardHotBuckets(lGen: LogicalPlan, pos: Attribute,
+                              band: Attribute, leftOutput: Seq[Attribute],
+                              cap: Int): LogicalPlan = {
+    val keyOpt = leftOutput.find(a => RowOrdering.isOrderable(a.dataType))
+    if (cap <= 0 || keyOpt.isEmpty) return lGen
+    val key = keyOpt.get
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    val spec = WindowSpecDefinition(Seq(pos, band), Nil, frame)
+    val cnt = Alias(WindowExpression(
+      Count(Literal(1)).toAggregateExpression(), spec), BucketCountName)()
+    val rep = Alias(WindowExpression(
+      Min(key).toAggregateExpression(), spec), BucketRepName)()
+    val win = Window(Seq(cnt, rep), Seq(pos, band), Nil, lGen)
+    val keep = Or(
+      LessThanOrEqual(cnt.toAttribute, Literal(cap.toLong)),
+      EqualTo(key, rep.toAttribute))
+    Project(lGen.output, Filter(keep, win))
+  }
 
   /** Find a `cosine_sim(a, b) >= t` conjunct (any of the four comparison
     * spellings) whose operands split cleanly across the join sides; return

@@ -51,6 +51,31 @@ class AdvancedSpec extends SparkSpec {
     assert(got == Map(10L -> Some(1L), 11L -> Some(5L), 12L -> None, 13L -> None))
   }
 
+  test("asofJoin without leftId: deterministic output, no synthetic id leaks") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(m * 60000L)
+    // duplicate (key, ts) left rows — the case where a synthetic window
+    // tie-break id is needed; it must never surface in the output
+    val left = Seq((100L, t(3)), (100L, t(3)), (100L, t(7)), (200L, t(2)))
+      .toDF("user_id", "ts").repartition(4)
+    val right = Seq((100L, t(1)), (100L, t(5)), (200L, t(9)))
+      .toDF("user_id", "ts")
+    def run() = Advanced.asofJoin(left, right, "user_id", "ts", "prev")
+    val out = run()
+    assert(out.columns.toSeq == Seq("user_id", "ts", "prev"),
+      s"synthetic tie-break id leaked: ${out.columns.toSeq}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+        Option(r.getTimestamp(2)).map(_.getTime / 60000L)))
+      .sortBy(x => (x._1, x._2, x._3))
+    val a = rows(run())
+    assert(rows(run()).sameElements(a), "two runs must produce identical rows")
+    // both duplicate left rows carry the same as-of value
+    assert(a.toSeq == Seq(
+      (100L, 3L, Some(1L)), (100L, 3L, Some(1L)), (100L, 7L, Some(5L)),
+      (200L, 2L, None)))
+  }
+
   test("approx_count_distinct within 10% of exact on documents.text") {
     val r = Tables.documents(spark, sf0001)
       .agg(approx_count_distinct(col("text")).as("a"),

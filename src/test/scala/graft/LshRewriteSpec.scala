@@ -95,6 +95,40 @@ class LshRewriteSpec extends SparkSpec {
     } finally ns.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "false")
   }
 
+  test("rule path hot-bucket guard: 300 identical vectors yield LINEAR candidates") {
+    import spark.implicits._
+    // the adversarial corpus of LshGuardSpec, through the CATALYST rule:
+    // every vector shares every band signature, so without the guard the
+    // banded equi-join emits 300*299/2 = 44850 pairs from one bucket
+    val n = 300
+    val degenerate = Seq.tabulate(n)(i =>
+        (i.toLong, Array(0.3f, -1.7f, 2.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshNeardupPairs(degenerate, Long.MaxValue, 0.3)
+    val got = pairs(out)
+    assert(got.size == n - 1,
+      s"guard must bound the degenerate bucket to star edges, got ${got.size} pairs")
+    // star shape: the min-id representative reaches every other member,
+    // so dedup clustering still sees one connected component
+    assert(got == (1 until n).map(b => (0L, b.toLong)).toSet)
+  }
+
+  test("rule path guard disabled (maxBucket<=0) restores the exact pair contract") {
+    import spark.implicits._
+    val n = 40
+    val degenerate = Seq.tabulate(n)(i =>
+        (i.toLong, Array(0.3f, -1.7f, 2.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val key = graft.plans.LshJoinRewrite.MaxBucketKey
+    spark.conf.set(key, "8")
+    try {
+      assert(pairs(Similarity.lshNeardupPairs(degenerate, Long.MaxValue, 0.3)).size == n - 1)
+      spark.conf.set(key, "0")
+      assert(pairs(Similarity.lshNeardupPairs(degenerate, Long.MaxValue, 0.3)).size == n * (n - 1) / 2,
+        "cap<=0 must fall back to the unguarded all-pairs bucket join")
+    } finally spark.conf.unset(key)
+  }
+
   test("q53 registry entry returns near-dup pairs") {
     val out = SparkEntry.queries("q53_lsh_neardup")(spark, sf0001)
     assert(out.columns.toSeq == Seq("a", "b", "cos"))

@@ -38,6 +38,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("probeTopK on a SAVED centroid table == inline ivfTopK") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") < 5
+    val dir = java.nio.file.Files.createTempDirectory("graft-centroids").toString
+    // train once → persist → reload → probe: the amortized IVF lifecycle
+    Similarity.trainCentroids(emb, nCells = 8, kmeansIters = 2)
+      .write.mode("overwrite").parquet(dir)
+    val saved = spark.read.parquet(dir)
+    val viaSaved = Similarity.probeTopK(emb, saved, pred, 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val inline = Similarity.ivfTopK(emb, pred, 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(viaSaved.nonEmpty && viaSaved.sameElements(inline),
+      "saved-centroid probe must reproduce the inline IVF result exactly")
+  }
+
   test("dedupEmbeddings: identical-vector corpus keeps ONE survivor, " +
     "guarded buckets stay linear") {
     // 200 copies of the same vector + 3 mutually-orthogonal singletons:
