@@ -55,6 +55,45 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
   }
 
+  test("incremental dedup vs a BUCKETED standing corpus shuffles ONLY the new batch") {
+    // q65's production layout (TextPipeline.q65 scaladoc): the standing
+    // corpus is written once, bucketed by the dedup key, so each
+    // incremental ingest shuffles just the new batch — at 100 TB the
+    // standing side never moves again.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, sf0001)
+    Layout.writeBucketed(
+      docs.where(col("doc_id") % 5 =!= 4).select("text"), "b_standing", 4, "text")
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") // plain tree for the walk below
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fresh = docs.where(col("doc_id") % 5 === 4)
+      val out = fresh.join(spark.table("b_standing"), Seq("text"), "left_anti")
+        .select("doc_id", "n_chars")
+      out.collect()
+      val exec = out.queryExecution.executedPlan
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"expected exactly one Exchange (the new batch), got ${shuffles.size}:\n$exec")
+      val subtree = shuffles.head.toString
+      assert(subtree.contains("documents.parquet"),
+        s"the single Exchange must sit over the NEW BATCH scan:\n$subtree")
+      assert(!subtree.contains("b_standing"),
+        s"the bucketed standing corpus must not be re-shuffled:\n$subtree")
+      // correctness: identical survivors to the unbucketed q65 plan
+      val want = SparkEntry.queries("q65_incremental_dedup")(spark, sf0001)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val got = out.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val out = Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/orders"
     val orders = Tables.orders(spark, sf0001)
