@@ -219,11 +219,25 @@ object SqlEntry {
         |ORDER BY doc_id, rn""".stripMargin)
 
   /** Spark SQL texts for EXTENSION queries beyond the declared 27 —
-    * widens the parser-path coverage to the remaining window-function
-    * families (rank variants with NULLS LAST, navigation functions with
-    * explicit frames, the `window()` table expression in GROUP BY) and
-    * GROUPING ROLLUP. Pinned result-equal to the builders in
-    * SqlParitySpec alongside the contract 27. */
+    * the full SQL-expressible remainder of the registry (VERDICT r4 #6):
+    * window families, grouping sets/cube, sessionization, funnel HOF
+    * folds, the text-pipeline scoring/filter/shingle operators, the
+    * SQL-registered native expressions (`poly_hash`, `dot_product` via
+    * [[GraftExtensions.register]]) and the SQL-registered TopK UDAF.
+    * Pinned result-equal to the builders in SqlParitySpec alongside the
+    * contract 27.
+    *
+    * Deliberately ABSENT (and why): q37/q53/q72/q75 (approximate LSH
+    * variants — the operator/rule path IS the surface, results are not
+    * SQL-stable), q38/q39 (IVF Lloyd training loop / typed-Dataset stub
+    * codec — imperative driver coordination, not a single statement),
+    * q46 (already SQL text in its builder), q48/q58/q71/q74 (connected
+    * components — an iterative fixpoint the library runs as a driver
+    * loop; Spark SQL has no UNION-distinct recursive CTE to express it
+    * tersely and a cyclic edge set would not terminate under UNION ALL
+    * recursion). Where a builder uses a bucketed/banded SCALE plan with
+    * identical semantics (q50), the text states the declarative
+    * all-pairs SPEC — the result contract, not the physical plan. */
   val extensionSql: Map[String, String] = ListMap(
     "q63_rank_variants" ->
       """WITH b AS (
@@ -287,7 +301,374 @@ object SqlEntry {
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
         |FROM events
         |GROUP BY window(ts, '1 hour', '15 minutes'), event_type
-        |ORDER BY w_start, event_type""".stripMargin)
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q28_lang_id" ->
+      s"""WITH $TokensCte,
+        |sc AS (SELECT doc_id,
+        |  SUM(CASE WHEN word IN ('hash','merge') THEN 1 ELSE 0 END) AS c_de,
+        |  SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS c_en,
+        |  SUM(CASE WHEN word IN ('data','row') THEN 1 ELSE 0 END) AS c_es,
+        |  SUM(CASE WHEN word IN ('query','table') THEN 1 ELSE 0 END) AS c_fr,
+        |  SUM(CASE WHEN word IN ('spark','scan') THEN 1 ELSE 0 END) AS c_zh
+        |  FROM tokens WHERE doc_id < 100 GROUP BY doc_id),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN c_de = g THEN 'de' WHEN c_en = g THEN 'en'
+        |       WHEN c_es = g THEN 'es' WHEN c_fr = g THEN 'fr'
+        |       WHEN c_zh = g THEN 'zh' END AS pred
+        |  FROM (SELECT *, GREATEST(c_de, c_en, c_es, c_fr, c_zh) AS g FROM sc) t)
+        |SELECT p.doc_id, d.lang, pred,
+        |  CAST(CASE WHEN d.lang = pred THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+    "q29_quality_score" ->
+      s"""WITH $TokensCte,
+        |q AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(CAST(SUM(length(word)) AS DOUBLE) / COUNT(*), 4) AS avg_len,
+        |  ROUND(CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS stop_ratio,
+        |  ROUND(ln(1 + COUNT(*)) *
+        |    (1 - CAST(SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*)), 4) AS score
+        |  FROM tokens GROUP BY doc_id)
+        |SELECT q.doc_id, n_tok, avg_len, stop_ratio, score, n_chars
+        |FROM q JOIN documents d ON q.doc_id = d.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+    "q30_fingerprint" ->
+      "SELECT doc_id, poly_hash(text, 7) AS fp FROM documents ORDER BY doc_id",
+    "q31_token_count" ->
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS n_re,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_minhash_sig" ->
+      s"""WITH $TokensCte,
+        |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 50),
+        |h AS (SELECT doc_id, poly_hash(word, 7) AS wh FROM t)
+        |SELECT doc_id,
+        |  MIN((wh * 3 + 1) % 1000000007) AS h0,
+        |  MIN((wh * 5 + 7) % 1000000007) AS h1,
+        |  MIN((wh * 11 + 13) % 1000000007) AS h2,
+        |  MIN((wh * 17 + 19) % 1000000007) AS h3
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q33_simhash" ->
+      s"""WITH $TokensCte,
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens WHERE doc_id < 100
+        |       GROUP BY doc_id, word),
+        |h AS (SELECT doc_id, tf, poly_hash(word, 7) AS wh FROM tf),
+        |bits AS (SELECT doc_id, b,
+        |         SUM(CASE WHEN (shiftright(wh, b) & 1) = 1 THEN tf ELSE -tf END) AS s
+        |         FROM h CROSS JOIN (SELECT explode(sequence(0, 15)) AS b) bs
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0 END)
+        |    AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q34_ngram_jaccard" ->
+      """WITH arr AS (
+        |  SELECT doc_id, filter(split(lower(text), '[^a-z]+'),
+        |                        x -> length(x) > 0) AS ws
+        |  FROM documents WHERE doc_id < 50),
+        |bg AS (SELECT DISTINCT doc_id, bg FROM (
+        |  SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
+        |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))) AS bg
+        |  FROM arr) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |          FROM bg x JOIN bg y ON x.bg = y.bg AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac
+        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+        |ORDER BY a, b""".stripMargin,
+    "q35_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |en AS (SELECT vec_id, v,
+        |  sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  dot_product(a.v, b.v) / (a.nrm * b.nrm) AS rawcos
+        |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+        |SELECT a, b, ROUND(rawcos, 4) AS cos FROM p WHERE rawcos >= 0.3
+        |ORDER BY a, b""".stripMargin,
+    "q36_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  element_at(array('image','audio','video'), CAST(doc_id % 3 + 1 AS INT))
+        |    AS kind,
+        |  CAST(octet_length(text) AS BIGINT) AS n_bytes,
+        |  aggregate(transform(split(text, ''), c -> ascii(c)),
+        |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q40_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS prev_click,
+        |         1 AS side, event_id FROM p
+        |  UNION ALL
+        |  SELECT user_id, ts, ts AS prev_click, 0 AS side,
+        |         CAST(NULL AS BIGINT) AS event_id FROM c),
+        |w AS (SELECT user_id, ts, event_id, side,
+        |  LAST(prev_click, true) OVER (PARTITION BY user_id
+        |    ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click
+        |  FROM u)
+        |SELECT event_id, user_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts,
+        |  date_format(prev_click, 'yyyy-MM-dd HH:mm:ss') AS prev_click
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q41_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(element_at(ps, 1), 2) AS p25, ROUND(element_at(ps, 2), 2) AS p50,
+        |  ROUND(element_at(ps, 3), 2) AS p75, ROUND(element_at(ps, 4), 2) AS p90
+        |FROM (SELECT o_orderpriority,
+        |        percentile(o_totalprice, array(0.25D, 0.50D, 0.75D, 0.90D)) AS ps
+        |      FROM orders GROUP BY o_orderpriority) t
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q42_topk_udaf" ->
+      """SELECT o_orderpriority,
+        |  array_join(transform(topk3(ROUND(o_totalprice, 2)),
+        |    x -> CAST(CAST(x AS DECIMAL(18,2)) AS STRING)), ',') AS top_prices
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q43_approx_distinct" ->
+      """SELECT source, approx_count_distinct(text) AS approx_uniq, COUNT(*) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q44_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL
+        |             OR unix_micros(ts) - unix_micros(prev) > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, sid, COUNT(*) AS n,
+        |  date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS s_start,
+        |  date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS s_end
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
+    "q45_cube" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_l,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_s,
+        |  COUNT(*) AS cnt
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY g_l, g_s, lang NULLS LAST, source NULLS LAST""".stripMargin,
+    "q47_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+        |FROM orders WHERE o_orderkey BETWEEN 1 AND 999
+        |ORDER BY o_orderkey""".stripMargin,
+    "q49_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id, poly_hash(text, 13) % 1000 AS hb
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id, hb,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        |      FROM h)
+        |SELECT lang, doc_id, hb, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
+    "q50_simhash_neardup" ->
+      s"""WITH $TokensCte,
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens WHERE doc_id < 100
+        |       GROUP BY doc_id, word),
+        |h AS (SELECT doc_id, tf, poly_hash(word, 7) AS wh FROM tf),
+        |bits AS (SELECT doc_id, b,
+        |         SUM(CASE WHEN (shiftright(wh, b) & 1) = 1 THEN tf ELSE -tf END) AS s
+        |         FROM h CROSS JOIN (SELECT explode(sequence(0, 15)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |       SUM(CASE WHEN s > 0 THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0 END)
+        |         AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS dist
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(x.simhash ^ y.simhash) <= 3
+        |ORDER BY a, b""".stripMargin,
+    "q51_json_map" ->
+      """SELECT event_type, jk, COUNT(*) AS cnt, SUM(jv) AS sum_v,
+        |  MIN(jv) AS min_v, MAX(jv) AS max_v
+        |FROM events
+        |LATERAL VIEW explode(from_json(props, 'map<string,bigint>')) kv AS jk, jv
+        |GROUP BY event_type, jk
+        |ORDER BY event_type, jk""".stripMargin,
+    "q52_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_s, g_p, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
+    "q54_repetition_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, filter(split(lower(text), '[^a-z]+'),
+        |                        x -> length(x) > 0) AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, transform(sequence(1, size(words) - 1),
+        |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) AS bg
+        |  FROM w WHERE size(words) >= 2)
+        |SELECT doc_id,
+        |  CAST(size(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(size(array_distinct(bg)) AS BIGINT) AS n_distinct,
+        |  ROUND(1 - CAST(size(array_distinct(bg)) AS DOUBLE) / size(bg), 4)
+        |    AS dup_frac,
+        |  CAST(CASE WHEN 1 - CAST(size(array_distinct(bg)) AS DOUBLE) / size(bg) > 0.2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q55_boilerplate_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, filter(split(lower(text), '[^a-z]+'),
+        |                        x -> length(x) > 0) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, explode(transform(sequence(1, size(words) - 2),
+        |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+        |                   element_at(words, i + 2)))) AS shingle
+        |  FROM w WHERE size(words) >= 3)
+        |SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+        |FROM g GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, n_total DESC, shingle""".stripMargin,
+    "q56_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(filter(split(lower(text), '[^a-z]+'),
+        |                     x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |  CAST(FLOOR((cum - n_tok) / 500.0) AS BIGINT) AS shard
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q57_lm_xent" ->
+      """WITH w AS (
+        |  SELECT doc_id, explode(filter(split(lower(text), '[^a-z]+'),
+        |                                x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |dc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+        |vocab AS (SELECT word, SUM(c) AS cnt FROM dc GROUP BY word),
+        |tot AS (SELECT SUM(cnt) AS t FROM vocab)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  ROUND(-SUM(c * log2(cnt / t)) / SUM(c), 4) AS xent_bits
+        |FROM dc JOIN vocab USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q59_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, filter(split(lower(text), '[^a-z]+'),
+        |                                x -> length(x) > 0) AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, explode(transform(sequence(1, size(words) - 2),
+        |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+        |                   element_at(words, i + 2)))) AS sh
+        |  FROM w WHERE size(words) >= 3),
+        |bench AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+        |train AS (SELECT DISTINCT doc_id, sh FROM g WHERE source <> 'src0'),
+        |m AS (SELECT t.doc_id, CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM train t LEFT JOIN bench b ON t.sh = b.sh)
+        |SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS contam_frac,
+        |  CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.5
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q60_bm25" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    CAST(size(words) AS BIGINT) AS len,
+        |    CAST(size(filter(words, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(size(filter(words, w -> w = 'join')) AS BIGINT) AS tf_join,
+        |    CAST(size(filter(words, w -> w = 'table')) AS BIGINT) AS tf_table
+        |  FROM (SELECT doc_id, filter(split(lower(text), '[^a-z]+'),
+        |                              x -> length(x) > 0) AS words
+        |        FROM documents) t),
+        |stats AS (SELECT
+        |    COUNT(CASE WHEN len > 0 THEN 1 END) AS n,
+        |    AVG(CASE WHEN len > 0 THEN len END) AS avgdl,
+        |    SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |    SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table
+        |  FROM per)
+        |SELECT doc_id, ROUND(
+        |    ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1) * tf_spark * 2.2
+        |      / (tf_spark + 1.2 * (0.25 + 0.75 * len / avgdl))
+        |  + ln((n - df_join + 0.5) / (df_join + 0.5) + 1) * tf_join * 2.2
+        |      / (tf_join + 1.2 * (0.25 + 0.75 * len / avgdl))
+        |  + ln((n - df_table + 0.5) / (df_table + 0.5) + 1) * tf_table * 2.2
+        |      / (tf_table + 1.2 * (0.25 + 0.75 * len / avgdl)), 4) AS bm25
+        |FROM per CROSS JOIN stats
+        |WHERE tf_spark + tf_join + tf_table > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q61_length_outliers" ->
+      """WITH b AS (
+        |  SELECT lang, percentile(n_chars, 0.05) AS lo_raw,
+        |         percentile(n_chars, 0.95) AS hi_raw
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |  ROUND(lo_raw, 2) AS lo, ROUND(hi_raw, 2) AS hi,
+        |  CAST(CASE WHEN n_chars < lo_raw OR n_chars > hi_raw THEN 1 ELSE 0 END
+        |       AS BIGINT) AS outlier
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |ORDER BY doc_id""".stripMargin,
+    "q62_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT) AS code
+        |  FROM events),
+        |l AS (SELECT user_id,
+        |        sort_array(collect_list(struct(ts, event_id, code))) AS evs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  aggregate(transform(evs, x -> x.code), CAST(0 AS BIGINT),
+        |    (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+        |    AS funnel_depth
+        |FROM l ORDER BY user_id""".stripMargin,
+    "q65_incremental_dedup" ->
+      """SELECT n.doc_id, n.n_chars
+        |FROM documents n
+        |WHERE n.doc_id % 5 = 4
+        |  AND NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id % 5 <> 4 AND e.text = n.text)
+        |ORDER BY n.doc_id""".stripMargin,
+    "q66_first_positions" ->
+      """WITH w AS (
+        |  SELECT doc_id, filter(split(lower(text), '[^a-z]+'),
+        |                        x -> length(x) > 0) AS words
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, word, CAST(MIN(pos0 + 1) AS BIGINT) AS first_pos
+        |FROM w LATERAL VIEW posexplode(words) p AS pos0, word
+        |GROUP BY doc_id, word
+        |ORDER BY doc_id, word""".stripMargin,
+    "q68_term_vectors" ->
+      """WITH w AS (
+        |  SELECT source, explode(filter(split(lower(text), '[^a-z]+'),
+        |                                x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+        |r AS (SELECT source, word, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |                         ORDER BY cnt DESC, word) AS rn
+        |      FROM c)
+        |SELECT source, word, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+    "q73_approx_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(element_at(ps, 1), 2) AS p25, ROUND(element_at(ps, 2), 2) AS p50,
+        |  ROUND(element_at(ps, 3), 2) AS p75, ROUND(element_at(ps, 4), 2) AS p90
+        |FROM (SELECT o_orderpriority,
+        |        approx_percentile(o_totalprice,
+        |                          array(0.25D, 0.50D, 0.75D, 0.90D), 10000) AS ps
+        |      FROM orders GROUP BY o_orderpriority) t
+        |ORDER BY o_orderpriority""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,
@@ -298,6 +679,13 @@ object SqlEntry {
     val s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set(Tables.nanosAsLongConf, "true")
+    // SQL-surface registrations, scoped to the cloned session: the native
+    // graft expressions (poly_hash, dot_product, ... — what
+    // spark.sql.extensions would inject at startup) and the TopK
+    // Aggregator as a SQL-callable UDAF.
+    GraftExtensions.register(s)
+    s.udf.register("topk3",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopK(3)))
     // Per-table accessors, not raw load: events' ts needs the
     // nanos→timestamp normalization baked into Tables.events.
     val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -305,18 +305,36 @@ object Advanced {
     * alternative (3 self-joins on ts ranges) shuffles the table 3×. */
   val q62_funnel = QueryDef(
     "q62_funnel",
+    // Oracle formulation note: the greedy fold (advance iff the next code
+    // equals depth+1) is equivalently "first view, then the first click
+    // AFTER it, then the first purchase after THAT" — expressed here as
+    // positional min-joins. An earlier list_reduce(+CASE lambda) oracle
+    // hit a DuckDB 1.0 vectorization bug at sf1 scale (wrong fold results
+    // for a thread-count-dependent handful of users on ~67-element lists;
+    // DuckDB's own single-group evaluation of the same lists agrees with
+    // Spark) — found by the sf1 scaling run, 2026-08-12.
     """WITH e AS (
       |  SELECT user_id, event_id, ts,
       |    CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-      |         WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT) AS code
+      |         WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT) AS code,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
       |  FROM events),
-      |l AS (SELECT user_id, list(code ORDER BY ts, event_id) AS codes
-      |      FROM e GROUP BY user_id)
-      |SELECT user_id,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-      |    (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |p1 AS (SELECT user_id, MIN(pos) AS p FROM e WHERE code = 1 GROUP BY user_id),
+      |p2 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+      |       JOIN p1 ON e.user_id = p1.user_id AND e.pos > p1.p
+      |       WHERE e.code = 2 GROUP BY e.user_id),
+      |p3 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+      |       JOIN p2 ON e.user_id = p2.user_id AND e.pos > p2.p
+      |       WHERE e.code = 3 GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN p3.p IS NOT NULL THEN 3 WHEN p2.p IS NOT NULL THEN 2
+      |            WHEN p1.p IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS funnel_depth
-      |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+      |FROM u LEFT JOIN p1 ON u.user_id = p1.user_id
+      |       LEFT JOIN p2 ON u.user_id = p2.user_id
+      |       LEFT JOIN p3 ON u.user_id = p3.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, d) =>
     funnelDepth(Tables.events(s, d))
   }
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Derive a LARGER scale factor from a driver-generated fixture dir by
+replicating every table `copies` times with disjoint key spaces — the
+sf1 evidence generator (VERDICT r4 #2). Driver-side tooling only (like
+oracle_check.py), never a library dependency.
+
+Design goals:
+- REFERENTIAL INTEGRITY: every foreign key is offset by the same
+  per-copy stride as its parent (orders.o_custkey tracks customer,
+  lineitem.l_{order,part,supp}key track their parents), so join
+  cardinalities scale exactly linearly. region/nation stay fixed
+  (TPC-H semantics: dimension tables are SF-invariant).
+- LINEAR near-dup structure: copy 0 is byte-identical to the source
+  (all `< id bound` oracle contracts keep their exact meaning); in copy
+  i>0 every alphabetic token gets a copy-unique suffix ("zzq"+chr(96+i)).
+  Token maps are injective per copy, so WITHIN-copy Jaccard/MinHash/
+  shingle structure is preserved exactly while cross-copy token sets are
+  disjoint — near-dup pair counts scale 10x, not 100x. n_chars is
+  recomputed (the source invariant n_chars == length(text) holds).
+- Embeddings: copy i is the source vector circularly shifted by i
+  positions. A common permutation preserves all within-copy cosines
+  (up to float summation order) and decorrelates cross-copy pairs, so
+  embedding near-dup pairs also scale linearly.
+- events: ids offset, timestamps/props untouched — per-user session
+  structure replicates exactly.
+
+Usage: make_sf.py <srcDir> <dstDir> [copies=10]
+"""
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+STRIDE = 10_000_000  # far above any source key; keeps copy-0 ids intact
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    cp = f"CROSS JOIN (SELECT unnest(range({copies})) AS i) AS c"
+
+    def t(name):
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    def write(name, select):
+        con.sql(f"COPY ({select}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    # SF-invariant dimensions: verbatim copy
+    for name in ("region", "nation"):
+        write(name, f"SELECT * FROM {t(name)}")
+
+    write("customer", f"""
+        SELECT c_custkey + i*{STRIDE} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM {t('customer')} {cp}""")
+    write("supplier", f"""
+        SELECT s_suppkey + i*{STRIDE} AS s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM {t('supplier')} {cp}""")
+    write("part", f"""
+        SELECT p_partkey + i*{STRIDE} AS p_partkey, p_name, p_brand, p_type,
+               p_size, p_retailprice
+        FROM {t('part')} {cp}""")
+    # timestamp columns are cast back to the SOURCE parquet units (ms for
+    # the TPC-H dates, ns for events.ts) — DuckDB would otherwise write
+    # its native us and silently drop the driver layout's TIMESTAMP(NANOS)
+    # quirk that Tables.events exists to handle
+    write("orders", f"""
+        SELECT o_orderkey + i*{STRIDE} AS o_orderkey,
+               o_custkey + i*{STRIDE} AS o_custkey,
+               o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS TIMESTAMP_MS) AS o_orderdate, o_orderpriority
+        FROM {t('orders')} {cp}""")
+    write("lineitem", f"""
+        SELECT l_orderkey + i*{STRIDE} AS l_orderkey,
+               l_partkey + i*{STRIDE} AS l_partkey,
+               l_suppkey + i*{STRIDE} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus,
+               CAST(l_shipdate AS TIMESTAMP_MS) AS l_shipdate
+        FROM {t('lineitem')} {cp}""")
+    write("events", f"""
+        SELECT event_id + i*{STRIDE} AS event_id,
+               CAST(ts AS TIMESTAMP_NS) AS ts,
+               user_id + i*{STRIDE} AS user_id, event_type, value, props
+        FROM {t('events')} {cp}""")
+    # DuckDB's parquet writer downcasts TIMESTAMP_NS to us (v1.0) —
+    # rewrite events through pyarrow to restore the source layout's
+    # TIMESTAMP(NANOS) physical type (parquet 2.6)
+    ev = pq.read_table(f"{dst}/events.parquet")
+    idx = ev.schema.get_field_index("ts")
+    ev = ev.set_column(idx, pa.field("ts", pa.timestamp("ns")),
+                       ev.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(ev, f"{dst}/events.parquet", version="2.6")
+    print("events: ts restored to timestamp[ns]")
+    write("documents", f"""
+        SELECT doc_id + i*{STRIDE} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE regexp_replace(text, '([A-Za-z]+)',
+                                        '\\1zzq' || chr(CAST(97 + i AS INTEGER)), 'g')
+               END AS text,
+               lang, source,
+               CASE WHEN i = 0 THEN n_chars
+                    ELSE CAST(length(regexp_replace(text, '([A-Za-z]+)',
+                              '\\1zzq' || chr(CAST(97 + i AS INTEGER)), 'g')) AS BIGINT)
+               END AS n_chars
+        FROM {t('documents')} {cp}""")
+    write("embeddings", f"""
+        SELECT vec_id + i*{STRIDE} AS vec_id,
+               CASE WHEN i = 0 THEN embedding
+                    ELSE embedding[i+1:] || embedding[1:i]
+               END AS embedding,
+               label
+        FROM {t('embeddings')} {cp}""")
+
+
+if __name__ == "__main__":
+    main()
