@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,75 @@ object Advanced {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         date_format(col("prev_click"), "yyyy-MM-dd HH:mm:ss").as("prev_click"))
       .orderBy("event_id")
+  }
+
+  /** Scalable one-sided theta-COUNT join (the J6 100 TB path): for every
+    * left row, the number of right rows with `rightVal` strictly below
+    * `leftVal` — the aggregate most `ON a > b` joins exist to feed
+    * (q19's shape). The nested-loop join computes it with O(|L|·|R|)
+    * comparisons, inherently O(SF²) as the sf1 scaling run measured
+    * (45× at 10× data). This formulation is O(n log n) with ONE data
+    * shuffle: the count equals the RANK of `leftVal` within the right
+    * value distribution, so
+    *
+    *  1. range-bucket BOTH sides by approximate right-side quantiles
+    *     (driver holds only the nBuckets boundary values — bounded by
+    *     construction, the same coordination budget as IVF centroids);
+    *  2. per bucket, a window ordered by (value, side) running-counts the
+    *     right rows below each left row — left sorts before right at
+    *     equal values, giving the strict `>` semantics;
+    *  3. right-row totals per bucket (≤ nBuckets rows) get a prefix sum
+    *     and broadcast back, so cross-bucket counts never touch data.
+    *
+    * Inner-join semantics: left rows with count 0 are dropped. Buckets
+    * are quantile-balanced, so the window partitions stay even under
+    * value skew. Nulls in either value column are not supported (the
+    * comparison is undefined there, as in the join form). */
+  def rankCountJoin(left: DataFrame, leftKey: String, leftVal: String,
+                    right: DataFrame, rightVal: String,
+                    nBuckets: Int = 32): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = right.stat.approxQuantile(rightVal, probs, 0.001)
+    // monotone bucket id: #boundaries strictly below v — equal values on
+    // both sides always land in the same bucket
+    def bucketOf(v: Column): Column =
+      size(filter(array(bounds.map(lit(_)): _*), b => b < v))
+    val keyType = left.schema(leftKey).dataType
+    val l = left.select(col(leftVal).cast("double").as("v"),
+      lit(0L).as("is_r"), col(leftKey))
+    val r = right.select(col(rightVal).cast("double").as("v"),
+      lit(1L).as("is_r"), lit(null).cast(keyType).as(leftKey))
+    val u = l.unionByName(r).withColumn("bucket", bucketOf(col("v")))
+    // per-bucket right totals → exclusive prefix sum; ≤ nBuckets rows, so
+    // the global window and the broadcast are bounded by construction
+    val wPrefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = u.where(col("is_r") === 1)
+      .groupBy("bucket").agg(count(lit(1)).as("in_bucket"))
+      .withColumn("prefix", coalesce(sum("in_bucket").over(wPrefix), lit(0L)))
+      .select("bucket", "prefix")
+    val wRun = Window.partitionBy("bucket").orderBy(col("v"), col("is_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("below_in_bucket", sum("is_r").over(wRun))
+      .where(col("is_r") === 0)
+      .join(broadcast(prefixes), Seq("bucket"), "left")
+      .withColumn("cnt", coalesce(col("prefix"), lit(0L)) + col("below_in_bucket"))
+      .where(col("cnt") > 0)
+      .select(col(leftKey), col("cnt"))
+  }
+
+  /** q76: q19's theta-join aggregate through [[rankCountJoin]] — same
+    * oracle as q19 (DuckDB replays the join form), linear scaling where
+    * the nested-loop form is quadratic. Added by the sf1 plan audit
+    * (BASELINE.md "SF1 SCALING EVIDENCE"). */
+  val q76_theta_rank_join = QueryDef(
+    "q76_theta_rank_join",
+    """SELECT p_partkey, COUNT(*) AS cnt
+      |FROM part JOIN supplier ON p_retailprice > s_acctbal
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    rankCountJoin(Tables.part(s, d), "p_partkey", "p_retailprice",
+      Tables.supplier(s, d), "s_acctbal")
+      .orderBy("p_partkey")
   }
 
   /** q41: exact interpolated percentiles per group — Spark `percentile`
@@ -416,5 +485,6 @@ object Advanced {
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
-      q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles)
+      q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
+      q76_theta_rank_join)
 }

@@ -218,4 +218,64 @@ object EventOps {
       .transformWithState(new SessionCloseProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class TotalsTtl(user_id: Long, n: Long, total: Double, expired: Boolean)
+
+  /** State TTL on EVENT TIME (the VERDICT r4 #8 demo): running per-user
+    * totals whose state EXPIRES after `ttlMs` of event-time inactivity.
+    * `TTLConfig` keys expiry to PROCESSING time — wall-clock, untestable
+    * without flaky sleeps and wrong for replay/backfill (state lifetime
+    * would depend on how fast the job runs, not on the data). This
+    * formulation keeps the TTL semantics but drives it from the
+    * WATERMARK: every batch re-arms a timer at `last event time + ttl`;
+    * when the watermark passes it, the final aggregate is emitted once
+    * with `expired = true` and the state is cleared — so state size is
+    * bounded by event-time-active keys, and a replay produces identical
+    * results at any speed. A later event for the key starts from zero,
+    * exactly like a TTL-evicted entry. */
+  class TtlTotalsProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TotalsTtl] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var agg: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[SessionAgg](
+        "ttlTotals", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[TotalsTtl] = {
+      val prev = Option(agg.get()).getOrElse(SessionAgg(0L, 0.0, Long.MinValue))
+      var n = prev.n
+      var total = prev.total
+      var lastMs = prev.lastMs
+      rows.foreach { e => n += 1; total += e.value; lastMs = math.max(lastMs, e.ts.getTime) }
+      agg.update(SessionAgg(n, total, lastMs))
+      // one armed timer per key: slide the expiry to the newest activity
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(lastMs + ttlMs)
+      Iterator.single(TotalsTtl(key, n, total, expired = false))
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[TotalsTtl] = {
+      val cur = agg.get()
+      agg.clear()
+      if (cur == null) Iterator.empty
+      else Iterator.single(TotalsTtl(key, cur.n, cur.total, expired = true))
+    }
+  }
+
+  /** Running totals with event-time state TTL; see [[TtlTotalsProcessor]]. */
+  def expiringUserTotals(events: Dataset[Event],
+                         ttlMs: Long = 60L * 60 * 1000,
+                         lateness: String = "10 minutes"): Dataset[TotalsTtl] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlTotalsProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -76,6 +76,25 @@ class AdvancedSpec extends SparkSpec {
       (200L, 2L, None)))
   }
 
+  test("rankCountJoin == nested-loop theta join; strict > at ties; zero-count dropped") {
+    import spark.implicits._
+    // hand-built ties: right values {1.0, 2.0, 2.0, 5.0}; strict > means a
+    // left value of 2.0 counts ONLY the 1.0
+    val left = Seq((10L, 2.0), (11L, 1.0), (12L, 6.0), (13L, 0.5))
+      .toDF("k", "lv")
+    val right = Seq(1.0, 2.0, 2.0, 5.0).toDF("rv")
+    val got = Advanced.rankCountJoin(left, "k", "lv", right, "rv", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 11 (lv=1.0): nothing below; 13 (0.5): nothing → both dropped (inner join)
+    assert(got == Map(10L -> 1L, 12L -> 4L), s"got $got")
+    // full parity with the q19 nested-loop form on the fixture
+    val nl = SparkEntry.queries("q19_theta_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rk = SparkEntry.queries("q76_theta_rank_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rk == nl, "rank-join must reproduce the theta-join aggregate exactly")
+  }
+
   test("approx_count_distinct within 10% of exact on documents.text") {
     val r = Tables.documents(spark, sf0001)
       .agg(approx_count_distinct(col("text")).as("a"),

@@ -187,6 +187,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T6 event-time state TTL: totals expire after inactivity, then restart") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      // ttl = 60 min of EVENT-time inactivity; watermark lateness 10 min
+      val query = EventOps.expiringUserTotals(in.toDS(), ttlMs = 60L * 60 * 1000)
+        .writeStream.format("memory").queryName("t6ttl").outputMode("append")
+        .start()
+      def rows() = spark.table("t6ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+      // user 1 active at t=0 and t=20min → running total, state alive
+      in.addData(ev(1, 0, user = 1, v = 2.0), ev(2, 20, user = 1, v = 3.0))
+      query.processAllAvailable()
+      assert(rows().contains((1L, 2L, 5.0, false)))
+      assert(!rows().exists(_._4), "nothing may expire before the watermark moves")
+      // user 2 at t=300min → watermark 290min > 20+60min → user 1's state
+      // expires: final aggregate emitted ONCE with expired=true
+      in.addData(ev(3, 300, user = 2, v = 7.0))
+      query.processAllAvailable()
+      assert(rows().count(_ == (1L, 2L, 5.0, true)) == 1, s"got ${rows()}")
+      // user 1 returns at t=310min → state restarted from zero (TTL-evicted)
+      in.addData(ev(4, 310, user = 1, v = 9.0))
+      query.processAllAvailable()
+      query.stop()
+      assert(rows().contains((1L, 1L, 9.0, false)), s"got ${rows()}")
+      // replay-determinism of the emission count: one live update per
+      // input batch per key + exactly one expiry row
+      assert(rows().count(t => t._1 == 1L) == 3, s"got ${rows()}")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment joins the live stream against a batch dim") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
