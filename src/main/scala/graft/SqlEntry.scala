@@ -235,9 +235,9 @@ object SqlEntry {
     * components — an iterative fixpoint the library runs as a driver
     * loop; Spark SQL has no UNION-distinct recursive CTE to express it
     * tersely and a cyclic edge set would not terminate under UNION ALL
-    * recursion), q76 (rank-join buckets come from driver-side
-    * approxQuantile — a two-statement workflow, not one text; q19 is its
-    * join-form twin and IS on this surface). Where a builder uses a
+    * recursion), q76/q77 (rank-join buckets come from driver-side
+    * approxQuantile — a two-statement workflow, not one text; q19 is
+    * their join-form twin and IS on this surface). Where a builder uses a
     * bucketed/banded SCALE plan with
     * identical semantics (q50), the text states the declarative
     * all-pairs SPEC — the result contract, not the physical plan. */

@@ -103,7 +103,33 @@ object Advanced {
     * comparison is undefined there, as in the join form). */
   def rankCountJoin(left: DataFrame, leftKey: String, leftVal: String,
                     right: DataFrame, rightVal: String,
-                    nBuckets: Int = 32): DataFrame = {
+                    nBuckets: Int = 32): DataFrame =
+    rankAggJoin(left, leftKey, leftVal, right, rightVal, nBuckets = nBuckets)
+      .select(col(leftKey), col("cnt"))
+
+  /** Generalization of [[rankCountJoin]] to the other one-sided theta
+    * aggregates: for every left row, the COUNT, SUM and AVG of a
+    * right-side column over the right rows whose `rightVal` is strictly
+    * below `leftVal`. Identical bucket mechanics — quantile
+    * range-buckets, one per-bucket running (count, sum) window, and
+    * broadcast per-bucket prefix totals (≤ nBuckets rows) — so the cost
+    * stays one data shuffle regardless of the theta join's selectivity,
+    * where the nested-loop form is O(|L|·|R|) comparisons AND an
+    * O(match-count) shuffle into the re-aggregation.
+    *
+    * `aggVal` names the right column being summed (defaults to the
+    * compared column). The running-window addition order differs from
+    * other engines' aggregate order, which matters only for floating
+    * point — callers needing cross-engine-deterministic sums should pass
+    * an exact-integer `aggVal` (e.g. money as cents; q77 does this).
+    * Output: (leftKey, cnt, sum, avg); left rows with nothing below are
+    * dropped (inner-join semantics). Nulls in the compared or aggregated
+    * columns are not supported, as in the join form. */
+  def rankAggJoin(left: DataFrame, leftKey: String, leftVal: String,
+                  right: DataFrame, rightVal: String,
+                  aggVal: Option[String] = None,
+                  nBuckets: Int = 32): DataFrame = {
+    val av = aggVal.getOrElse(rightVal)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = right.stat.approxQuantile(rightVal, probs, 0.001)
     // monotone bucket id: #boundaries strictly below v — equal values on
@@ -111,27 +137,35 @@ object Advanced {
     def bucketOf(v: Column): Column =
       size(filter(array(bounds.map(lit(_)): _*), b => b < v))
     val keyType = left.schema(leftKey).dataType
+    val sumType = right.schema(av).dataType
     val l = left.select(col(leftVal).cast("double").as("v"),
-      lit(0L).as("is_r"), col(leftKey))
+      lit(0L).as("is_r"), lit(null).cast(sumType).as("sv"), col(leftKey))
     val r = right.select(col(rightVal).cast("double").as("v"),
-      lit(1L).as("is_r"), lit(null).cast(keyType).as(leftKey))
+      lit(1L).as("is_r"), col(av).as("sv"), lit(null).cast(keyType).as(leftKey))
     val u = l.unionByName(r).withColumn("bucket", bucketOf(col("v")))
-    // per-bucket right totals → exclusive prefix sum; ≤ nBuckets rows, so
+    // per-bucket right totals → exclusive prefix sums; ≤ nBuckets rows, so
     // the global window and the broadcast are bounded by construction
     val wPrefix = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = u.where(col("is_r") === 1)
-      .groupBy("bucket").agg(count(lit(1)).as("in_bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("in_bucket"), sum("sv").as("sum_in"))
       .withColumn("prefix", coalesce(sum("in_bucket").over(wPrefix), lit(0L)))
-      .select("bucket", "prefix")
+      .withColumn("sprefix", sum("sum_in").over(wPrefix))
+      .select("bucket", "prefix", "sprefix")
+    // left rows sort BEFORE right rows at equal v (is_r 0 < 1) → strict >
     val wRun = Window.partitionBy("bucket").orderBy(col("v"), col("is_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("below_in_bucket", sum("is_r").over(wRun))
+      .withColumn("sum_below_in_bucket", sum("sv").over(wRun))
       .where(col("is_r") === 0)
       .join(broadcast(prefixes), Seq("bucket"), "left")
       .withColumn("cnt", coalesce(col("prefix"), lit(0L)) + col("below_in_bucket"))
       .where(col("cnt") > 0)
-      .select(col(leftKey), col("cnt"))
+      .withColumn("sum", coalesce(col("sprefix"), lit(0)) +
+        coalesce(col("sum_below_in_bucket"), lit(0)))
+      .withColumn("avg", col("sum").cast("double") / col("cnt"))
+      .select(col(leftKey), col("cnt"), col("sum"), col("avg"))
   }
 
   /** q76: q19's theta-join aggregate through [[rankCountJoin]] — same
@@ -145,6 +179,31 @@ object Advanced {
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
     rankCountJoin(Tables.part(s, d), "p_partkey", "p_retailprice",
       Tables.supplier(s, d), "s_acctbal")
+      .orderBy("p_partkey")
+  }
+
+  /** q77: the generalized theta aggregates through [[rankAggJoin]] — per
+    * part, the count, total and mean of supplier balances strictly below
+    * its retail price. Balances are summed as exact integer CENTS on
+    * both engines (SURVEY §7 "integer cents" rule), making the hash
+    * compare immune to float summation order; the oracle replays the
+    * nested-loop join form the rank shape replaces at scale. */
+  val q77_theta_agg_join = QueryDef(
+    "q77_theta_agg_join",
+    """SELECT p_partkey,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  ROUND(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*), 2)
+      |    AS avg_bal
+      |FROM part JOIN supplier ON p_retailprice > s_acctbal
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+      .withColumn("bal_cents", round(col("s_acctbal") * 100).cast("long"))
+    rankAggJoin(Tables.part(s, d), "p_partkey", "p_retailprice",
+      sup, "s_acctbal", aggVal = Some("bal_cents"))
+      .select(col("p_partkey"), col("cnt"),
+        col("sum").as("sum_cents"),
+        round(col("sum") / 100.0 / col("cnt"), 2).as("avg_bal"))
       .orderBy("p_partkey")
   }
 
@@ -486,5 +545,5 @@ object Advanced {
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
-      q76_theta_rank_join)
+      q76_theta_rank_join, q77_theta_agg_join)
 }

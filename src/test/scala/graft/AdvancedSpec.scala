@@ -95,6 +95,42 @@ class AdvancedSpec extends SparkSpec {
     assert(rk == nl, "rank-join must reproduce the theta-join aggregate exactly")
   }
 
+  test("rankAggJoin: count/sum/avg below threshold; strict > at ties") {
+    import spark.implicits._
+    // right values {1.0, 2.0, 2.0, 5.0}; strict > means a left value of
+    // 2.0 aggregates ONLY the 1.0
+    val left = Seq((10L, 2.0), (11L, 1.0), (12L, 6.0), (13L, 0.5))
+      .toDF("k", "lv")
+    val right = Seq(1.0, 2.0, 2.0, 5.0).toDF("rv")
+    val got = Advanced.rankAggJoin(left, "k", "lv", right, "rv", nBuckets = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // 11 (lv=1.0) and 13 (0.5): nothing below → dropped (inner join)
+    assert(got == Map(
+      10L -> ((1L, 1.0, 1.0)),
+      12L -> ((4L, 10.0, 2.5))), s"got $got")
+  }
+
+  test("q77 rankAggJoin == nested-loop theta aggregates on the fixture") {
+    val nl = Tables.part(spark, sf0001)
+      .join(Tables.supplier(spark, sf0001),
+        col("p_retailprice") > col("s_acctbal"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("s_acctbal") * 100).cast("long")).as("sum_cents"))
+      .select(col("p_partkey"), col("cnt"), col("sum_cents"),
+        round(col("sum_cents") / 100.0 / col("cnt"), 2).as("avg_bal"))
+      .orderBy("p_partkey")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val rk = SparkEntry.queries("q77_theta_agg_join")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rk == nl,
+      "rank-agg join must reproduce the theta-join aggregates exactly")
+  }
+
   test("approx_count_distinct within 10% of exact on documents.text") {
     val r = Tables.documents(spark, sf0001)
       .agg(approx_count_distinct(col("text")).as("a"),

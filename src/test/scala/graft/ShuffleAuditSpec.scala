@@ -47,12 +47,14 @@ class ShuffleAuditSpec extends SparkSpec {
                                 // flagging join is broadcast
     "q62_funnel" -> 2,     // ONE user_id shuffle; the state-machine fold
                            // is scan-local (vs 3x self-join formulation)
-    "q76_theta_rank_join" -> 5) // ONE data shuffle (bucket window) + orderBy;
+    "q76_theta_rank_join" -> 5, // ONE data shuffle (bucket window) + orderBy;
                                 // the other exchanges move only the ≤nBuckets
                                 // prefix rows (bucket agg + bounded global
                                 // window); the nested-loop q19 form this
                                 // replaces at scale shuffles less but
                                 // compares O(|L|x|R|) pairs
+    "q77_theta_agg_join" -> 5)  // same bucket shape as q76: the running SUM
+                                // rides the SAME window exchange as the count
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

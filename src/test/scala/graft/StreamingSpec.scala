@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.EventOps
+import graft.streaming.{DocDedup, EventOps}
 import graft.streaming.EventOps.Event
 
 /** Structured Streaming goldens via MemoryStream (SURVEY.md §5.2 #4):
@@ -403,5 +403,66 @@ class StreamingSpec extends SparkSpec {
       .selectExpr("user_id", "cnt").collect().map(r => r.getLong(1)).sorted
     // 10,20 chain (gap 10m < 30m); 55 is 35m after 20 → own session; 200 too
     assert(sess.toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("stream bandedRows signatures match the batch minHashBanded path") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).where(col("doc_id") < 50)
+    val streamSide = DocDedup.bandedRows(docs)
+      .select("doc_id", "band", "bsig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batchSide = operators.TextPipeline.minHashBanded(
+        functions.Text.tokens(docs).select("doc_id", "word").distinct())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamSide == batchSide,
+      "scan-local signatures must equal the grouped batch signatures")
+  }
+
+  test("incremental LSH dedup: star candidates against earlier representatives") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[DocDedup.Doc]
+      val query = DocDedup.incrementalCandidates(in.toDF())
+        .writeStream.format("memory").queryName("docdedup").outputMode("append")
+        .start()
+      val ta = "alpha beta gamma delta epsilon zeta"
+      val tb = "one two three four five six seven"
+      in.addData(DocDedup.Doc(1, ta), DocDedup.Doc(2, tb))
+      query.processAllAvailable()
+      assert(spark.table("docdedup").isEmpty,
+        "disjoint docs must produce no candidates")
+      // batch 2: doc 3 replays doc 1's text exactly; doc 4 is fresh
+      in.addData(DocDedup.Doc(3, ta), DocDedup.Doc(4, "nothing shared here at all"))
+      query.processAllAvailable()
+      // batch 3: two identical docs arriving TOGETHER — min doc_id is rep
+      val td = "red orange yellow green blue indigo violet"
+      in.addData(DocDedup.Doc(10, td), DocDedup.Doc(11, td))
+      query.processAllAvailable()
+      query.stop()
+      val rows = spark.table("docdedup").as[DocDedup.Match].collect()
+      val byPair = rows.groupBy(m => (m.doc_id, m.dup_of))
+      // doc 3 == doc 1: every band collides at estimated Jaccard 1.0
+      assert(byPair((3L, 1L)).map(_.band).toSet ==
+        (0 until operators.TextPipeline.LshBands).toSet)
+      assert(byPair((3L, 1L)).forall(_.est_jaccard == 1.0))
+      // doc 11 matched its same-batch sibling 10, deterministically
+      assert(byPair.contains((11L, 10L)))
+      assert(rows.forall(m =>
+        Set((3L, 1L), (11L, 10L)).contains((m.doc_id, m.dup_of))),
+        s"unexpected matches: ${rows.toSeq}")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
