@@ -104,8 +104,8 @@ object Advanced {
   def rankCountJoin(left: DataFrame, leftKey: String, leftVal: String,
                     right: DataFrame, rightVal: String,
                     nBuckets: Int = 32): DataFrame =
-    rankAggJoin(left, leftKey, leftVal, right, rightVal, nBuckets = nBuckets)
-      .select(col(leftKey), col("cnt"))
+    rankJoin(left, leftKey, leftVal, right, rightVal, aggVal = None,
+      nBuckets = nBuckets)
 
   /** Generalization of [[rankCountJoin]] to the other one-sided theta
     * aggregates: for every left row, the COUNT, SUM and AVG of a
@@ -128,8 +128,18 @@ object Advanced {
   def rankAggJoin(left: DataFrame, leftKey: String, leftVal: String,
                   right: DataFrame, rightVal: String,
                   aggVal: Option[String] = None,
-                  nBuckets: Int = 32): DataFrame = {
-    val av = aggVal.getOrElse(rightVal)
+                  nBuckets: Int = 32): DataFrame =
+    rankJoin(left, leftKey, leftVal, right, rightVal,
+      aggVal = Some(aggVal.getOrElse(rightVal)), nBuckets = nBuckets)
+
+  /** Shared rank-join plan builder. `aggVal = None` builds the lean
+    * COUNT-only plan (no sum column rides the data shuffle or the
+    * windows — q76's measured plan); `Some(col)` adds the running SUM
+    * over the same window exchange plus the derived AVG. */
+  private def rankJoin(left: DataFrame, leftKey: String, leftVal: String,
+                       right: DataFrame, rightVal: String,
+                       aggVal: Option[String],
+                       nBuckets: Int): DataFrame = {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = right.stat.approxQuantile(rightVal, probs, 0.001)
     // monotone bucket id: #boundaries strictly below v — equal values on
@@ -137,35 +147,46 @@ object Advanced {
     def bucketOf(v: Column): Column =
       size(filter(array(bounds.map(lit(_)): _*), b => b < v))
     val keyType = left.schema(leftKey).dataType
-    val sumType = right.schema(av).dataType
-    val l = left.select(col(leftVal).cast("double").as("v"),
-      lit(0L).as("is_r"), lit(null).cast(sumType).as("sv"), col(leftKey))
-    val r = right.select(col(rightVal).cast("double").as("v"),
-      lit(1L).as("is_r"), col(av).as("sv"), lit(null).cast(keyType).as(leftKey))
+    val lCols = Seq(col(leftVal).cast("double").as("v"), lit(0L).as("is_r")) ++
+      aggVal.map(av => lit(null).cast(right.schema(av).dataType).as("sv")) :+
+      col(leftKey)
+    val rCols = Seq(col(rightVal).cast("double").as("v"), lit(1L).as("is_r")) ++
+      aggVal.map(av => col(av).as("sv")) :+
+      lit(null).cast(keyType).as(leftKey)
+    val l = left.select(lCols: _*)
+    val r = right.select(rCols: _*)
     val u = l.unionByName(r).withColumn("bucket", bucketOf(col("v")))
     // per-bucket right totals → exclusive prefix sums; ≤ nBuckets rows, so
     // the global window and the broadcast are bounded by construction
     val wPrefix = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = u.where(col("is_r") === 1)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("in_bucket"), sum("sv").as("sum_in"))
+    val prefixAggs = count(lit(1)).as("in_bucket") +:
+      aggVal.map(_ => sum("sv").as("sum_in")).toSeq
+    val prefixBase = u.where(col("is_r") === 1)
+      .groupBy("bucket").agg(prefixAggs.head, prefixAggs.tail: _*)
       .withColumn("prefix", coalesce(sum("in_bucket").over(wPrefix), lit(0L)))
-      .withColumn("sprefix", sum("sum_in").over(wPrefix))
-      .select("bucket", "prefix", "sprefix")
+    val prefixes = aggVal.fold(prefixBase.select("bucket", "prefix")) { _ =>
+      prefixBase.withColumn("sprefix", sum("sum_in").over(wPrefix))
+        .select("bucket", "prefix", "sprefix")
+    }
     // left rows sort BEFORE right rows at equal v (is_r 0 < 1) → strict >
     val wRun = Window.partitionBy("bucket").orderBy(col("v"), col("is_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("below_in_bucket", sum("is_r").over(wRun))
-      .withColumn("sum_below_in_bucket", sum("sv").over(wRun))
+    val counted = u.withColumn("below_in_bucket", sum("is_r").over(wRun))
+    val ran = aggVal.fold(counted)(_ =>
+      counted.withColumn("sum_below_in_bucket", sum("sv").over(wRun)))
+    val joined = ran
       .where(col("is_r") === 0)
       .join(broadcast(prefixes), Seq("bucket"), "left")
       .withColumn("cnt", coalesce(col("prefix"), lit(0L)) + col("below_in_bucket"))
       .where(col("cnt") > 0)
-      .withColumn("sum", coalesce(col("sprefix"), lit(0)) +
-        coalesce(col("sum_below_in_bucket"), lit(0)))
-      .withColumn("avg", col("sum").cast("double") / col("cnt"))
-      .select(col(leftKey), col("cnt"), col("sum"), col("avg"))
+    aggVal.fold(joined.select(col(leftKey), col("cnt"))) { _ =>
+      joined
+        .withColumn("sum", coalesce(col("sprefix"), lit(0)) +
+          coalesce(col("sum_below_in_bucket"), lit(0)))
+        .withColumn("avg", col("sum").cast("double") / col("cnt"))
+        .select(col(leftKey), col("cnt"), col("sum"), col("avg"))
+    }
   }
 
   /** q76: q19's theta-join aggregate through [[rankCountJoin]] — same

@@ -575,7 +575,17 @@ object TextPipeline {
     * fraction of word bigrams that are duplicates of an earlier bigram
     * in the same doc. Pure per-row array algebra — stays in whole-stage
     * codegen, NO shuffle except the output sort; the 100 TB cost is one
-    * scan. Docs over the 0.2 threshold are flagged for removal. */
+    * scan. Docs over the 0.2 threshold are flagged for removal.
+    *
+    * Scale note (sf3 audit): bigrams are compared as
+    * `xxhash64(word_i, word_{i+1})` — no concatenated bigram strings are
+    * ever materialized, so the per-row cost is fixed-width regardless of
+    * token length (the sf1/sf3 runs showed the string formulation
+    * scaling with BYTES, not rows). CONTRACT: the distinct count is over
+    * 64-bit hashes, collision-exposed at ~n²/2⁶⁵ per document (~1e-12
+    * for a 10k-word doc); the DuckDB oracle keeps exact string bigrams
+    * and hash-matches at every tested SF, and TextPipelineSpec pins
+    * hashed == string distinct counts on the fixture corpus. */
   val q54_repetition_filter = QueryDef(
     "q54_repetition_filter",
     """WITH w AS (
@@ -600,8 +610,7 @@ object TextPipeline {
       .where(size(col("words")) >= 2)
       .select(col("doc_id"),
         transform(sequence(lit(1), size(col("words")) - 1),
-          i => concat_ws(" ",
-            element_at(col("words"), i),
+          i => xxhash64(element_at(col("words"), i),
             element_at(col("words"), i + 1))).as("bg"))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),

@@ -111,4 +111,24 @@ class TextPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((0L, 3L, 1.3219), (1L, 2L, 1.8219)))
   }
+
+  test("q54 hashed bigram distinct == exact string bigram distinct (fixture)") {
+    // q54's contract note: distinct counts are over xxhash64(bigram) —
+    // this pins the hashed formulation against the exact string one on
+    // the whole fixture corpus (a collision would show up here first)
+    val docs = Tables.documents(spark, sf0001)
+    val hashed = SparkEntry.queries("q54_repetition_filter")(spark, sf0001)
+      .select("doc_id", "n_distinct").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select(col("doc_id"),
+        graft.functions.Text.wordsOf(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        size(array_distinct(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1))))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == exact)
+  }
 }
