@@ -59,7 +59,8 @@ object SqlEntry {
         |SELECT lang, array_join(array_sort(collect_set(source)), ',') AS sources
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q08_global_agg" ->
-      """SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+      """SELECT COUNT(*) AS n,
+        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
         |  ROUND(AVG(l_discount), 2) AS avg_disc,
         |  date_format(MIN(l_shipdate), 'yyyy-MM-dd HH:mm:ss') AS min_ship,
         |  date_format(MAX(l_shipdate), 'yyyy-MM-dd HH:mm:ss') AS max_ship

@@ -117,17 +117,29 @@ object Relational {
   }
 
   /** Q8 global aggregation (single-reducer pattern — partial agg per
-    * partition then one final reduce; no shuffle of raw rows). */
+    * partition then one final reduce; no shuffle of raw rows).
+    *
+    * The price total is summed as exact integer CENTS — the SURVEY §7
+    * rule, applied on evidence: at the derived sf1 (6M rows) the
+    * float-double sum landed one summation-order ulp across a
+    * half-cent rounding boundary and `ROUND(SUM(...), 2)` disagreed
+    * with DuckDB by 0.01 in ~3×10¹¹. Per-row `round(x*100)` is the
+    * same double on both engines, and a BIGINT sum has no order
+    * dependence, so the cents form is deterministic at ANY scale.
+    * (Policy for the registry: any ROUND(SUM(money)) column that shows
+    * a scale-run flake gets this same rewrite.) */
   val q08_global_agg = QueryDef(
     "q08_global_agg",
-    """SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents,
       |  ROUND(AVG(l_discount), 2) AS avg_disc,
       |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
       |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
       |FROM lineitem""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d).agg(
       count(lit(1)).as("n"),
-      round(sum("l_extendedprice"), 2).as("sum_price"),
+      sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
       round(avg("l_discount"), 2).as("avg_disc"),
       date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
       date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))

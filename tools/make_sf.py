@@ -12,15 +12,25 @@ Design goals:
   (TPC-H semantics: dimension tables are SF-invariant).
 - LINEAR near-dup structure: copy 0 is byte-identical to the source
   (all `< id bound` oracle contracts keep their exact meaning); in copy
-  i>0 every alphabetic token gets a copy-unique suffix ("zzq"+chr(96+i)).
-  Token maps are injective per copy, so WITHIN-copy Jaccard/MinHash/
-  shingle structure is preserved exactly while cross-copy token sets are
+  i>0 every alphabetic token gets a copy-unique LETTERS-ONLY suffix
+  ("zzq" + two base-26 letters of i, injective for i <= 675). Token
+  maps are injective per copy, so WITHIN-copy Jaccard/MinHash/shingle
+  structure is preserved exactly while cross-copy token sets are
   disjoint — near-dup pair counts scale 10x, not 100x. n_chars is
   recomputed (the source invariant n_chars == length(text) holds).
-- Embeddings: copy i is the source vector circularly shifted by i
-  positions. A common permutation preserves all within-copy cosines
-  (up to float summation order) and decorrelates cross-copy pairs, so
-  embedding near-dup pairs also scale linearly.
+  (The first version used a single chr(97+i) suffix character, which
+  stops being a letter at i=26 — every copy past 25 then collapsed
+  into ONE shared token space under the [a-z] tokenizer. Found by the
+  sf10 run: q55's distinct-shingle count came out identical at
+  copies=30 and copies=100.)
+- Embeddings: copy i is the source vector circularly shifted by
+  1 + (i-1) % (dim-1) positions, negated on every second wrap of that
+  cycle (valid for i <= 2*(dim-1) = 126 at dim 64). A common
+  permutation (and a common sign flip) preserves all within-copy
+  cosines (up to float summation order) and decorrelates cross-copy
+  pairs, so embedding near-dup pairs also scale linearly. (The first
+  version shifted by i unclamped — DuckDB slice clamping made every
+  copy past dim-1 an exact duplicate of the source.)
 - events: ids offset, timestamps/props untouched — per-user session
   structure replicates exactly.
 
@@ -98,22 +108,37 @@ def main():
                        ev.column("ts").cast(pa.timestamp("ns")))
     pq.write_table(ev, f"{dst}/events.parquet", version="2.6")
     print("events: ts restored to timestamp[ns]")
+    # letters-only, injective for i <= 675: 'zzq' + base-26(i) as 2 letters
+    sfx = ("chr(CAST(97 + i // 26 AS INTEGER)) || "
+           "chr(CAST(97 + i % 26 AS INTEGER))")
     write("documents", f"""
         SELECT doc_id + i*{STRIDE} AS doc_id,
                CASE WHEN i = 0 THEN text
                     ELSE regexp_replace(text, '([A-Za-z]+)',
-                                        '\\1zzq' || chr(CAST(97 + i AS INTEGER)), 'g')
+                                        '\\1zzq' || {sfx}, 'g')
                END AS text,
                lang, source,
                CASE WHEN i = 0 THEN n_chars
                     ELSE CAST(length(regexp_replace(text, '([A-Za-z]+)',
-                              '\\1zzq' || chr(CAST(97 + i AS INTEGER)), 'g')) AS BIGINT)
+                              '\\1zzq' || {sfx}, 'g')) AS BIGINT)
                END AS n_chars
         FROM {t('documents')} {cp}""")
+    # shift cycles 1..dim-1 (never 0 → always a proper rotation); the
+    # second pass through the cycle negates, so no two copies coincide
+    # for i <= 2*(dim-1); within-copy cosines are unchanged either way
+    dim = con.sql(f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1") \
+        .fetchone()[0]
+    if copies > 2 * (dim - 1):
+        raise SystemExit(f"copies={copies} exceeds the embedding "
+                         f"decorrelation bound 2*(dim-1)={2 * (dim - 1)}")
     write("embeddings", f"""
         SELECT vec_id + i*{STRIDE} AS vec_id,
                CASE WHEN i = 0 THEN embedding
-                    ELSE embedding[i+1:] || embedding[1:i]
+                    ELSE list_transform(
+                        embedding[1 + (1 + (i-1) % {dim - 1}):]
+                          || embedding[1:(1 + (i-1) % {dim - 1})],
+                        x -> CASE WHEN ((i-1) // {dim - 1}) % 2 = 1
+                             THEN -x ELSE x END)
                END AS embedding,
                label
         FROM {t('embeddings')} {cp}""")
