@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val sfDir =
+      if (name == "--sql") (if (args.length > 2) args(2) else "/root/testdata/sf0.1")
+      else if (args.length > 1) args(1)
+      else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,7 +19,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    // `--sql '<text>'` times an ad-hoc statement over the table views
+    // (same registrations as SqlEntry.run) instead of a registry query —
+    // the decomposition tool for plan-cost audits.
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "--sql") {
+        val text = args(1)
+        (s, d) => {
+          val c = s.newSession()
+          c.conf.set(Tables.nanosAsLongConf, "true")
+          GraftExtensions.register(c)
+          Seq("documents" -> Tables.documents _, "lineitem" -> Tables.lineitem _,
+            "orders" -> Tables.orders _, "events" -> Tables.events _,
+            "part" -> Tables.part _, "supplier" -> Tables.supplier _,
+            "customer" -> Tables.customer _, "embeddings" -> Tables.embeddings _)
+            .foreach { case (t, f) => f(c, d).createOrReplaceTempView(t) }
+          c.sql(text)
+        }
+      } else SparkEntry.queries(name)
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -157,6 +157,9 @@ object Multimodal {
     mediaFromDocuments(s, d).toDF()
       .select(col("media_id"), col("meta.kind").as("kind"),
         col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+      // hash exchange before the sort (q54 pattern in TextPipeline):
+      // range sampling must not re-run the per-byte checksum fold
+      .repartition(col("media_id"))
       .orderBy("media_id")
   }
 

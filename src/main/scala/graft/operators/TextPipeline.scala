@@ -202,6 +202,9 @@ object TextPipeline {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), Text.polyHash(col("text"), 7L).as("fp"))
+      // hash exchange before the sort: range sampling must not re-run
+      // the per-row hash chain (the q54 pattern, see its scaladoc)
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -219,6 +222,9 @@ object TextPipeline {
       size(split(col("text"), " ")).cast("long").as("n_ws"),
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_re"),
       ceil(col("n_chars") / 4.0).cast("long").as("est_bpe"))
+      // hash exchange before the sort (q54 pattern): don't let range
+      // sampling re-run the regex chain
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -585,7 +591,16 @@ object TextPipeline {
     * 64-bit hashes, collision-exposed at ~n²/2⁶⁵ per document (~1e-12
     * for a 10k-word doc); the DuckDB oracle keeps exact string bigrams
     * and hash-matches at every tested SF, and TextPipelineSpec pins
-    * hashed == string distinct counts on the fixture corpus. */
+    * hashed == string distinct counts on the fixture corpus.
+    *
+    * Second sf10 finding: a global ORDER BY directly over an expensive
+    * scan-local chain runs that chain TWICE — the range partitioner's
+    * sampling job re-executes the child (measured 2.8× at sf3). The
+    * `repartition(doc_id)` below inserts a hash exchange between the
+    * chain and the sort, so sampling reads shuffle output instead of
+    * recomputing; the shuffled rows are the five tiny output columns,
+    * not the arrays. Pattern applies to any sort-terminated scan-local
+    * operator whose per-row cost dwarfs a shuffle write. */
   val q54_repetition_filter = QueryDef(
     "q54_repetition_filter",
     """WITH w AS (
@@ -620,6 +635,7 @@ object TextPipeline {
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(col("raw"), 4).as("dup_frac"),
         when(col("raw") > 0.2, 1L).otherwise(0L).as("flagged"))
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 

@@ -56,8 +56,15 @@ def main():
     def t(name):
         return f"read_parquet('{src}/{name}.parquet')"
 
+    # ROW_GROUP_SIZE: DuckDB's default (~123k rows) leaves a derived table
+    # with a handful of row groups — Spark can split a parquet FILE no
+    # finer than its row groups, so scans of the text-heavy tables ran
+    # 2-5 tasks no matter the core count (found when sf3 and sf10 bench
+    # times came out equal). 16k-row groups restore the many-split layout
+    # a 100 TB dataset written by any distributed engine would have.
     def write(name, select):
-        con.sql(f"COPY ({select}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
+        con.sql(f"COPY ({select}) TO '{dst}/{name}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
@@ -106,7 +113,8 @@ def main():
     idx = ev.schema.get_field_index("ts")
     ev = ev.set_column(idx, pa.field("ts", pa.timestamp("ns")),
                        ev.column("ts").cast(pa.timestamp("ns")))
-    pq.write_table(ev, f"{dst}/events.parquet", version="2.6")
+    pq.write_table(ev, f"{dst}/events.parquet", version="2.6",
+                   row_group_size=16384)
     print("events: ts restored to timestamp[ns]")
     # letters-only, injective for i <= 675: 'zzq' + base-26(i) as 2 letters
     sfx = ("chr(CAST(97 + i // 26 AS INTEGER)) || "
