@@ -50,8 +50,15 @@ object DocDedup {
   /** The minimal incoming-document shape. */
   case class Doc(doc_id: Long, text: String)
 
+  /** [[Doc]] with an event time, for the TTL variant. */
+  case class TsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
   /** One banded-signature row of an incoming document. */
   case class BandRow(doc_id: Long, band: Int, bsig: String, sig: Seq[Long])
+
+  /** [[BandRow]] plus the document's event time. */
+  case class BandRowTs(doc_id: Long, band: Int, bsig: String, sig: Seq[Long],
+                       ts: java.sql.Timestamp)
 
   /** An admitted near-dup candidate: `doc_id` collided with the earlier
     * `dup_of` in `band`, with estimated Jaccard `est_jaccard`. */
@@ -65,7 +72,7 @@ object DocDedup {
     * group-by, with the same hash parameters (`TextPipeline.LshHashes`
     * hashes in `TextPipeline.LshBands` bands) so signatures match the
     * batch pipeline exactly. Works on both static and streaming input. */
-  def bandedRows(docsIn: DataFrame): DataFrame = {
+  def bandedRows(docsIn: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     // tokenless docs have no word rows on the batch path either
     val docs = docsIn.where(size(Text.wordsOf(col("text"))) > 0)
     val words = array_distinct(Text.wordsOf(col("text")))
@@ -80,10 +87,12 @@ object DocDedup {
         concat_ws("_",
           (0 until rows).map(r => col("sig")(bnd * rows + r)): _*).as("bsig"))
     }
-    docs.select(col("doc_id"), array(hs: _*).as("sig"))
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"), col("sig"))
-      .select(col("doc_id"), col("bd.band").as("band"),
-        col("bd.bsig").as("bsig"), col("sig"))
+    val kept = carry.map(col)
+    docs.select(col("doc_id") +: array(hs: _*).as("sig") +: kept: _*)
+      .select(col("doc_id") +: explode(array(bandCols: _*)).as("bd") +:
+        col("sig") +: kept: _*)
+      .select(col("doc_id") +: col("bd.band").as("band") +:
+        col("bd.bsig").as("bsig") +: col("sig") +: kept: _*)
   }
 
   /** Per-bucket representative state: the first doc_id to claim the
@@ -136,5 +145,71 @@ object DocDedup {
       .groupByKey(r => (r.band, r.bsig))
       .transformWithState(new BucketProcessor(tau),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[BucketProcessor]] with EVENT-TIME TTL on the representative (the
+    * [[EventOps.TtlTotalsProcessor]] pattern): every arrival re-arms a
+    * timer at `last event time + ttl`; when the watermark passes it the
+    * representative is dropped, so state is bounded by event-time-ACTIVE
+    * buckets and a replay produces identical results at any speed. A
+    * later document re-claims the bucket from scratch — the dedup
+    * horizon becomes "anything admitted within the last ttl", which is
+    * how a perpetual ingest feed keeps its index from growing without
+    * bound. */
+  class TtlBucketProcessor(tau: Double, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, String), BandRowTs, Match] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var rep: ValueState[BucketRep] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rep = getHandle.getValueState[BucketRep](
+        "rep", Encoders.product[BucketRep], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandRowTs],
+                                 timers: TimerValues): Iterator[Match] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+      val out = Seq.newBuilder[Match]
+      var cur = Option(rep.get())
+      sorted.foreach { r =>
+        cur match {
+          case None =>
+            cur = Some(BucketRep(r.doc_id, r.sig))
+            rep.update(cur.get)
+          case Some(b) if b.rep_id == r.doc_id => ()
+          case Some(b) =>
+            val est = b.sig.zip(r.sig).count { case (x, y) => x == y }
+              .toDouble / b.sig.size
+            if (est >= tau) out += Match(r.doc_id, b.rep_id, key._1, est)
+        }
+      }
+      // one armed timer per bucket: slide expiry to the newest activity
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(sorted.map(_.ts.getTime).max + ttlMs)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, String), timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Match] = {
+      rep.clear()
+      Iterator.empty
+    }
+  }
+
+  /** TTL variant of [[incrementalCandidates]] over a `(doc_id, text,
+    * ts)` stream: representatives age out after `ttlMs` of event-time
+    * bucket inactivity (watermark-driven), bounding state on perpetual
+    * feeds. Requires a watermark on `ts`. */
+  def incrementalCandidatesTtl(docs: DataFrame, tau: Double = 0.5,
+                               ttlMs: Long = 24L * 3600 * 1000,
+                               lateness: String = "10 minutes"): Dataset[Match] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandedRows(docs.withWatermark("ts", lateness), carry = Seq("ts"))
+      .as[BandRowTs]
+      .groupByKey(r => (r.band, r.bsig))
+      .transformWithState(new TtlBucketProcessor(tau, ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -465,4 +465,46 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental dedup with event-time TTL: representatives age out") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[DocDedup.TsDoc]
+      // 30-minute TTL, 10-minute lateness (the suite's virtual clock)
+      val query = DocDedup.incrementalCandidatesTtl(
+          in.toDF(), ttlMs = 30L * 60000, lateness = "10 minutes")
+        .writeStream.format("memory").queryName("docdedupttl")
+        .outputMode("append").start()
+      val ta = "alpha beta gamma delta epsilon"
+      in.addData(DocDedup.TsDoc(1, ta, ts(0)))
+      query.processAllAvailable()
+      // within TTL: doc 2 matches the live representative
+      in.addData(DocDedup.TsDoc(2, ta, ts(10)))
+      query.processAllAvailable()
+      // unrelated doc at t=100 pushes the watermark to 90 min — past the
+      // bucket timer re-armed at 10+30 → doc 1's representative expires
+      in.addData(DocDedup.TsDoc(3, "one two three four five", ts(100)))
+      query.processAllAvailable()
+      // aged out: doc 4 re-claims the bucket (NO match against doc 1);
+      // doc 5 in the same batch matches the new representative
+      in.addData(DocDedup.TsDoc(4, ta, ts(110)), DocDedup.TsDoc(5, ta, ts(111)))
+      query.processAllAvailable()
+      query.stop()
+      val pairs = spark.table("docdedupttl").as[DocDedup.Match].collect()
+        .map(m => (m.doc_id, m.dup_of)).toSet
+      assert(pairs == Set((2L, 1L), (5L, 4L)), s"got $pairs")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
