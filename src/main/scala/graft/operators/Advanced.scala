@@ -162,8 +162,19 @@ object Advanced {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixAggs = count(lit(1)).as("in_bucket") +:
       aggVal.map(_ => sum("sv").as("sum_in")).toSeq
-    val prefixBase = u.where(col("is_r") === 1)
+    // densify over ALL bucket ids 0..nBuckets-1: a left row whose bucket
+    // holds zero right rows must still see the cumulative totals of the
+    // lower buckets — without the densify its prefix lookup misses, the
+    // coalesce reads 0, and the row is wrongly dropped (e.g. right values
+    // all tied at the top quantile boundary put every right row in a
+    // lower bucket than a larger left value). nBuckets rows, still
+    // bounded by construction.
+    val allBuckets = left.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val perBucket = u.where(col("is_r") === 1)
       .groupBy("bucket").agg(prefixAggs.head, prefixAggs.tail: _*)
+    val prefixBase = allBuckets.join(perBucket, Seq("bucket"), "left")
+      .na.fill(0L, Seq("in_bucket"))
       .withColumn("prefix", coalesce(sum("in_bucket").over(wPrefix), lit(0L)))
     val prefixes = aggVal.fold(prefixBase.select("bucket", "prefix")) { _ =>
       prefixBase.withColumn("sprefix", sum("sum_in").over(wPrefix))

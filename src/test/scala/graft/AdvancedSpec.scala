@@ -112,6 +112,24 @@ class AdvancedSpec extends SparkSpec {
       12L -> ((4L, 10.0, 2.5))), s"got $got")
   }
 
+  test("rankJoin keeps left rows whose bucket has zero right rows") {
+    import spark.implicits._
+    // all right values tie at the quantile boundary → every right row
+    // lands in bucket 0, the left value 5.0 alone in bucket 1. The
+    // pre-densify plan found no bucket-1 prefix row, coalesced the
+    // cross-bucket count to 0 and wrongly dropped the row.
+    val left = Seq((1L, 5.0)).toDF("k", "lv")
+    val right = Seq(1.0, 1.0, 1.0, 1.0).toDF("rv")
+    val cnt = Advanced.rankCountJoin(left, "k", "lv", right, "rv", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnt == Map(1L -> 4L), s"got $cnt")
+    val agg = Advanced.rankAggJoin(left, "k", "lv", right, "rv", nBuckets = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(agg == Map(1L -> ((4L, 4.0, 1.0))), s"got $agg")
+  }
+
   test("q77 rankAggJoin == nested-loop theta aggregates on the fixture") {
     val nl = Tables.part(spark, sf0001)
       .join(Tables.supplier(spark, sf0001),
