@@ -1039,37 +1039,53 @@ object TextPipeline {
   /** One-call corpus dedup — THE end-to-end pipeline a user of this
     * library runs: near-dup pair generation (exact Jaccard or the
     * MinHash-LSH scale path) → connected components → per-cluster
-    * survivor election by q29 quality score (ties → min doc_id) →
-    * original frame with the losing duplicates removed.
+    * survivor election → original frame with the losing duplicates
+    * removed. `electBy = "quality"` (default) elects by q29 quality
+    * score (ties → min doc_id); `"first"` elects the earliest (min
+    * doc_id) member — arrival order, the only election an incremental
+    * stream can honor (verdicts, once emitted, are never revoked).
     *
     * Scale posture: with `method = "minhash-lsh"` no stage is ever
     * all-pairs (bucket join bounds candidates); the clusters/losers
     * frames hold only near-dup members (≪ corpus) so the final removal
     * is a broadcast anti join against the full corpus scan. */
   def dedupCorpus(docs: DataFrame, tau: Double = 0.8,
-                  method: String = "exact"): DataFrame = {
+                  method: String = "exact",
+                  electBy: String = "quality",
+                  maxBucket: Int = LshMaxBucket): DataFrame = {
     val sets = Text.tokens(docs).select("doc_id", "word").distinct()
     val pairs = (method match {
       case "exact" => exactJaccardPairs(sets, tau)
-      case "minhash-lsh" => minHashLshPairs(sets, tau)
+      case "minhash-lsh" => minHashLshPairs(sets, tau, maxBucket)
       case other => throw new IllegalArgumentException(
         s"unknown dedup method '$other' (expected exact | minhash-lsh)")
     }).select("a", "b")
     val clusters = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("rep"))
-    val stop = col("word").isin("the", "a")
-    // score rounded to 4 decimals BEFORE ranking (q58 protocol): the
-    // survivor election must be reproducible across engines/libm — a
-    // 1-ULP ln() difference must not flip which duplicate we keep.
-    val score = Text.tokens(docs).groupBy("doc_id").agg(
-      round(log(lit(1) + count(lit(1))) *
-        (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))), 4)
-        .as("score"))
-    val w = Window.partitionBy("rep").orderBy(col("score").desc, col("doc_id"))
-    val losers = score.join(broadcast(clusters), "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") > 1)
-      .select("doc_id")
+    val losers = electBy match {
+      case "first" =>
+        // arrival-order election: the earliest (min doc_id) member of
+        // each component survives — the semantics an incremental ingest
+        // stream can honor without revoking already-emitted verdicts
+        // (streaming.DocDedup's verdict stage goldens against this mode)
+        clusters.where(col("doc_id") =!= col("rep")).select("doc_id")
+      case "quality" =>
+        val stop = col("word").isin("the", "a")
+        // score rounded to 4 decimals BEFORE ranking (q58 protocol): the
+        // survivor election must be reproducible across engines/libm — a
+        // 1-ULP ln() difference must not flip which duplicate we keep.
+        val score = Text.tokens(docs).groupBy("doc_id").agg(
+          round(log(lit(1) + count(lit(1))) *
+            (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))), 4)
+            .as("score"))
+        val w = Window.partitionBy("rep").orderBy(col("score").desc, col("doc_id"))
+        score.join(broadcast(clusters), "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") > 1)
+          .select("doc_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown electBy '$other' (expected quality | first)")
+    }
     docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
   }
 

@@ -200,7 +200,14 @@ object DocDedup {
   /** TTL variant of [[incrementalCandidates]] over a `(doc_id, text,
     * ts)` stream: representatives age out after `ttlMs` of event-time
     * bucket inactivity (watermark-driven), bounding state on perpetual
-    * feeds. Requires a watermark on `ts`. */
+    * feeds. Requires a watermark on `ts`.
+    *
+    * TTL clock, precisely: every bucket ARRIVAL — matching or not —
+    * re-arms the expiry timer, so the horizon is "ttl since the last
+    * bucket activity", NOT "ttl since the representative was admitted".
+    * Any traffic into a bucket keeps its representative alive
+    * indefinitely; callers wanting admission-anchored expiry should not
+    * read this operator as providing it. */
   def incrementalCandidatesTtl(docs: DataFrame, tau: Double = 0.5,
                                ttlMs: Long = 24L * 3600 * 1000,
                                lateness: String = "10 minutes"): Dataset[Match] = {
@@ -212,4 +219,255 @@ object DocDedup {
       .transformWithState(new TtlBucketProcessor(tau, ttlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ------------------------------------------------------- verdict stream
+
+  /** One banded probe: `doc_id` compared against its bucket's
+    * representative in `band`. `dup_of = -1` when there was nothing to
+    * compare to (the doc claimed the bucket, IS the replayed
+    * representative, or — band = -1 — had no tokens at all); otherwise
+    * `jac` is the EXACT word-set Jaccard against the representative,
+    * the same verification [[TextPipeline.minHashLshPairs]] applies to
+    * its bucket candidates. */
+  case class Probe(doc_id: Long, band: Int, dup_of: Long, jac: Double)
+
+  /** [[BandRow]] carrying the doc's distinct word set instead of the
+    * MinHash signature — the verdict path verifies candidates exactly. */
+  case class BandRowW(doc_id: Long, band: Int, bsig: String, words: Seq[String])
+
+  // public: the state-encoder's generated code calls the accessors
+  case class WordRep(rep_id: Long, words: Seq[String])
+
+  /** [[BucketProcessor]] analog for the verdict path. State per bucket
+    * is the word sets of up to `cap` members — the SAME bound the batch
+    * hot-bucket guard places on all-pairs buckets
+    * ([[TextPipeline.bucketGuardedCandidates]]), so the stream's
+    * comparison relation covers exactly the batch candidate relation
+    * restricted to (earlier, later) pairs: small buckets compare every
+    * arrival to every stored member; a flood bucket saturates at `cap`
+    * stored members and later arrivals still compare against those (a
+    * superset of the batch star edges, whose representative is stored
+    * first). Each arrival emits ONE [[Probe]] per band — its best match
+    * (max exact Jaccard, ties → min doc_id) among stored members — so
+    * output stays O(bands) per document no matter how full the bucket.
+    * No tau filter here: the fold applies it, keeping this stage
+    * threshold-free. */
+  class WordBucketProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, String), BandRowW, Probe] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var members: ListState[WordRep] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[WordRep](
+        "members", Encoders.product[WordRep], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandRowW],
+                                 timers: TimerValues): Iterator[Probe] = {
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      val out = Seq.newBuilder[Probe]
+      val stored = scala.collection.mutable.ArrayBuffer.empty[WordRep]
+      members.get().foreach(stored += _)
+      sorted.foreach { r =>
+        if (stored.exists(_.rep_id == r.doc_id)) {
+          out += Probe(r.doc_id, key._1, -1L, 0.0) // replayed member
+        } else {
+          val sb = r.words.toSet
+          var bestId = -1L
+          var bestJac = 0.0
+          stored.foreach { m =>
+            val sa = m.words.toSet
+            val i = (sa & sb).size.toDouble
+            val jac = i / (sa.size + sb.size - i)
+            if (jac > bestJac || (jac == bestJac && bestId >= 0 && m.rep_id < bestId))
+              { bestId = m.rep_id; bestJac = jac }
+          }
+          out += Probe(r.doc_id, key._1, if (bestJac > 0.0) bestId else -1L,
+            bestJac)
+          if (stored.size < cap) {
+            val w = WordRep(r.doc_id, r.words)
+            stored += w
+            members.appendValue(w)
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-band probes for a streaming `(doc_id, text)` frame — stage one
+    * of the keep/drop verdict pipeline. Tokenless documents never reach
+    * the state stage (no band rows) but still need a verdict, so their
+    * probe row (band = -1, nothing to compare) is emitted scan-locally. */
+  def probes(docs: DataFrame): Dataset[Probe] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val withW = docs.withColumn("wset", array_distinct(Text.wordsOf(col("text"))))
+    val probed = bandedRows(withW, carry = Seq("wset"))
+      .select(col("doc_id"), col("band"), col("bsig"), col("wset").as("words"))
+      .as[BandRowW]
+      .groupByKey(r => (r.band, r.bsig))
+      .transformWithState(new WordBucketProcessor(TextPipeline.LshMaxBucket),
+        TimeMode.None(), OutputMode.Append())
+    val tokenless = docs.where(size(Text.wordsOf(col("text"))) === 0)
+      .select(col("doc_id"), lit(-1).as("band"), lit(-1L).as("dup_of"),
+        lit(0.0).as("jac"))
+      .as[Probe]
+    probed.union(tokenless)
+  }
+
+  /** Fold per-band [[Probe]] rows into one verdict per document:
+    * `keep = true` iff no representative matched at `jac >= tau`;
+    * dropped docs carry their best match (max jac, ties → min dup_of,
+    * jac rounded to 4 decimals before ranking — the q58 reproducibility
+    * protocol). A plain batch aggregation: every band row of a document
+    * is exploded from ONE input row, so they always share a micro-batch
+    * and the per-batch fold is complete — no cross-batch state. */
+  def foldVerdicts(probes: DataFrame, tau: Double): DataFrame = {
+    val best = probes
+      .where(col("dup_of") >= 0 && col("jac") >= tau)
+      .groupBy("doc_id")
+      .agg(max(struct(round(col("jac"), 4).as("jac"),
+        (-col("dup_of")).as("nd"))).as("b"))
+      .select(col("doc_id"), (-col("b.nd")).as("dup_of"), col("b.jac").as("jac"))
+    probes.select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("jac"))
+  }
+
+  /** Instant per-arrival keep/drop verdicts — GREEDY arrival dedup:
+    * [[probes]] folded per micro-batch by [[foldVerdicts]] into an
+    * epoch-keyed (replay-idempotent) parquet sink at `outDir/epoch=N`.
+    * A doc is DROPPED iff some stored bucket member (an earlier-arrived
+    * doc, kept or itself dropped) matches it at exact Jaccard ≥ tau;
+    * the verdict is emitted the moment the doc arrives and never
+    * revised — what an admission-control ingest gate needs.
+    *
+    * Relation to the batch pipeline, honestly stated: batch
+    * [[TextPipeline.dedupCorpus]](electBy = "first") survivors are
+    * always a SUBSET of greedy keeps (an earlier near-dup disqualifies
+    * a doc under both), with equality exactly on corpora whose near-dup
+    * components are arrival-cliques — every non-first member directly
+    * near-dups an earlier member, the shape LSH copy-families have. On
+    * chain-shaped components, where a middle doc's only near-dup
+    * arrives LATER, batch transitivity drops a doc this stream keeps —
+    * no algorithm emitting irrevocable verdicts at arrival can do
+    * otherwise. For exact batch parity at every prefix of the stream,
+    * use [[survivorQuery]], whose snapshots may revoke. Both properties
+    * are pinned in StreamingSpec. */
+  def verdictQuery(docs: DataFrame, tau: Double, outDir: String,
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes(docs).writeStream
+      .foreachBatch { (batch: Dataset[Probe], epochId: Long) =>
+        foldVerdicts(batch.toDF(), tau)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  // ------------------------------------------------- survivor index
+
+  /** One ingest epoch of [[survivorQuery]] — a STATIC-frame combinator,
+    * also the unit StreamingSpec exercises directly. Appends the batch
+    * to the standing stores (ids / distinct word sets / banded rows,
+    * each under `epoch=N` so a failure-recovery replay overwrites
+    * rather than duplicates), generates candidate pairs touching the
+    * NEW docs only (new×standing + new×new via the banded bucket join —
+    * the standing side never re-pairs against itself, the q65 posture),
+    * verifies them at exact Jaccard ≥ tau, appends to the cumulative
+    * pair store, and overwrites `outDir/epoch=N` with the CURRENT
+    * survivor set (min-id election over connected components of all
+    * pairs so far).
+    *
+    * Hot buckets: candidate generation applies the batch guard against
+    * the CURRENT bucket view — buckets ≤ `maxBucket` members join
+    * all-pairs, larger ones star to their min-id member — so a
+    * boilerplate flood costs O(new) edges per epoch, never O(bucket²).
+    *
+    * Per-epoch cost beyond the new batch: one scan of the standing
+    * banded store (bucket-partitioned layout would prune it at real
+    * scale, as LayoutSpec demonstrates for q65) and components over the
+    * cumulative PAIR set — near-dup pairs, ≪ corpus. */
+  def ingestEpoch(batch: DataFrame, tau: Double, stateDir: String,
+                  outDir: String, epochId: Long,
+                  maxBucket: Int = TextPipeline.LshMaxBucket): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    b.select("doc_id")
+      .write.mode("overwrite").parquet(s"$stateDir/ids/epoch=$epochId")
+    b.select(col("doc_id"),
+        array_distinct(Text.wordsOf(col("text"))).as("words"))
+      .write.mode("overwrite").parquet(s"$stateDir/words/epoch=$epochId")
+    bandedRows(b).select("doc_id", "band", "bsig")
+      .write.mode("overwrite").parquet(s"$stateDir/banded/epoch=$epochId")
+    b.unpersist()
+
+    val bandedAll = spark.read.parquet(s"$stateDir/banded")
+    val allB = bandedAll.select("doc_id", "band", "bsig")
+    val newB = bandedAll.where(col("epoch") === epochId)
+      .select("doc_id", "band", "bsig")
+    // batch-guard against the current bucket view (count + min-id rep)
+    val meta = allB.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"), min("doc_id").as("rep"))
+    val nj = newB.join(meta, Seq("band", "bsig"))
+    val smallCand = nj.where(col("bn") <= maxBucket)
+      .select(col("doc_id").as("n"), col("band"), col("bsig"))
+      .join(allB.select(col("doc_id").as("s"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .where(col("n") =!= col("s"))
+      .select(col("n"), col("s"))
+    val starCand = nj.where(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("n"), col("rep").as("s"))
+    val words = spark.read.parquet(s"$stateDir/words")
+      .select("doc_id", "words")
+    smallCand.union(starCand)
+      .select(least(col("n"), col("s")).as("a"),
+        greatest(col("n"), col("s")).as("b"))
+      .distinct()
+      // exact verification of candidates only — minHashLshPairs' contract
+      .join(words.select(col("doc_id").as("a"), col("words").as("wa")), "a")
+      .join(words.select(col("doc_id").as("b"), col("words").as("wb")), "b")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("double"))
+      .where(col("i") / (size(col("wa")) + size(col("wb")) - col("i")) >= tau)
+      .select("a", "b")
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+
+    val allPairs = spark.read.parquet(s"$stateDir/pairs").select("a", "b")
+    val losers =
+      if (allPairs.isEmpty) allPairs.select(col("a").as("doc_id"))
+      else TextPipeline.connectedComponents(allPairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"))
+    spark.read.parquet(s"$stateDir/ids").select("doc_id")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+  }
+
+  /** Streaming SURVIVOR-INDEX maintenance — the stream form of
+    * [[TextPipeline.dedupCorpus]](method = "minhash-lsh", electBy =
+    * "first"): after every micro-batch, `outDir/epoch=N` holds EXACTLY
+    * the batch pipeline's survivors of everything ingested so far —
+    * same candidate relation, same exact-Jaccard verification, same
+    * connected components, same min-id election (golden-tested in
+    * StreamingSpec, chains included, when neither side's hot-bucket cap
+    * truncates; with finite caps both sides approximate the same target
+    * relation). The price of transitive parity is that snapshots may
+    * REVOKE: a later bridge doc can merge two clusters and retroactively
+    * drop an earlier survivor from the next snapshot. Ingest gates that
+    * need irrevocable per-arrival answers use [[verdictQuery]] instead;
+    * pipelines that re-read the survivor set (the normal training-data
+    * pattern) read the latest epoch here. */
+  def survivorQuery(docs: DataFrame, tau: Double, stateDir: String,
+                    outDir: String, checkpointDir: String,
+                    maxBucket: Int = TextPipeline.LshMaxBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestEpoch(batch, tau, stateDir, outDir, epochId, maxBucket)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -466,6 +466,171 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("survivor index == batch dedupCorpus(minhash-lsh, electBy=first) " +
+    "after every epoch of the replayed fixture corpus") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 100000 ≫ any fixture bucket: neither side's hot-bucket cap
+    // truncates, so the candidate relations are identical and the
+    // snapshots must match EXACTLY — transitive chains included.
+    val mb = 100000
+    val docsDF = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val docs = docsDF.orderBy("doc_id").as[DocDedup.Doc].collect()
+    val root = java.nio.file.Files.createTempDirectory("survidx").toString
+    val in = MemoryStream[DocDedup.Doc]
+    val q = DocDedup.survivorQuery(in.toDF(), 0.8, s"$root/state",
+      s"$root/out", s"$root/ckpt", maxBucket = mb)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    chunks.foreach { chunk =>
+      in.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def batchSurvivors(prefix: Int): Set[Long] = {
+      val ids = chunks.take(prefix).flatten.map(_.doc_id).toSet
+      operators.TextPipeline
+        .dedupCorpus(docsDF.where(col("doc_id").isin(ids.toSeq: _*)),
+          0.8, "minhash-lsh", electBy = "first", maxBucket = mb)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    def snapshot(epoch: Int): Set[Long] =
+      spark.read.parquet(s"$root/out/epoch=$epoch")
+        .select("doc_id").as[Long].collect().toSet
+    // mid-stream prefix parity AND final parity
+    val mid = snapshot(0)
+    val midBatch = batchSurvivors(1)
+    assert(mid == midBatch,
+      s"epoch-0 stream-only: ${(mid -- midBatch).toSeq.sorted}; " +
+        s"batch-only: ${(midBatch -- mid).toSeq.sorted}")
+    val fin = snapshot(chunks.length - 1)
+    val finBatch = batchSurvivors(chunks.length)
+    assert(fin == finBatch,
+      s"final stream-only: ${(fin -- finBatch).toSeq.sorted}; " +
+        s"batch-only: ${(finBatch -- fin).toSeq.sorted}")
+  }
+
+  test("greedy verdict stream: one verdict per doc; batch(first) " +
+    "survivors are a subset; drops name a qualifying earlier match") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docsDF = Tables.documents(spark, sf0001).select("doc_id", "text")
+      val docs = docsDF.orderBy("doc_id").as[DocDedup.Doc].collect()
+      val root = java.nio.file.Files.createTempDirectory("verdict").toString
+      val in = MemoryStream[DocDedup.Doc]
+      val q = DocDedup.verdictQuery(in.toDF(), 0.8, s"$root/out", s"$root/ckpt")
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val verdicts = spark.read.parquet(s"$root/out")
+      assert(verdicts.count() == docs.length,
+        s"want exactly one verdict per doc (${docs.length}), got ${verdicts.count()}")
+      val kept = verdicts.where(col("keep"))
+        .select("doc_id").as[Long].collect().toSet
+      // greedy can only keep MORE than transitive first-election (an
+      // earlier near-dup disqualifies under both) — never fewer
+      val batch = operators.TextPipeline
+        .dedupCorpus(docsDF, 0.8, "minhash-lsh", electBy = "first",
+          maxBucket = 100000)
+        .select("doc_id").as[Long].collect().toSet
+      assert((batch -- kept).isEmpty,
+        s"batch-only survivors must be empty: ${(batch -- kept).toSeq.sorted}")
+      val badDrop = verdicts.where(!col("keep") &&
+        (col("dup_of").isNull || col("dup_of") >= col("doc_id") ||
+          col("jac") < 0.8))
+      assert(badDrop.isEmpty, s"malformed drops: ${badDrop.collect().toSeq}")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("greedy vs transitive on a hand-built corpus: equal on cliques, " +
+    "greedy keeps the chain middle the batch drops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // cliques: identical texts (pairwise jac 1.0)
+      val famA = "alpha beta gamma delta epsilon zeta eta theta"
+      val famB = "one two three four five six seven eight nine"
+      // chain at tau 0.85: base 8 words; doc2 = base + x (8/9 = .889);
+      // doc3 = doc2 + y (9/10 = .9); jac(doc1, doc3) = 8/10 = .8 < .85.
+      // Arrival order doc1 < doc3 < doc2: doc3's only near-dup (doc2)
+      // arrives LATER — greedy keeps doc3, transitive election drops it.
+      val base = "red orange yellow green blue indigo violet cyan"
+      val chain1 = base
+      val chain3 = base + " xray yankee"
+      val chain2 = base + " xray"
+      val docs = Seq(
+        DocDedup.Doc(1, famA), DocDedup.Doc(2, famA), DocDedup.Doc(3, famA),
+        DocDedup.Doc(4, famB), DocDedup.Doc(5, famB),
+        DocDedup.Doc(10, chain1), DocDedup.Doc(11, chain3),
+        DocDedup.Doc(12, chain2))
+      val docsDF = docs.toDF()
+      // sanity: the LSH banding must actually co-bucket the chain links
+      val sets = functions.Text.tokens(docsDF).select("doc_id", "word").distinct()
+      val pairs = operators.TextPipeline.minHashLshPairs(sets, 0.85)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((10L, 12L)) && pairs.contains((11L, 12L)) &&
+        !pairs.contains((10L, 11L)),
+        s"chain construction broken, got pairs $pairs")
+      val root = java.nio.file.Files.createTempDirectory("chain").toString
+      val in = MemoryStream[DocDedup.Doc]
+      val vq = DocDedup.verdictQuery(in.toDF(), 0.85, s"$root/v", s"$root/vc")
+      docs.grouped(3).foreach { chunk =>
+        in.addData(chunk: _*)
+        vq.processAllAvailable()
+      }
+      vq.stop()
+      val greedyKeep = spark.read.parquet(s"$root/v").where(col("keep"))
+        .select("doc_id").as[Long].collect().toSet
+      // greedy: family firsts, chain start, and the chain END whose only
+      // near-dup arrives later
+      assert(greedyKeep == Set(1L, 4L, 10L, 11L), s"got $greedyKeep")
+      // transitive election additionally drops the chain end
+      val batchKeep = operators.TextPipeline
+        .dedupCorpus(docsDF, 0.85, "minhash-lsh", electBy = "first")
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKeep == Set(1L, 4L, 10L), s"got $batchKeep")
+      // and the survivor index tracks the batch exactly, epoch by epoch
+      val in2 = MemoryStream[DocDedup.Doc]
+      val sq = DocDedup.survivorQuery(in2.toDF(), 0.85, s"$root/state",
+        s"$root/s", s"$root/sc")
+      docs.grouped(3).foreach { chunk =>
+        in2.addData(chunk: _*)
+        sq.processAllAvailable()
+      }
+      sq.stop()
+      val survKeep = spark.read.parquet(s"$root/s/epoch=2")
+        .select("doc_id").as[Long].collect().toSet
+      assert(survKeep == batchKeep, s"got $survKeep want $batchKeep")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental dedup with event-time TTL: representatives age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
