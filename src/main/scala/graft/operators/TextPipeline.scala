@@ -261,7 +261,7 @@ object TextPipeline {
   /** (doc_id, simhash): 16-bit tf-weighted SimHash over the bounded
     * doc_id < 100 contract — shared by q33 (signatures) and q50
     * (neighbor query). */
-  private def simhashOf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashOf(s: SparkSession, d: String): DataFrame = {
     val tf = tokens(s, d).where(col("doc_id") < 100)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val h = tf.withColumn("wh", Text.polyHash(col("word"), 7L))
@@ -518,15 +518,26 @@ object TextPipeline {
       .orderBy("lang", "rn")
   }
 
-  /** Exact hamming-neighbor pairs via pigeonhole banding: any two
-    * `bits`-bit signatures within hamming distance ≤ k must agree
-    * EXACTLY on at least one of k+1 disjoint bands — so a band-bucket
-    * equi-join generates a candidate superset losslessly (this is LSH's
-    * shape but with a correctness guarantee, no recall loss), and the
-    * original distance predicate re-filters. O(pairs-per-bucket)
-    * instead of O(n²): the all-pairs comparison never happens. */
+  /** Hamming-neighbor pairs via pigeonhole banding: any two `bits`-bit
+    * signatures within hamming distance ≤ k must agree EXACTLY on at
+    * least one of k+1 disjoint bands — so a band-bucket equi-join
+    * generates a candidate superset losslessly (this is LSH's shape but
+    * with a correctness guarantee, no recall loss), and the original
+    * distance predicate re-filters. O(pairs-per-bucket) instead of
+    * O(n²): the all-pairs comparison never happens.
+    *
+    * HOT-BUCKET GUARD (the [[bucketGuardedCandidates]] policy): n
+    * identical signatures share every band bucket, so the unguarded
+    * join would still emit n²/2 in-bucket candidates. Buckets with ≤
+    * `maxBucket` members keep the exact all-pairs path; larger buckets
+    * emit STAR edges only (bucket-min id → member, O(n) per bucket) —
+    * retrieval reachability and dedup-cluster membership survive, full
+    * pair ENUMERATION inside a degenerate bucket does not (inherently
+    * quadratic; no bounded algorithm can emit it). `maxBucket <= 0`
+    * disables the guard and restores the exact contract. */
   def hammingNeighborPairs(sigs: DataFrame, k: Int, bits: Int = 16,
-                           id: String = "doc_id", sig: String = "simhash"): DataFrame = {
+                           id: String = "doc_id", sig: String = "simhash",
+                           maxBucket: Int = LshMaxBucket): DataFrame = {
     val nBands = k + 1
     val bandWidth = bits / nBands
     require(bits % nBands == 0, s"$bits bits must split into ${k + 1} bands")
@@ -534,13 +545,29 @@ object TextPipeline {
         explode(sequence(lit(0), lit(nBands - 1))).as("bandIdx"))
       .withColumn("bandVal",
         expr(s"shiftright($sig, bandIdx * $bandWidth) & ${(1 << bandWidth) - 1}"))
-    banded.as("x").join(banded.as("y"),
+      .select(col(id), col("bandIdx"), col("bandVal"))
+    val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
+    // same key the candidate join hashes on — one extra window, no
+    // extra shuffle family (the bucketGuardedCandidates shape)
+    val wB = Window.partitionBy("bandIdx", "bandVal")
+    val sized = banded
+      .withColumn("bn", count(lit(1)).over(wB))
+      .withColumn("rep", min(col(id)).over(wB))
+    val small = sized.where(col("bn") <= cap)
+      .select(col(id), col("bandIdx"), col("bandVal"))
+    val smallPairs = small.as("x").join(small.as("y"),
         col("x.bandIdx") === col("y.bandIdx") &&
           col("x.bandVal") === col("y.bandVal") &&
           col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
-        bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig"))).cast("long").as("dist"))
-      .distinct()
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"))
+    val starPairs = sized.where(col("bn") > cap && col(id) =!= col("rep"))
+      .select(col("rep").as("a"), col(id).as("b"))
+    val sigOf = sigs.select(col(id), col(sig))
+    smallPairs.union(starPairs).distinct()
+      .join(sigOf.select(col(id).as("a"), col(sig).as("sa")), "a")
+      .join(sigOf.select(col(id).as("b"), col(sig).as("sb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
       .where(col("dist") <= k)
   }
 

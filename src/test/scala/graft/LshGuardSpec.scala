@@ -67,6 +67,35 @@ class LshGuardSpec extends SparkSpec {
     assert(comps.length === 1, "all identical docs stay in ONE cluster")
   }
 
+  test("hamming guard: identical simhashes emit linear star pairs; " +
+    "cap<=0 restores exact all-pairs") {
+    // N identical 16-bit signatures → every band bucket holds all N
+    val sigs = (0L until N.toLong).map(i => (i, 0xA5C3L)).toSeq
+      .toDF("doc_id", "simhash")
+    val guarded = TextPipeline.hammingNeighborPairs(sigs, k = 3, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(guarded.length === N - 1, s"want ${N - 1} star pairs, got ${guarded.length}")
+    assert(guarded.forall(_._1 == 0L), "every star edge anchors at the bucket min")
+    assert(guarded.forall(_._3 == 0L), "identical signatures are at distance 0")
+    assert(guarded.map(_._2).sorted.toSeq === (1L until N.toLong))
+    val exact = TextPipeline.hammingNeighborPairs(sigs, k = 3, maxBucket = 0)
+    assert(exact.count() === N.toLong * (N - 1) / 2, "cap<=0 must be all-pairs exact")
+  }
+
+  test("hamming guard: default cap leaves the q50 corpus on the exact path") {
+    val sigs = TextPipeline.simhashOf(spark, sf0001)
+    val nBands = 4 // k=3 → 4 bands of 4 bits, q50's configuration
+    val biggest = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("bandIdx"))
+      .withColumn("bandVal", expr("shiftright(simhash, bandIdx * 4) & 15"))
+      .groupBy("bandIdx", "bandVal").count()
+      .agg(max("count")).head().getLong(0)
+    assert(biggest <= TextPipeline.LshMaxBucket,
+      s"q50 fixture bucket sizes (max $biggest) must stay under the default cap " +
+        "or q50's exact-enumeration oracle breaks")
+  }
+
   test("default cap leaves the fixture corpus on the exact all-pairs path") {
     val sets = Text.tokens(Tables.documents(spark, sf0001))
       .where(col("doc_id") < 100).select("doc_id", "word").distinct()
