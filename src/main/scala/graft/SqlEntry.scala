@@ -236,9 +236,7 @@ object SqlEntry {
     * components — an iterative fixpoint the library runs as a driver
     * loop; Spark SQL has no UNION-distinct recursive CTE to express it
     * tersely and a cyclic edge set would not terminate under UNION ALL
-    * recursion), q76/q77 (rank-join buckets come from driver-side
-    * approxQuantile — a two-statement workflow, not one text; q19 is
-    * their join-form twin and IS on this surface). Where a builder uses a
+    * recursion). Where a builder uses a
     * bucketed/banded SCALE plan with
     * identical semantics (q50), the text states the declarative
     * all-pairs SPEC — the result contract, not the physical plan. */
@@ -672,7 +670,92 @@ object SqlEntry {
         |        approx_percentile(o_totalprice,
         |                          array(0.25D, 0.50D, 0.75D, 0.90D), 10000) AS ps
         |      FROM orders GROUP BY o_orderpriority) t
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q76/q77: the rank-join ALGORITHM as one statement — quantile
+    // boundaries inlined via an approx_percentile CTE instead of the
+    // builder's driver-side approxQuantile. The output is invariant to
+    // the bucketing (buckets only partition the running windows; counts
+    // and sums are exact whatever the boundaries), so text == builder
+    // holds even though the two sketches pick different split points.
+    "q76_theta_rank_join" ->
+      """WITH bounds AS (
+        |  SELECT approx_percentile(CAST(s_acctbal AS DOUBLE),
+        |           array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D),
+        |           10000) AS bs
+        |  FROM supplier),
+        |u AS (
+        |  SELECT p_partkey AS k, CAST(p_retailprice AS DOUBLE) AS v, 0 AS is_r
+        |  FROM part
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), CAST(s_acctbal AS DOUBLE), 1 FROM supplier),
+        |ub AS (SELECT k, v, is_r, size(filter(b.bs, x -> x < v)) AS bucket
+        |       FROM u CROSS JOIN bounds b),
+        |dense AS (
+        |  SELECT bid.bucket, COALESCE(pb.in_bucket, CAST(0 AS BIGINT)) AS in_bucket
+        |  FROM (SELECT explode(sequence(0, 7)) AS bucket) bid
+        |  LEFT JOIN (SELECT bucket, COUNT(*) AS in_bucket FROM ub WHERE is_r = 1
+        |             GROUP BY bucket) pb ON pb.bucket = bid.bucket),
+        |pfx AS (
+        |  SELECT bucket, COALESCE(SUM(in_bucket) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    CAST(0 AS BIGINT)) AS prefix
+        |  FROM dense),
+        |run AS (
+        |  SELECT k, is_r, bucket,
+        |    SUM(is_r) OVER (PARTITION BY bucket ORDER BY v, is_r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below
+        |  FROM ub)
+        |SELECT k AS p_partkey, prefix + below AS cnt
+        |FROM run JOIN pfx ON run.bucket = pfx.bucket
+        |WHERE is_r = 0 AND prefix + below > 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q77_theta_agg_join" ->
+      """WITH bounds AS (
+        |  SELECT approx_percentile(CAST(s_acctbal AS DOUBLE),
+        |           array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D),
+        |           10000) AS bs
+        |  FROM supplier),
+        |u AS (
+        |  SELECT p_partkey AS k, CAST(p_retailprice AS DOUBLE) AS v, 0 AS is_r,
+        |    CAST(NULL AS BIGINT) AS sv
+        |  FROM part
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), CAST(s_acctbal AS DOUBLE), 1,
+        |    CAST(round(s_acctbal * 100) AS BIGINT)
+        |  FROM supplier),
+        |ub AS (SELECT k, v, is_r, sv, size(filter(b.bs, x -> x < v)) AS bucket
+        |       FROM u CROSS JOIN bounds b),
+        |dense AS (
+        |  SELECT bid.bucket, COALESCE(pb.in_bucket, CAST(0 AS BIGINT)) AS in_bucket,
+        |    pb.sum_in
+        |  FROM (SELECT explode(sequence(0, 7)) AS bucket) bid
+        |  LEFT JOIN (SELECT bucket, COUNT(*) AS in_bucket, SUM(sv) AS sum_in
+        |             FROM ub WHERE is_r = 1 GROUP BY bucket) pb
+        |    ON pb.bucket = bid.bucket),
+        |pfx AS (
+        |  SELECT bucket,
+        |    COALESCE(SUM(in_bucket) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) AS prefix,
+        |    SUM(sum_in) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sprefix
+        |  FROM dense),
+        |run AS (
+        |  SELECT k, is_r, bucket,
+        |    SUM(is_r) OVER w AS below,
+        |    SUM(sv) OVER w AS sum_below
+        |  FROM ub
+        |  WINDOW w AS (PARTITION BY bucket ORDER BY v, is_r
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS p_partkey, prefix + below AS cnt,
+        |  COALESCE(sprefix, CAST(0 AS BIGINT)) +
+        |    COALESCE(sum_below, CAST(0 AS BIGINT)) AS sum_cents,
+        |  ROUND((COALESCE(sprefix, CAST(0 AS BIGINT)) +
+        |         COALESCE(sum_below, CAST(0 AS BIGINT))) / 100.0
+        |        / (prefix + below), 2) AS avg_bal
+        |FROM run JOIN pfx ON run.bucket = pfx.bucket
+        |WHERE is_r = 0 AND prefix + below > 0
+        |ORDER BY p_partkey""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,
