@@ -103,9 +103,9 @@ object Advanced {
     * comparison is undefined there, as in the join form). */
   def rankCountJoin(left: DataFrame, leftKey: String, leftVal: String,
                     right: DataFrame, rightVal: String,
-                    nBuckets: Int = 32): DataFrame =
+                    nBuckets: Int = 32, op: String = ">"): DataFrame =
     rankJoin(left, leftKey, leftVal, right, rightVal, aggVal = None,
-      nBuckets = nBuckets)
+      nBuckets = nBuckets, op = op, withMinMax = false)
 
   /** Generalization of [[rankCountJoin]] to the other one-sided theta
     * aggregates: for every left row, the COUNT, SUM and AVG of a
@@ -122,35 +122,57 @@ object Advanced {
     * other engines' aggregate order, which matters only for floating
     * point — callers needing cross-engine-deterministic sums should pass
     * an exact-integer `aggVal` (e.g. money as cents; q77 does this).
-    * Output: (leftKey, cnt, sum, avg); left rows with nothing below are
+    * Output: (leftKey, cnt, sum, avg), plus (min, max) of the aggregated
+    * column when `withMinMax` — running min/max ride the SAME window
+    * exchange, no extra shuffle. Left rows with nothing matching are
     * dropped (inner-join semantics). Nulls in the compared or aggregated
-    * columns are not supported, as in the join form. */
+    * columns are not supported, as in the join form.
+    *
+    * `op` picks the theta: `">"` (right strictly below, default), `">="`
+    * (ties included — right sorts before left at equal values), `"<"` /
+    * `"<="` (right above; both sides negate, reducing to the ascending
+    * machinery — a descending threshold costs nothing extra). */
   def rankAggJoin(left: DataFrame, leftKey: String, leftVal: String,
                   right: DataFrame, rightVal: String,
                   aggVal: Option[String] = None,
-                  nBuckets: Int = 32): DataFrame =
+                  nBuckets: Int = 32, op: String = ">",
+                  withMinMax: Boolean = false): DataFrame =
     rankJoin(left, leftKey, leftVal, right, rightVal,
-      aggVal = Some(aggVal.getOrElse(rightVal)), nBuckets = nBuckets)
+      aggVal = Some(aggVal.getOrElse(rightVal)), nBuckets = nBuckets,
+      op = op, withMinMax = withMinMax)
 
   /** Shared rank-join plan builder. `aggVal = None` builds the lean
     * COUNT-only plan (no sum column rides the data shuffle or the
     * windows — q76's measured plan); `Some(col)` adds the running SUM
-    * over the same window exchange plus the derived AVG. */
+    * over the same window exchange plus the derived AVG, and
+    * `withMinMax` running MIN/MAX over that same exchange. `op` reduces
+    * to the ascending strict machinery: `<`/`<=` negate the compared
+    * values, `>=`/`<=` flip the tie order so right rows sort before
+    * left at equal values (inclusive counting). */
   private def rankJoin(left: DataFrame, leftKey: String, leftVal: String,
                        right: DataFrame, rightVal: String,
                        aggVal: Option[String],
-                       nBuckets: Int): DataFrame = {
+                       nBuckets: Int, op: String,
+                       withMinMax: Boolean): DataFrame = {
+    require(Set(">", ">=", "<", "<=").contains(op), s"unsupported op '$op'")
+    val flip = op.startsWith("<")
+    val incl = op.endsWith("=")
+    def tv(c: Column): Column = {
+      val d = c.cast("double")
+      if (flip) -d else d
+    }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = right.stat.approxQuantile(rightVal, probs, 0.001)
+    val bounds = right.withColumn("__v", tv(col(rightVal)))
+      .stat.approxQuantile("__v", probs, 0.001)
     // monotone bucket id: #boundaries strictly below v — equal values on
     // both sides always land in the same bucket
     def bucketOf(v: Column): Column =
       size(filter(array(bounds.map(lit(_)): _*), b => b < v))
     val keyType = left.schema(leftKey).dataType
-    val lCols = Seq(col(leftVal).cast("double").as("v"), lit(0L).as("is_r")) ++
+    val lCols = Seq(tv(col(leftVal)).as("v"), lit(0L).as("is_r")) ++
       aggVal.map(av => lit(null).cast(right.schema(av).dataType).as("sv")) :+
       col(leftKey)
-    val rCols = Seq(col(rightVal).cast("double").as("v"), lit(1L).as("is_r")) ++
+    val rCols = Seq(tv(col(rightVal)).as("v"), lit(1L).as("is_r")) ++
       aggVal.map(av => col(av).as("sv")) :+
       lit(null).cast(keyType).as(leftKey)
     val l = left.select(lCols: _*)
@@ -161,7 +183,9 @@ object Advanced {
     val wPrefix = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixAggs = count(lit(1)).as("in_bucket") +:
-      aggVal.map(_ => sum("sv").as("sum_in")).toSeq
+      (aggVal.map(_ => sum("sv").as("sum_in")).toSeq ++
+        (if (withMinMax) Seq(min("sv").as("min_in"), max("sv").as("max_in"))
+         else Nil))
     // densify over ALL bucket ids 0..nBuckets-1: a left row whose bucket
     // holds zero right rows must still see the cumulative totals of the
     // lower buckets — without the densify its prefix lookup misses, the
@@ -177,26 +201,44 @@ object Advanced {
       .na.fill(0L, Seq("in_bucket"))
       .withColumn("prefix", coalesce(sum("in_bucket").over(wPrefix), lit(0L)))
     val prefixes = aggVal.fold(prefixBase.select("bucket", "prefix")) { _ =>
-      prefixBase.withColumn("sprefix", sum("sum_in").over(wPrefix))
-        .select("bucket", "prefix", "sprefix")
+      val withS = prefixBase.withColumn("sprefix", sum("sum_in").over(wPrefix))
+      val cols = Seq("bucket", "prefix", "sprefix") ++
+        (if (withMinMax) Seq("mprefix", "xprefix") else Nil)
+      (if (withMinMax)
+        withS.withColumn("mprefix", min("min_in").over(wPrefix))
+          .withColumn("xprefix", max("max_in").over(wPrefix))
+      else withS).select(cols.head, cols.tail: _*)
     }
-    // left rows sort BEFORE right rows at equal v (is_r 0 < 1) → strict >
-    val wRun = Window.partitionBy("bucket").orderBy(col("v"), col("is_r"))
+    // strict ops: left sorts BEFORE right at equal v (is_r 0 < 1);
+    // inclusive ops flip the tie order so equal right rows count
+    val tieOrder = if (incl) col("is_r").desc else col("is_r").asc
+    val wRun = Window.partitionBy("bucket").orderBy(col("v"), tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val counted = u.withColumn("below_in_bucket", sum("is_r").over(wRun))
-    val ran = aggVal.fold(counted)(_ =>
-      counted.withColumn("sum_below_in_bucket", sum("sv").over(wRun)))
+    val ran = aggVal.fold(counted) { _ =>
+      val withSum = counted.withColumn("sum_below_in_bucket", sum("sv").over(wRun))
+      if (withMinMax)
+        withSum.withColumn("min_below_in_bucket", min("sv").over(wRun))
+          .withColumn("max_below_in_bucket", max("sv").over(wRun))
+      else withSum
+    }
     val joined = ran
       .where(col("is_r") === 0)
       .join(broadcast(prefixes), Seq("bucket"), "left")
       .withColumn("cnt", coalesce(col("prefix"), lit(0L)) + col("below_in_bucket"))
       .where(col("cnt") > 0)
     aggVal.fold(joined.select(col(leftKey), col("cnt"))) { _ =>
-      joined
+      val base = joined
         .withColumn("sum", coalesce(col("sprefix"), lit(0)) +
           coalesce(col("sum_below_in_bucket"), lit(0)))
         .withColumn("avg", col("sum").cast("double") / col("cnt"))
-        .select(col(leftKey), col("cnt"), col("sum"), col("avg"))
+      if (withMinMax)
+        // least/greatest skip nulls; cnt > 0 guarantees at least one side
+        base.withColumn("min", least(col("mprefix"), col("min_below_in_bucket")))
+          .withColumn("max", greatest(col("xprefix"), col("max_below_in_bucket")))
+          .select(col(leftKey), col("cnt"), col("sum"), col("avg"),
+            col("min"), col("max"))
+      else base.select(col(leftKey), col("cnt"), col("sum"), col("avg"))
     }
   }
 
@@ -236,6 +278,34 @@ object Advanced {
       .select(col("p_partkey"), col("cnt"),
         col("sum").as("sum_cents"),
         round(col("sum") / 100.0 / col("cnt"), 2).as("avg_bal"))
+      .orderBy("p_partkey")
+  }
+
+  /** q78: the inclusive-threshold + MIN/MAX rank-join variants — per
+    * part, the count, total, minimum and maximum of supplier balances at
+    * or below its retail price (`op = ">="`: ties count, right sorts
+    * before left at equal values). Balances aggregate as exact integer
+    * CENTS (SURVEY §7 rule) so every output column is order-free; the
+    * oracle replays the nested-loop `>=` join the rank shape replaces at
+    * scale. */
+  val q78_theta_band_join = QueryDef(
+    "q78_theta_band_join",
+    """SELECT p_partkey,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM part JOIN supplier ON p_retailprice >= s_acctbal
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+      .withColumn("bal_cents", round(col("s_acctbal") * 100).cast("long"))
+    rankAggJoin(Tables.part(s, d), "p_partkey", "p_retailprice",
+      sup, "s_acctbal", aggVal = Some("bal_cents"), op = ">=",
+      withMinMax = true)
+      .select(col("p_partkey"), col("cnt"),
+        col("sum").as("sum_cents"),
+        col("min").as("min_cents"),
+        col("max").as("max_cents"))
       .orderBy("p_partkey")
   }
 
@@ -577,5 +647,5 @@ object Advanced {
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
-      q76_theta_rank_join, q77_theta_agg_join)
+      q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join)
 }

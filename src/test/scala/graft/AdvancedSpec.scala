@@ -130,6 +130,63 @@ class AdvancedSpec extends SparkSpec {
     assert(agg == Map(1L -> ((4L, 4.0, 1.0))), s"got $agg")
   }
 
+  test("rankJoin op variants: >= counts ties; < and <= count above") {
+    import spark.implicits._
+    // right values {1.0, 2.0, 2.0, 5.0}
+    val left = Seq((10L, 2.0), (11L, 1.0), (12L, 6.0), (13L, 0.5))
+      .toDF("k", "lv")
+    val right = Seq(1.0, 2.0, 2.0, 5.0).toDF("rv")
+    def run(op: String) =
+      Advanced.rankCountJoin(left, "k", "lv", right, "rv", nBuckets = 2, op = op)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // >=: lv=2.0 now counts both 2.0s and the 1.0; lv=1.0 counts the 1.0
+    assert(run(">=") == Map(10L -> 3L, 11L -> 1L, 12L -> 4L), s"got ${run(">=")}")
+    // <: rights strictly above — lv=2.0 sees {5.0}; 0.5 sees all 4;
+    // 6.0 sees none (dropped); 1.0 sees {2,2,5}
+    assert(run("<") == Map(10L -> 1L, 11L -> 3L, 13L -> 4L), s"got ${run("<")}")
+    // <=: ties join in — lv=2.0 sees {2,2,5}; lv=1.0 sees all 4
+    assert(run("<=") == Map(10L -> 3L, 11L -> 4L, 13L -> 4L), s"got ${run("<=")}")
+  }
+
+  test("rankAggJoin withMinMax: running min/max match the nested loop") {
+    import spark.implicits._
+    val left = Seq((10L, 2.0), (11L, 1.5), (12L, 6.0)).toDF("k", "lv")
+    val right = Seq(1L, 2L, 2L, 5L).toDF("rv")
+    val got = Advanced.rankAggJoin(left, "k", "lv", right.select(col("rv")
+        .cast("double").as("rv")), "rv", nBuckets = 2, op = ">=",
+        withMinMax = true)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // 10 (>=2.0): {1,2,2} → min 1 max 2; 11 (>=1.5): {1}; 12: all four
+    assert(got == Map(
+      10L -> ((3L, 1.0, 2.0)),
+      11L -> ((1L, 1.0, 1.0)),
+      12L -> ((4L, 1.0, 5.0))), s"got $got")
+  }
+
+  test("q78 rankAggJoin(>=, minmax) == nested-loop theta aggregates") {
+    val nl = Tables.part(spark, sf0001)
+      .join(Tables.supplier(spark, sf0001),
+        col("p_retailprice") >= col("s_acctbal"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("s_acctbal") * 100).cast("long")).as("sum_cents"),
+        min(round(col("s_acctbal") * 100).cast("long")).as("min_cents"),
+        max(round(col("s_acctbal") * 100).cast("long")).as("max_cents"))
+      .orderBy("p_partkey")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val rk = SparkEntry.queries("q78_theta_band_join")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(rk == nl,
+      "inclusive rank-agg join must reproduce the >= theta aggregates exactly")
+  }
+
   test("q77 rankAggJoin == nested-loop theta aggregates on the fixture") {
     val nl = Tables.part(spark, sf0001)
       .join(Tables.supplier(spark, sf0001),
