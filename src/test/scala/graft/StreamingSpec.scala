@@ -631,6 +631,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL dedup stream survives kill/restart on RocksDB: restarted " +
+    "run == uninterrupted run, state and timers restored") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ta = "alpha beta gamma delta epsilon"
+      // batch A: doc 1 claims, doc 2 matches it.
+      // batch B (after the RESTART): doc 6 at t=35 matches the RESTORED
+      //   representative (timer re-armed at 35+30=65) — if state were
+      //   lost, 6 would silently re-claim and this row would vanish;
+      //   doc 3 at t=100 pushes the watermark to 90 > 65 → rep expires.
+      // batch C: doc 4 re-claims the aged-out bucket, doc 5 matches 4.
+      val batches = Seq(
+        Seq(DocDedup.TsDoc(1, ta, ts(0)), DocDedup.TsDoc(2, ta, ts(10))),
+        Seq(DocDedup.TsDoc(6, ta, ts(35)),
+          DocDedup.TsDoc(3, "one two three four five", ts(100))),
+        Seq(DocDedup.TsDoc(4, ta, ts(110)), DocDedup.TsDoc(5, ta, ts(111))))
+      val wantPairs = Set((2L, 1L), (6L, 1L), (5L, 4L))
+
+      // interrupted run: one file-source batch per query INCARNATION —
+      // the query is stopped and rebuilt from the checkpoint in between,
+      // so batches B and C run against restored RocksDB state
+      val root = java.nio.file.Files.createTempDirectory("ttlrestart").toString
+      val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+      batches.foreach { b =>
+        b.toDF().coalesce(1).write.mode("append").parquet(src)
+        val q = DocDedup.incrementalCandidatesTtl(
+            spark.readStream.schema(batches.head.toDF().schema).parquet(src),
+            ttlMs = 30L * 60000, lateness = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      val restarted = spark.read.parquet(out)
+        .select("doc_id", "dup_of", "band", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+
+      // uninterrupted twin: same batch boundaries, one continuous query
+      val in = MemoryStream[DocDedup.TsDoc]
+      val q2 = DocDedup.incrementalCandidatesTtl(in.toDF(),
+          ttlMs = 30L * 60000, lateness = "10 minutes")
+        .writeStream.format("memory").queryName("ttluninterrupted")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q2.processAllAvailable() }
+      q2.stop()
+      val continuous = spark.table("ttluninterrupted")
+        .select("doc_id", "dup_of", "band", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+
+      assert(restarted == continuous,
+        s"restart drift: only-restarted=${restarted -- continuous} " +
+          s"only-continuous=${continuous -- restarted}")
+      assert(restarted.map(m => (m._1, m._2)) == wantPairs,
+        s"got pairs ${restarted.map(m => (m._1, m._2))}")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental dedup with event-time TTL: representatives age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
