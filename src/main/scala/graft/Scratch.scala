@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || (args(0) == "--sql" && args.length < 2)) {
+      System.err.println(
+        "usage: graft.Scratch <queryName> [sfDir] | --sql '<text>' [sfDir]")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir =
       if (name == "--sql") (if (args.length > 2) args(2) else "/root/testdata/sf0.1")

@@ -49,12 +49,24 @@ STRIDE = 10_000_000  # far above any source key; keeps copy-0 ids intact
 def main():
     src, dst = sys.argv[1], sys.argv[2]
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    cp = f"CROSS JOIN (SELECT unnest(range({copies})) AS i) AS c"
 
     def t(name):
         return f"read_parquet('{src}/{name}.parquet')"
+
+    # Validate EVERY copy bound before the first write: failing midway
+    # leaves a partially built directory that looks complete at a glance.
+    if copies > 675:
+        raise SystemExit(f"copies={copies} exceeds the document token-suffix "
+                         f"injectivity bound 675 (two base-26 letters)")
+    dim = con.sql(f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1") \
+        .fetchone()[0]
+    if copies > 2 * (dim - 1):
+        raise SystemExit(f"copies={copies} exceeds the embedding "
+                         f"decorrelation bound 2*(dim-1)={2 * (dim - 1)}")
+
+    os.makedirs(dst, exist_ok=True)
+    cp = f"CROSS JOIN (SELECT unnest(range({copies})) AS i) AS c"
 
     # ROW_GROUP_SIZE: DuckDB's default (~123k rows) leaves a derived table
     # with a handful of row groups — Spark can split a parquet FILE no
@@ -133,12 +145,8 @@ def main():
         FROM {t('documents')} {cp}""")
     # shift cycles 1..dim-1 (never 0 → always a proper rotation); the
     # second pass through the cycle negates, so no two copies coincide
-    # for i <= 2*(dim-1); within-copy cosines are unchanged either way
-    dim = con.sql(f"SELECT len(embedding) FROM {t('embeddings')} LIMIT 1") \
-        .fetchone()[0]
-    if copies > 2 * (dim - 1):
-        raise SystemExit(f"copies={copies} exceeds the embedding "
-                         f"decorrelation bound 2*(dim-1)={2 * (dim - 1)}")
+    # for i <= 2*(dim-1) (validated up front); within-copy cosines are
+    # unchanged either way
     write("embeddings", f"""
         SELECT vec_id + i*{STRIDE} AS vec_id,
                CASE WHEN i = 0 THEN embedding
