@@ -265,14 +265,19 @@ object TextPipeline {
     val tf = tokens(s, d).where(col("doc_id") < 100)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val h = tf.withColumn("wh", Text.polyHash(col("word"), 7L))
-    val bits = h
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(shiftright(wh, b) & 1) = 1"), col("tf"))
-        .otherwise(-col("tf"))).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(shiftleft(1, b) as bigint)"))
-        .otherwise(0L)).as("simhash"))
+    // 16 signed-sum aggregates in ONE groupBy(doc_id) replace the
+    // exploded (doc_id, bit) row blowup and its extra shuffle — same
+    // integer math, 16× fewer agg input rows, and the exchange saved
+    // here funds q50's hot-bucket guard window within the suite-wide
+    // shuffle budget
+    val bitAggs = (0 until 16).map { b =>
+      sum(when(expr(s"(shiftright(wh, $b) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as(s"s$b")
+    }
+    val sums = h.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    sums.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** q33: 16-bit SimHash per document, tf-weighted. */
