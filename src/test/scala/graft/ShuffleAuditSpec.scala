@@ -53,8 +53,10 @@ class ShuffleAuditSpec extends SparkSpec {
                                 // window); the nested-loop q19 form this
                                 // replaces at scale shuffles less but
                                 // compares O(|L|x|R|) pairs
-    "q77_theta_agg_join" -> 5)  // same bucket shape as q76: the running SUM
+    "q77_theta_agg_join" -> 5,  // same bucket shape as q76: the running SUM
                                 // rides the SAME window exchange as the count
+    "q78_theta_band_join" -> 5) // and the inclusive-op running MIN/MAX too —
+                                // op variants change sort order, not exchanges
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
