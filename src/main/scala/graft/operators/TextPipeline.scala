@@ -550,29 +550,31 @@ object TextPipeline {
         explode(sequence(lit(0), lit(nBands - 1))).as("bandIdx"))
       .withColumn("bandVal",
         expr(s"shiftright($sig, bandIdx * $bandWidth) & ${(1 << bandWidth) - 1}"))
-      .select(col(id), col("bandIdx"), col("bandVal"))
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
     // same key the candidate join hashes on — one extra window, no
-    // extra shuffle family (the bucketGuardedCandidates shape)
+    // extra shuffle family (the bucketGuardedCandidates shape). The
+    // signature rides the band rows and the rep's signature comes off
+    // the same window exchange (first over the id-ordered frame), so no
+    // lookup join is ever needed.
     val wB = Window.partitionBy("bandIdx", "bandVal")
     val sized = banded
       .withColumn("bn", count(lit(1)).over(wB))
       .withColumn("rep", min(col(id)).over(wB))
+      .withColumn("repSig", first(col(sig)).over(wB.orderBy(col(id))))
     val small = sized.where(col("bn") <= cap)
-      .select(col(id), col("bandIdx"), col("bandVal"))
+      .select(col(id), col(sig), col("bandIdx"), col("bandVal"))
     val smallPairs = small.as("x").join(small.as("y"),
         col("x.bandIdx") === col("y.bandIdx") &&
           col("x.bandVal") === col("y.bandVal") &&
           col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
+        bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig")))
+          .cast("long").as("dist"))
     val starPairs = sized.where(col("bn") > cap && col(id) =!= col("rep"))
-      .select(col("rep").as("a"), col(id).as("b"))
-    val sigOf = sigs.select(col(id), col(sig))
-    smallPairs.union(starPairs).distinct()
-      .join(sigOf.select(col(id).as("a"), col(sig).as("sa")), "a")
-      .join(sigOf.select(col(id).as("b"), col(sig).as("sb")), "b")
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
+      .select(col("rep").as("a"), col(id).as("b"),
+        bit_count(col("repSig").bitwiseXOR(col(sig))).cast("long").as("dist"))
+    smallPairs.union(starPairs)
+      .distinct()
       .where(col("dist") <= k)
   }
 
