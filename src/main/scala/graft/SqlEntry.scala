@@ -755,6 +755,62 @@ object SqlEntry {
         |        / (prefix + below), 2) AS avg_bal
         |FROM run JOIN pfx ON run.bucket = pfx.bucket
         |WHERE is_r = 0 AND prefix + below > 0
+        |ORDER BY p_partkey""".stripMargin,
+    // q78: the inclusive (>=) + MIN/MAX variant — ties count, so the
+    // running window sorts right rows BEFORE left at equal values
+    // (ORDER BY v, is_r DESC), and min/max prefixes ride the same
+    // densified bucket table.
+    "q78_theta_band_join" ->
+      """WITH bounds AS (
+        |  SELECT approx_percentile(CAST(s_acctbal AS DOUBLE),
+        |           array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D),
+        |           10000) AS bs
+        |  FROM supplier),
+        |u AS (
+        |  SELECT p_partkey AS k, CAST(p_retailprice AS DOUBLE) AS v, 0 AS is_r,
+        |    CAST(NULL AS BIGINT) AS sv
+        |  FROM part
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), CAST(s_acctbal AS DOUBLE), 1,
+        |    CAST(round(s_acctbal * 100) AS BIGINT)
+        |  FROM supplier),
+        |ub AS (SELECT k, v, is_r, sv, size(filter(b.bs, x -> x < v)) AS bucket
+        |       FROM u CROSS JOIN bounds b),
+        |dense AS (
+        |  SELECT bid.bucket, COALESCE(pb.in_bucket, CAST(0 AS BIGINT)) AS in_bucket,
+        |    pb.sum_in, pb.min_in, pb.max_in
+        |  FROM (SELECT explode(sequence(0, 7)) AS bucket) bid
+        |  LEFT JOIN (SELECT bucket, COUNT(*) AS in_bucket, SUM(sv) AS sum_in,
+        |                    MIN(sv) AS min_in, MAX(sv) AS max_in
+        |             FROM ub WHERE is_r = 1 GROUP BY bucket) pb
+        |    ON pb.bucket = bid.bucket),
+        |pfx AS (
+        |  SELECT bucket,
+        |    COALESCE(SUM(in_bucket) OVER wp, CAST(0 AS BIGINT)) AS prefix,
+        |    SUM(sum_in) OVER wp AS sprefix,
+        |    MIN(min_in) OVER wp AS mprefix,
+        |    MAX(max_in) OVER wp AS xprefix
+        |  FROM dense
+        |  WINDOW wp AS (ORDER BY bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |run AS (
+        |  SELECT k, is_r, bucket,
+        |    SUM(is_r) OVER w AS below,
+        |    SUM(sv) OVER w AS sum_below,
+        |    MIN(sv) OVER w AS min_below,
+        |    MAX(sv) OVER w AS max_below
+        |  FROM ub
+        |  WINDOW w AS (PARTITION BY bucket ORDER BY v, is_r DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS p_partkey, prefix + below AS cnt,
+        |  COALESCE(sprefix, CAST(0 AS BIGINT)) +
+        |    COALESCE(sum_below, CAST(0 AS BIGINT)) AS sum_cents,
+        |  LEAST(COALESCE(mprefix, min_below), COALESCE(min_below, mprefix))
+        |    AS min_cents,
+        |  GREATEST(COALESCE(xprefix, max_below), COALESCE(max_below, xprefix))
+        |    AS max_cents
+        |FROM run JOIN pfx ON run.bucket = pfx.bucket
+        |WHERE is_r = 0 AND prefix + below > 0
         |ORDER BY p_partkey""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
