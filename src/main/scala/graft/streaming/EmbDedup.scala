@@ -1,0 +1,239 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextPipeline
+
+/** Incremental (streaming) EMBEDDING near-duplicate detection — the
+  * vector twin of [[DocDedup]], mirroring batch
+  * [[graft.operators.Similarity.dedupEmbeddings]] the way DocDedup
+  * mirrors `dedupCorpus`:
+  *
+  *  - hyperplane-LSH banding is SCAN-LOCAL (the codegen
+  *    `hyperplane_sig` expression — same bits/bands/seed math as the
+  *    batch path and the Catalyst rewrite), so a stream pays no
+  *    signature shuffle;
+  *  - per-(band, bsig) bucket state holds up to `cap` member vectors
+  *    (the batch hot-bucket guard bound) and every arrival emits ONE
+  *    best-match probe per band, verified by EXACT cosine;
+  *  - [[verdictQuery]] folds probes into irrevocable greedy per-arrival
+  *    keep/drop verdicts; [[survivorQuery]] maintains an epoch-snapshot
+  *    survivor index that is golden-EQUAL to batch
+  *    `dedupEmbeddings(method = "lsh")` over everything ingested so far
+  *    (same candidate relation, same cosine verification, same
+  *    components and min-id election) when neither side's bucket cap
+  *    truncates. The greedy-vs-transitive contrast is the same as
+  *    DocDedup's and is documented there.
+  */
+object EmbDedup {
+
+  /** The minimal incoming shape. */
+  case class Vec(vec_id: Long, embedding: Seq[Double])
+
+  /** One banded-signature row carrying the (double-cast) vector. */
+  case class BandRowV(vec_id: Long, band: Int, bsig: Long, v: Seq[Double])
+
+  /** One banded probe: best stored-member match of `vec_id` in `band`
+    * (`dup_of = -1` when the bucket had nothing to compare to). */
+  case class Probe(vec_id: Long, band: Int, dup_of: Long, cos: Double)
+
+  // public: the state-encoder's generated code calls the accessors
+  case class VecRep(rep_id: Long, v: Seq[Double], nrm: Double)
+
+  /** Banded rows for a `(vec_id, embedding)` frame, scan-local — the
+    * carry-the-vector form of `Similarity.hyperplaneBanded` (same
+    * signature math, pinned against it in StreamingSpec). Works on both
+    * static and streaming input. */
+  def bandedRows(emb: DataFrame, bits: Int = 64, bands: Int = 16,
+                 seed: Long = 42L): DataFrame = {
+    require(bits >= 1 && bits <= 64 && bands >= 1 && bits % bands == 0)
+    val rows = bits / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1L
+    val sig = emb
+      .withColumn("v", transform(col("embedding"), _.cast("double")))
+      .withColumn("sig",
+        graft.expressions.VectorExpressions.hyperplaneSig(col("v"), bits, seed))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask)).as("bsig"))
+    }
+    sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"), col("v"))
+      .select(col("vec_id"), col("bd.band").as("band"),
+        col("bd.bsig").as("bsig"), col("v"))
+  }
+
+  /** [[DocDedup.WordBucketProcessor]] for vectors: up to `cap` member
+    * vectors per bucket, one best-match probe (max exact cosine, ties →
+    * min vec_id) per arrival per band. Threshold-free — the fold
+    * applies it. */
+  class VecBucketProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandRowV, Probe] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var members: ListState[VecRep] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[VecRep](
+        "members", Encoders.product[VecRep], TTLConfig.NONE)
+
+    private def norm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRowV],
+                                 timers: TimerValues): Iterator[Probe] = {
+      val sorted = rows.toArray.sortBy(_.vec_id)
+      val out = Seq.newBuilder[Probe]
+      val stored = scala.collection.mutable.ArrayBuffer.empty[VecRep]
+      members.get().foreach(stored += _)
+      sorted.foreach { r =>
+        if (stored.exists(_.rep_id == r.vec_id)) {
+          out += Probe(r.vec_id, key._1, -1L, 0.0)
+        } else {
+          val rn = norm(r.v)
+          var bestId = -1L
+          var bestCos = Double.MinValue
+          stored.foreach { m =>
+            var d = 0.0
+            var i = 0
+            while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
+            val cos = d / (m.nrm * rn)
+            if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
+              { bestId = m.rep_id; bestCos = cos }
+          }
+          out += Probe(r.vec_id, key._1, bestId,
+            if (bestId >= 0) bestCos else 0.0)
+          if (stored.size < cap) {
+            val w = VecRep(r.vec_id, r.v, rn)
+            stored += w
+            members.appendValue(w)
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Per-band probes for a streaming `(vec_id, embedding)` frame. */
+  def probes(emb: DataFrame,
+             cap: Int = TextPipeline.LshMaxBucket): Dataset[Probe] = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandedRows(emb).as[BandRowV]
+      .groupByKey(r => (r.band, r.bsig))
+      .transformWithState(new VecBucketProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Fold per-band probes into one verdict per vector — keep iff no
+    * stored member reached the cosine threshold ([[DocDedup
+    * .foldVerdicts]] with cosine in place of Jaccard). */
+  def foldVerdicts(probes: DataFrame, threshold: Double): DataFrame = {
+    val best = probes
+      .where(col("dup_of") >= 0 && col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(round(col("cos"), 4).as("cos"),
+        (-col("dup_of")).as("nd"))).as("b"))
+      .select(col("vec_id"), (-col("b.nd")).as("dup_of"), col("b.cos").as("cos"))
+    probes.select("vec_id").distinct()
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("cos"))
+  }
+
+  /** Greedy per-arrival keep/drop verdicts for an embedding stream —
+    * semantics exactly as [[DocDedup.verdictQuery]] (irrevocable at
+    * arrival; batch min-id survivors are a subset; equal on
+    * arrival-clique corpora). */
+  def verdictQuery(emb: DataFrame, threshold: Double, outDir: String,
+                   checkpointDir: String,
+                   cap: Int = TextPipeline.LshMaxBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes(emb, cap).writeStream
+      .foreachBatch { (batch: Dataset[Probe], epochId: Long) =>
+        foldVerdicts(batch.toDF(), threshold)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One ingest epoch of [[survivorQuery]] — the vector
+    * [[DocDedup.ingestEpoch]]: epoch-keyed idempotent stores (ids /
+    * vectors+norms / banded rows), candidates touching only the NEW
+    * batch against the standing banded index (batch bucket guard on the
+    * current view), exact-cosine verification with the codegen dot
+    * kernel, components over cumulative pairs, min-id election,
+    * survivor snapshot at `outDir/epoch=N`. */
+  def ingestEpoch(batch: DataFrame, threshold: Double, stateDir: String,
+                  outDir: String, epochId: Long,
+                  maxBucket: Int = TextPipeline.LshMaxBucket): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    b.select("vec_id")
+      .write.mode("overwrite").parquet(s"$stateDir/ids/epoch=$epochId")
+    b.withColumn("v", transform(col("embedding"), _.cast("double")))
+      .select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
+      .write.mode("overwrite").parquet(s"$stateDir/vecs/epoch=$epochId")
+    bandedRows(b).select("vec_id", "band", "bsig")
+      .write.mode("overwrite").parquet(s"$stateDir/banded/epoch=$epochId")
+    b.unpersist()
+
+    val bandedAll = spark.read.parquet(s"$stateDir/banded")
+    val allB = bandedAll.select("vec_id", "band", "bsig")
+    val newB = bandedAll.where(col("epoch") === epochId)
+      .select("vec_id", "band", "bsig")
+    val meta = allB.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"), min("vec_id").as("rep"))
+    val nj = newB.join(meta, Seq("band", "bsig"))
+    val smallCand = nj.where(col("bn") <= maxBucket)
+      .select(col("vec_id").as("n"), col("band"), col("bsig"))
+      .join(allB.select(col("vec_id").as("s"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .where(col("n") =!= col("s"))
+      .select(col("n"), col("s"))
+    val starCand = nj.where(col("bn") > maxBucket && col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("n"), col("rep").as("s"))
+    val vecs = spark.read.parquet(s"$stateDir/vecs")
+      .select("vec_id", "v", "nrm")
+    val dot = graft.expressions.VectorExpressions.dotProduct(col("va"), col("vb"))
+    smallCand.union(starCand)
+      .select(least(col("n"), col("s")).as("a"),
+        greatest(col("n"), col("s")).as("b"))
+      .distinct()
+      .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), "b")
+      .where(dot / (col("na") * col("nb")) >= threshold)
+      .select("a", "b")
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+
+    val allPairs = spark.read.parquet(s"$stateDir/pairs").select("a", "b")
+    val losers =
+      if (allPairs.isEmpty) allPairs.select(col("a").as("vec_id"))
+      else TextPipeline.connectedComponents(allPairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("vec_id"))
+    spark.read.parquet(s"$stateDir/ids").select("vec_id")
+      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+  }
+
+  /** Streaming survivor-index maintenance for embeddings — every
+    * epoch's snapshot equals batch `Similarity.dedupEmbeddings(lsh)`
+    * over everything ingested so far (golden in StreamingSpec);
+    * snapshots may revoke, exactly as [[DocDedup.survivorQuery]]
+    * documents. */
+  def survivorQuery(emb: DataFrame, threshold: Double, stateDir: String,
+                    outDir: String, checkpointDir: String,
+                    maxBucket: Int = TextPipeline.LshMaxBucket)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestEpoch(batch, threshold, stateDir, outDir, epochId, maxBucket)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -705,6 +705,107 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EmbDedup.bandedRows signatures match the batch hyperplaneBanded path") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 100)
+    val streamSide = streaming.EmbDedup.bandedRows(emb)
+      .select("vec_id", "band", "bsig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batchSide = operators.Similarity.hyperplaneBanded(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamSide == batchSide,
+      "scan-local hyperplane band rows must equal the batch banding")
+  }
+
+  test("embedding survivor index == batch dedupEmbeddings(lsh) after " +
+    "every epoch of the replayed fixture vectors") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mb = 100000 // above any fixture bucket: exact-parity configuration
+    val embDF = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val vecs = embDF.withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
+      .orderBy("vec_id").as[streaming.EmbDedup.Vec].collect()
+    val root = java.nio.file.Files.createTempDirectory("embsurv").toString
+    val in = MemoryStream[streaming.EmbDedup.Vec]
+    val q = streaming.EmbDedup.survivorQuery(in.toDF(), 0.3, s"$root/state",
+      s"$root/out", s"$root/ckpt", maxBucket = mb)
+    val chunks = vecs.grouped((vecs.length + 2) / 3).toSeq
+    chunks.foreach { chunk =>
+      in.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def batchSurvivors(prefix: Int): Set[Long] = {
+      val ids = chunks.take(prefix).flatten.map(_.vec_id).toSet
+      operators.Similarity
+        .dedupEmbeddings(embDF.where(col("vec_id").isin(ids.toSeq: _*)),
+          0.3, "lsh", maxBucket = mb)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    def snapshot(epoch: Int): Set[Long] =
+      spark.read.parquet(s"$root/out/epoch=$epoch")
+        .select("vec_id").as[Long].collect().toSet
+    val mid = snapshot(0)
+    val midBatch = batchSurvivors(1)
+    assert(mid == midBatch,
+      s"epoch-0 stream-only: ${(mid -- midBatch).toSeq.sorted}; " +
+        s"batch-only: ${(midBatch -- mid).toSeq.sorted}")
+    val fin = snapshot(chunks.length - 1)
+    val finBatch = batchSurvivors(chunks.length)
+    assert(fin == finBatch,
+      s"final stream-only: ${(fin -- finBatch).toSeq.sorted}; " +
+        s"batch-only: ${(finBatch -- fin).toSeq.sorted}")
+  }
+
+  test("greedy embedding verdicts: one per vector; batch min-id " +
+    "survivors are a subset; drops name a qualifying earlier match") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val embDF = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      val vecs = embDF.withColumn("embedding",
+          org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
+        .orderBy("vec_id").as[streaming.EmbDedup.Vec].collect()
+      val root = java.nio.file.Files.createTempDirectory("embverd").toString
+      val in = MemoryStream[streaming.EmbDedup.Vec]
+      val q = streaming.EmbDedup.verdictQuery(in.toDF(), 0.3,
+        s"$root/out", s"$root/ckpt")
+      vecs.grouped((vecs.length + 2) / 3).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val verdicts = spark.read.parquet(s"$root/out")
+      assert(verdicts.count() == vecs.length,
+        s"want one verdict per vector (${vecs.length}), got ${verdicts.count()}")
+      val kept = verdicts.where(col("keep"))
+        .select("vec_id").as[Long].collect().toSet
+      val batch = operators.Similarity
+        .dedupEmbeddings(embDF, 0.3, "lsh", maxBucket = 100000)
+        .select("vec_id").as[Long].collect().toSet
+      assert((batch -- kept).isEmpty,
+        s"batch-only survivors must be empty: ${(batch -- kept).toSeq.sorted}")
+      val badDrop = verdicts.where(!col("keep") &&
+        (col("dup_of").isNull || col("dup_of") >= col("vec_id") ||
+          col("cos") < 0.3))
+      assert(badDrop.isEmpty, s"malformed drops: ${badDrop.collect().toSeq}")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental dedup with event-time TTL: representatives age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

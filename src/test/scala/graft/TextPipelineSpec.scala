@@ -50,6 +50,18 @@ class TextPipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: a 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // Worst case for label propagation (needs ~diameter = 999 rounds);
+    // star contraction must close it well inside the default cap of 50.
+    // Ids are shuffled so the min does not ride the path monotonically.
+    val perm = (0 until 1000).map(i => (i * 541L) % 1000L) // 541 coprime to 1000
+    val pairs = (0 until 999).map(i => (perm(i), perm(i + 1))).toDF("a", "b")
+    val got = TextPipeline.connectedComponents(pairs)
+    assert(got.count() == 1000L)
+    assert(got.select("rep").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("hammingNeighborPairs (banded) == brute-force all-pairs, any k") {
     import spark.implicits._
     // 20 deterministic pseudo-random 16-bit signatures
