@@ -23,4 +23,18 @@ object VectorExpressions {
     VectorKernels.column(
       org.apache.spark.sql.graftvec.HyperplaneSig(
         VectorKernels.expression(v), bits, seed))
+
+  /** One-scan (n_bigrams, n_distinct) over hashed word bigrams
+    * ([[org.apache.spark.sql.graftvec.BigramHashStats]]). */
+  def bigramHashStats(text: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.BigramHashStats(
+        VectorKernels.expression(text)))
+
+  /** One-scan space-joined word n-grams
+    * ([[org.apache.spark.sql.graftvec.WordNgrams]]). */
+  def wordNgrams(text: Column, n: Int): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.WordNgrams(
+        VectorKernels.expression(text), n))
 }

@@ -402,6 +402,38 @@ object TextPipeline {
     smallPairs.union(starPairs).distinct()
   }
 
+  /** [[bucketGuardedCandidates]] for INCREMENTAL ingest: candidates
+    * touch only the `fresh` banded rows against the `standing` index
+    * (which already contains them — the guard metadata is computed over
+    * the current cumulative view, so cap behavior matches the batch
+    * pipeline on the same corpus). Shared by the streaming survivor
+    * indexes (`DocDedup.ingestEpoch` / `EmbDedup.ingestEpoch`).
+    *
+    * Every stage here hashes on (band, bsig): when the standing side is
+    * a table BUCKETED on those columns (`Layout.appendEpochBucketed`),
+    * the per-bucket metadata aggregate and the candidate join both read
+    * it Exchange-free and only the epoch-sized `fresh` side shuffles —
+    * the streaming mirror of q65's bucketed-standing-corpus posture
+    * (asserted in LayoutSpec). */
+  private[graft] def incrementalGuardedCandidates(standing: DataFrame,
+      fresh: DataFrame, cap: Int, idCol: String = "doc_id"): DataFrame = {
+    val meta = standing.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"), min(idCol).as("rep"))
+    val nj = fresh.select(col(idCol).as("n"), col("band"), col("bsig"))
+      .join(meta, Seq("band", "bsig"))
+    val small = nj.where(col("bn") <= cap)
+      .join(standing.select(col(idCol).as("s"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .where(col("n") =!= col("s"))
+      .select("n", "s")
+    val star = nj.where(col("bn") > cap && col("n") =!= col("rep"))
+      .select(col("n"), col("rep").as("s"))
+    small.union(star)
+      .select(least(col("n"), col("s")).as("a"),
+        greatest(col("n"), col("s")).as("b"))
+      .distinct()
+  }
+
   def minHashLshPairs(setRows: DataFrame, tau: Double,
                       maxBucket: Int = LshMaxBucket): DataFrame = {
     val cand = bucketGuardedCandidates(minHashBanded(setRows), maxBucket)
@@ -682,17 +714,16 @@ object TextPipeline {
       |  CAST(CASE WHEN 1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) > 0.2
       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // one-scan native kernel: no word array, no per-bigram lambda —
+    // graft.expressions.VectorExpressions.bigramHashStats scaladoc
     Tables.documents(s, d)
-      .select(col("doc_id"), wordsCol.as("words"))
-      .where(size(col("words")) >= 2)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("words")) - 1),
-          i => xxhash64(element_at(col("words"), i),
-            element_at(col("words"), i + 1))).as("bg"))
+        graft.expressions.VectorExpressions.bigramHashStats(col("text")).as("bs"))
+      .where(col("bs.n_bigrams") >= 1) // == the size(words) >= 2 gate
       .select(col("doc_id"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
-        (lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+        col("bs.n_bigrams").as("n_bigrams"),
+        col("bs.n_distinct").as("n_distinct"),
+        (lit(1.0) - col("bs.n_distinct").cast("double") / col("bs.n_bigrams"))
           .as("raw"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(col("raw"), 4).as("dup_frac"),
@@ -723,15 +754,12 @@ object TextPipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n_total
       |FROM g GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 3
       |ORDER BY n_docs DESC, n_total DESC, shingle""".stripMargin) { (s, d) =>
+    // one-scan native shingle kernel (allocates only the output strings);
+    // exploding an empty array drops short docs, so no words-count gate
     Tables.documents(s, d)
-      .select(col("doc_id"), wordsCol.as("words"))
-      .where(size(col("words")) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("words")) - 2),
-          i => concat_ws(" ",
-            element_at(col("words"), i),
-            element_at(col("words"), i + 1),
-            element_at(col("words"), i + 2)))).as("shingle"))
+        explode(graft.expressions.VectorExpressions.wordNgrams(col("text"), 3))
+          .as("shingle"))
       .groupBy("shingle")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_total"))

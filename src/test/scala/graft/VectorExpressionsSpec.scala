@@ -84,4 +84,58 @@ class VectorExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; functions registered at build time
   }
+
+  test("word_ngrams == the split/transform formulation on the fixture corpus") {
+    import graft.expressions.VectorExpressions.wordNgrams
+    for (n <- Seq(2, 3)) {
+      val docs = Tables.documents(spark, sf0001)
+        .withColumn("words",
+          filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))
+      val both = docs.select(
+        wordNgrams(col("text"), n).as("native"),
+        when(size(col("words")) >= n,
+          transform(sequence(lit(1), size(col("words")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k =>
+              element_at(col("words"), i + k)): _*)))
+          .otherwise(array()).as("hof"))
+      assert(both.where(not(col("native") <=> col("hof"))).count() == 0,
+        s"n=$n shingle mismatch")
+    }
+  }
+
+  test("bigram_hash_stats: hand-computed edges and null/short inputs") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.bigramHashStats
+    val df = Seq(
+      (0L, "the cat the cat the"),  // bigrams: tc ct tc ct → 2 distinct
+      (1L, "A!!b..A??b"),           // a b a b → ab ba ab → 2 distinct
+      (2L, "one"),                  // 1 word → (0, 0)
+      (3L, ""),                     // no words → (0, 0)
+      (4L, "7 8 9 --")              // no letters → (0, 0)
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), bigramHashStats(col("text")).as("bs"))
+      .select(col("doc_id"), col("bs.n_bigrams"), col("bs.n_distinct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 4L, 2L), (1L, 3L, 2L), (2L, 0L, 0L),
+      (3L, 0L, 0L), (4L, 0L, 0L)))
+    val nul = df.select(bigramHashStats(lit(null).cast("string"))).collect()
+    assert(nul.forall(_.isNullAt(0)))
+  }
+
+  test("bigram_hash_stats matches the transform/xxhash64 formulation") {
+    import graft.expressions.VectorExpressions.bigramHashStats
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("words",
+        filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))
+      .where(size(col("words")) >= 2)
+      .withColumn("bg", transform(sequence(lit(1), size(col("words")) - 1),
+        i => xxhash64(element_at(col("words"), i),
+          element_at(col("words"), i + 1))))
+    val both = docs.select(
+      bigramHashStats(col("text")).as("bs"),
+      size(col("bg")).cast("long").as("hof_n"),
+      size(array_distinct(col("bg"))).cast("long").as("hof_d"))
+    assert(both.where(col("bs.n_bigrams") =!= col("hof_n") ||
+      col("bs.n_distinct") =!= col("hof_d")).count() == 0)
+  }
 }
