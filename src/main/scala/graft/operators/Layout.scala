@@ -31,6 +31,32 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append ONE epoch of rows to a standing table that is
+    * epoch-partitioned AND bucketed on `bucketCols` — the layout a
+    * streaming survivor index wants at scale: every epoch's candidate
+    * join and per-bucket guard aggregate read the standing side
+    * Exchange-free (bucketing carries across epoch partitions), so only
+    * the epoch-sized new batch ever shuffles. Idempotent under
+    * micro-batch replay: an epoch whose partition already exists is
+    * skipped (the check prunes to that one partition — a metadata-cheap
+    * probe, not a table scan). */
+  def appendEpochBucketed(df: DataFrame, table: String, buckets: Int,
+                          epochId: Long, bucketCols: Seq[String]): Unit = {
+    require(bucketCols.nonEmpty)
+    val spark = df.sparkSession
+    val withEpoch = df.withColumn("epoch", lit(epochId))
+    def write(mode: String): Unit = withEpoch.write.mode(mode)
+      .partitionBy("epoch")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    if (!spark.catalog.tableExists(table)) write("overwrite")
+    else if (spark.table(table).where(col("epoch") === epochId).isEmpty)
+      write("append")
+    // else: replayed epoch — rows already present, exactly-once skip
+  }
+
   /** Two-phase salted aggregation: spread a skewed group key over
     * `salt` sub-keys for the partial aggregate, then merge partials.
     * COUNT/SUM-decomposable aggregates only — exactly the combiner

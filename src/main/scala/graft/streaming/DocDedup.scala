@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.TextPipeline
+import graft.operators.{Layout, TextPipeline}
 
 /** Incremental (streaming) near-duplicate detection — the stream twin of
   * [[graft.operators.TextPipeline.dedupCorpus]]'s candidate stage, for
@@ -388,12 +388,17 @@ object DocDedup {
     * boilerplate flood costs O(new) edges per epoch, never O(bucket²).
     *
     * Per-epoch cost beyond the new batch: one scan of the standing
-    * banded store (bucket-partitioned layout would prune it at real
-    * scale, as LayoutSpec demonstrates for q65) and components over the
-    * cumulative PAIR set — near-dup pairs, ≪ corpus. */
+    * banded store and components over the cumulative PAIR set —
+    * near-dup pairs, ≪ corpus. Pass `bandedTable` to keep the banded
+    * index as an epoch-partitioned table BUCKETED on (band, bsig)
+    * instead of plain parquet: the guard aggregate and candidate join
+    * then read the standing side Exchange-free and only the new batch
+    * shuffles (the q65 posture, asserted in LayoutSpec). */
   def ingestEpoch(batch: DataFrame, tau: Double, stateDir: String,
                   outDir: String, epochId: Long,
-                  maxBucket: Int = TextPipeline.LshMaxBucket): Unit = {
+                  maxBucket: Int = TextPipeline.LshMaxBucket,
+                  bandedTable: Option[String] = None,
+                  indexBuckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.select("doc_id")
@@ -401,32 +406,25 @@ object DocDedup {
     b.select(col("doc_id"),
         array_distinct(Text.wordsOf(col("text"))).as("words"))
       .write.mode("overwrite").parquet(s"$stateDir/words/epoch=$epochId")
-    bandedRows(b).select("doc_id", "band", "bsig")
-      .write.mode("overwrite").parquet(s"$stateDir/banded/epoch=$epochId")
+    val bandedNew = bandedRows(b).select("doc_id", "band", "bsig")
+    bandedTable match {
+      case Some(t) =>
+        Layout.appendEpochBucketed(bandedNew, t, indexBuckets, epochId,
+          Seq("band", "bsig"))
+      case None =>
+        bandedNew.write.mode("overwrite")
+          .parquet(s"$stateDir/banded/epoch=$epochId")
+    }
     b.unpersist()
 
-    val bandedAll = spark.read.parquet(s"$stateDir/banded")
+    val bandedAll = bandedTable.map(spark.table)
+      .getOrElse(spark.read.parquet(s"$stateDir/banded"))
     val allB = bandedAll.select("doc_id", "band", "bsig")
     val newB = bandedAll.where(col("epoch") === epochId)
       .select("doc_id", "band", "bsig")
-    // batch-guard against the current bucket view (count + min-id rep)
-    val meta = allB.groupBy("band", "bsig")
-      .agg(count(lit(1)).as("bn"), min("doc_id").as("rep"))
-    val nj = newB.join(meta, Seq("band", "bsig"))
-    val smallCand = nj.where(col("bn") <= maxBucket)
-      .select(col("doc_id").as("n"), col("band"), col("bsig"))
-      .join(allB.select(col("doc_id").as("s"), col("band"), col("bsig")),
-        Seq("band", "bsig"))
-      .where(col("n") =!= col("s"))
-      .select(col("n"), col("s"))
-    val starCand = nj.where(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("n"), col("rep").as("s"))
     val words = spark.read.parquet(s"$stateDir/words")
       .select("doc_id", "words")
-    smallCand.union(starCand)
-      .select(least(col("n"), col("s")).as("a"),
-        greatest(col("n"), col("s")).as("b"))
-      .distinct()
+    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket)
       // exact verification of candidates only — minHashLshPairs' contract
       .join(words.select(col("doc_id").as("a"), col("words").as("wa")), "a")
       .join(words.select(col("doc_id").as("b"), col("words").as("wb")), "b")
@@ -462,11 +460,14 @@ object DocDedup {
     * pattern) read the latest epoch here. */
   def survivorQuery(docs: DataFrame, tau: Double, stateDir: String,
                     outDir: String, checkpointDir: String,
-                    maxBucket: Int = TextPipeline.LshMaxBucket)
+                    maxBucket: Int = TextPipeline.LshMaxBucket,
+                    bandedTable: Option[String] = None,
+                    indexBuckets: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        ingestEpoch(batch, tau, stateDir, outDir, epochId, maxBucket)
+        ingestEpoch(batch, tau, stateDir, outDir, epochId, maxBucket,
+          bandedTable, indexBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -167,7 +167,9 @@ object EmbDedup {
     * survivor snapshot at `outDir/epoch=N`. */
   def ingestEpoch(batch: DataFrame, threshold: Double, stateDir: String,
                   outDir: String, epochId: Long,
-                  maxBucket: Int = TextPipeline.LshMaxBucket): Unit = {
+                  maxBucket: Int = TextPipeline.LshMaxBucket,
+                  bandedTable: Option[String] = None,
+                  indexBuckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.select("vec_id")
@@ -176,32 +178,27 @@ object EmbDedup {
       .select(col("vec_id"), col("v"),
         sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)).as("nrm"))
       .write.mode("overwrite").parquet(s"$stateDir/vecs/epoch=$epochId")
-    bandedRows(b).select("vec_id", "band", "bsig")
-      .write.mode("overwrite").parquet(s"$stateDir/banded/epoch=$epochId")
+    val bandedNew = bandedRows(b).select("vec_id", "band", "bsig")
+    bandedTable match {
+      case Some(t) =>
+        graft.operators.Layout.appendEpochBucketed(bandedNew, t,
+          indexBuckets, epochId, Seq("band", "bsig"))
+      case None =>
+        bandedNew.write.mode("overwrite")
+          .parquet(s"$stateDir/banded/epoch=$epochId")
+    }
     b.unpersist()
 
-    val bandedAll = spark.read.parquet(s"$stateDir/banded")
+    val bandedAll = bandedTable.map(spark.table)
+      .getOrElse(spark.read.parquet(s"$stateDir/banded"))
     val allB = bandedAll.select("vec_id", "band", "bsig")
     val newB = bandedAll.where(col("epoch") === epochId)
       .select("vec_id", "band", "bsig")
-    val meta = allB.groupBy("band", "bsig")
-      .agg(count(lit(1)).as("bn"), min("vec_id").as("rep"))
-    val nj = newB.join(meta, Seq("band", "bsig"))
-    val smallCand = nj.where(col("bn") <= maxBucket)
-      .select(col("vec_id").as("n"), col("band"), col("bsig"))
-      .join(allB.select(col("vec_id").as("s"), col("band"), col("bsig")),
-        Seq("band", "bsig"))
-      .where(col("n") =!= col("s"))
-      .select(col("n"), col("s"))
-    val starCand = nj.where(col("bn") > maxBucket && col("vec_id") =!= col("rep"))
-      .select(col("vec_id").as("n"), col("rep").as("s"))
     val vecs = spark.read.parquet(s"$stateDir/vecs")
       .select("vec_id", "v", "nrm")
     val dot = graft.expressions.VectorExpressions.dotProduct(col("va"), col("vb"))
-    smallCand.union(starCand)
-      .select(least(col("n"), col("s")).as("a"),
-        greatest(col("n"), col("s")).as("b"))
-      .distinct()
+    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
+        idCol = "vec_id")
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -228,11 +225,14 @@ object EmbDedup {
     * documents. */
   def survivorQuery(emb: DataFrame, threshold: Double, stateDir: String,
                     outDir: String, checkpointDir: String,
-                    maxBucket: Int = TextPipeline.LshMaxBucket)
+                    maxBucket: Int = TextPipeline.LshMaxBucket,
+                    bandedTable: Option[String] = None,
+                    indexBuckets: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        ingestEpoch(batch, threshold, stateDir, outDir, epochId, maxBucket)
+        ingestEpoch(batch, threshold, stateDir, outDir, epochId, maxBucket,
+          bandedTable, indexBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

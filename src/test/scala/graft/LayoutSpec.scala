@@ -94,6 +94,65 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("streaming survivor index vs a BUCKETED standing banded store: " +
+    "the standing side is never re-shuffled on (band, bsig)") {
+    // The stream form of the q65 posture (DocDedup/EmbDedup ingestEpoch
+    // with bandedTable set): the cumulative banded index lives in an
+    // epoch-partitioned table bucketed on (band, bsig), so the guard
+    // aggregate AND the candidate join consume it Exchange-free; only
+    // the epoch-sized fresh side hashes into place. The candidates'
+    // final distinct still shuffles — but that moves candidate PAIRS,
+    // not the standing index.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.streaming.DocDedup
+    import graft.operators.TextPipeline
+    val tbl = "b_banded_layoutspec"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val banded0 = DocDedup.bandedRows(docs.where(col("doc_id") % 3 =!= 2))
+      .select("doc_id", "band", "bsig")
+    val banded1 = DocDedup.bandedRows(docs.where(col("doc_id") % 3 === 2))
+      .select("doc_id", "band", "bsig")
+    val freshDir = Files.createTempDirectory("freshb").toString + "/banded"
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      Layout.appendEpochBucketed(banded0, tbl, 4, 0L, Seq("band", "bsig"))
+      Layout.appendEpochBucketed(banded1, tbl, 4, 1L, Seq("band", "bsig"))
+      banded1.write.mode("overwrite").parquet(freshDir)
+      val standing = spark.table(tbl).select("doc_id", "band", "bsig")
+      val fresh = spark.read.parquet(freshDir)
+      val cand = TextPipeline.incrementalGuardedCandidates(standing, fresh, 128)
+      cand.collect()
+      val exec = cand.queryExecution.executedPlan
+      val bandExchanges = exec.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("band") => e
+      }
+      assert(bandExchanges.nonEmpty, // sanity: the join is not broadcast
+        s"expected the fresh side to hash into the bucketed layout:\n$exec")
+      val offending = bandExchanges.filter(_.child.toString.contains(tbl))
+      assert(offending.isEmpty,
+        s"standing banded table re-shuffled on (band, bsig):\n${offending.mkString}")
+      assert(exec.toString.contains(tbl),
+        s"bucketed standing table not in plan:\n$exec")
+      // parity: identical candidates from a plain-parquet standing side
+      val parquetStanding = banded0.union(banded1)
+      val want = TextPipeline
+        .incrementalGuardedCandidates(parquetStanding, fresh, 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val out = Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/orders"
     val orders = Tables.orders(spark, sf0001)

@@ -705,6 +705,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("survivor index on a BUCKETED banded table: snapshots match batch " +
+    "dedupCorpus and a replayed epoch neither duplicates nor diverges") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mb = 100000
+    val tbl = "b_banded_streamspec"
+    val docsDF = Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 400).select("doc_id", "text")
+    val docs = docsDF.orderBy("doc_id").as[DocDedup.Doc].collect()
+    val root = java.nio.file.Files.createTempDirectory("survbkt").toString
+    try {
+      val in = MemoryStream[DocDedup.Doc]
+      val q = DocDedup.survivorQuery(in.toDF(), 0.8, s"$root/state",
+        s"$root/out", s"$root/ckpt", maxBucket = mb,
+        bandedTable = Some(tbl))
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      def snapshot(epoch: Int): Set[Long] =
+        spark.read.parquet(s"$root/out/epoch=$epoch")
+          .select("doc_id").as[Long].collect().toSet
+      val fin = snapshot(chunks.length - 1)
+      val finBatch = operators.TextPipeline
+        .dedupCorpus(docsDF, 0.8, "minhash-lsh", electBy = "first",
+          maxBucket = mb)
+        .select("doc_id").as[Long].collect().toSet
+      assert(fin == finBatch,
+        s"stream-only: ${(fin -- finBatch).toSeq.sorted}; " +
+          s"batch-only: ${(finBatch -- fin).toSeq.sorted}")
+      // failure-recovery replay of the LAST epoch: the bucketed store
+      // must skip the append (exactly-once) and the snapshot must not move
+      val rowsBefore = spark.table(tbl).count()
+      DocDedup.ingestEpoch(chunks.last.toSeq.toDF(), 0.8, s"$root/state",
+        s"$root/out", (chunks.length - 1).toLong, mb, Some(tbl))
+      assert(spark.table(tbl).count() == rowsBefore,
+        "replayed epoch duplicated rows in the bucketed banded table")
+      assert(snapshot(chunks.length - 1) == fin,
+        "replayed epoch changed the survivor snapshot")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("EmbDedup.bandedRows signatures match the batch hyperplaneBanded path") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 100)
