@@ -40,6 +40,10 @@ object Bench {
     // optional args = query-name filter (the "single-query Bench pass"
     // of BASELINE.md's adjudication rule)
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: unknown query name(s), skipping: ${unknown.toSeq.sorted.mkString(", ")}")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 

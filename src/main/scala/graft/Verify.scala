@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter (dev use)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[verify] WARNING: unknown query name(s), skipping: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // only stop what we start — embedding callers (tests) keep theirs
     val preexisting = SparkSession.getDefaultSession.isDefined
