@@ -804,6 +804,40 @@ class StreamingSpec extends SparkSpec {
         s"batch-only: ${(finBatch -- fin).toSeq.sorted}")
   }
 
+  test("EmbDedup survivor index on a BUCKETED banded table matches " +
+    "batch dedupEmbeddings(lsh)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tbl = "b_banded_embspec"
+    val embDF = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 200).select("vec_id", "embedding")
+    val vecs = embDF.withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")))
+      .orderBy("vec_id").as[streaming.EmbDedup.Vec].collect()
+    val root = java.nio.file.Files.createTempDirectory("embsurvbkt").toString
+    try {
+      val in = MemoryStream[streaming.EmbDedup.Vec]
+      val q = streaming.EmbDedup.survivorQuery(in.toDF(), 0.3, s"$root/state",
+        s"$root/out", s"$root/ckpt", maxBucket = 100000,
+        bandedTable = Some(tbl))
+      val chunks = vecs.grouped((vecs.length + 1) / 2).toSeq
+      chunks.foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val fin = spark.read.parquet(s"$root/out/epoch=${chunks.length - 1}")
+        .select("vec_id").as[Long].collect().toSet
+      val batch = operators.Similarity
+        .dedupEmbeddings(embDF, 0.3, "lsh", maxBucket = 100000)
+        .select("vec_id").as[Long].collect().toSet
+      assert(fin == batch,
+        s"stream-only: ${(fin -- batch).toSeq.sorted}; " +
+          s"batch-only: ${(batch -- fin).toSeq.sorted}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("greedy embedding verdicts: one per vector; batch min-id " +
     "survivors are a subset; drops name a qualifying earlier match") {
     implicit val sql = spark.sqlContext
