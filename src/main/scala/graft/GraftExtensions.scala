@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("dot_product", DotProduct))
     ext.injectFunction(hyperplaneSig)
     ext.injectFunction(polyHash)
+    ext.injectFunction(bigramHashStats)
+    ext.injectFunction(wordNgrams)
     ext.injectCheckRule(spark => CrossJoinGuard.check(spark))
     // opt-in (spark.graft.lsh.autoRewrite.enabled) cosine-join → LSH rewrite
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
@@ -43,6 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     FunctionIdentifier("poly_hash"),
     new ExpressionInfo(classOf[GraftExtensions].getName, "poly_hash"),
     GraftExtensions.buildPolyHash _)
+
+  /** `bigram_hash_stats(text)`. */
+  private def bigramHashStats = (
+    FunctionIdentifier("bigram_hash_stats"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "bigram_hash_stats"),
+    GraftExtensions.buildBigramHashStats _)
+
+  /** `word_ngrams(text, n)` — n must be a literal. */
+  private def wordNgrams = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "word_ngrams"),
+    GraftExtensions.buildWordNgrams _)
 }
 
 object GraftExtensions {
@@ -73,6 +87,27 @@ object GraftExtensions {
       "hyperplane_sig", buildHyperplaneSig, "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", buildPolyHash, "built-in")
+    reg.createOrReplaceTempFunction(
+      "bigram_hash_stats", buildBigramHashStats, "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", buildWordNgrams, "built-in")
+  }
+
+  /** Builds `bigram_hash_stats(text)` from SQL args. */
+  def buildBigramHashStats(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"bigram_hash_stats expects 1 argument, got ${args.length}")
+    org.apache.spark.sql.graftvec.BigramHashStats(args(0))
+  }
+
+  /** Builds `word_ngrams(text, n)` from SQL args — n must be a literal
+    * (it parameterizes codegen). */
+  def buildWordNgrams(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"word_ngrams expects 2 arguments, got ${args.length}")
+    require(args(1).foldable, "n must be a literal")
+    org.apache.spark.sql.graftvec.WordNgrams(
+      args(0), args(1).eval().asInstanceOf[Number].intValue)
   }
 
   /** Builds `poly_hash(str[, seed])` from SQL args — seed must be a

@@ -85,6 +85,16 @@ class VectorExpressionsSpec extends SparkSpec {
     new GraftExtensions()(ext) // must not throw; functions registered at build time
   }
 
+  test("bigram_hash_stats / word_ngrams callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT bigram_hash_stats('a b a b').n_distinct AS d,
+        |       word_ngrams('The quick brown fox', 3) AS g""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1) == Seq("the quick brown", "quick brown fox"))
+  }
+
   test("word_ngrams == the split/transform formulation on the fixture corpus") {
     import graft.expressions.VectorExpressions.wordNgrams
     for (n <- Seq(2, 3)) {
