@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(polyHash)
     ext.injectFunction(bigramHashStats)
     ext.injectFunction(wordNgrams)
+    ext.injectFunction(hasMinWords)
     ext.injectCheckRule(spark => CrossJoinGuard.check(spark))
     // opt-in (spark.graft.lsh.autoRewrite.enabled) cosine-join → LSH rewrite
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
@@ -57,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     FunctionIdentifier("word_ngrams"),
     new ExpressionInfo(classOf[GraftExtensions].getName, "word_ngrams"),
     GraftExtensions.buildWordNgrams _)
+
+  /** `has_min_words(text, k)` — k must be a literal. */
+  private def hasMinWords = (
+    FunctionIdentifier("has_min_words"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "has_min_words"),
+    GraftExtensions.buildHasMinWords _)
 }
 
 object GraftExtensions {
@@ -91,6 +98,18 @@ object GraftExtensions {
       "bigram_hash_stats", buildBigramHashStats, "built-in")
     reg.createOrReplaceTempFunction(
       "word_ngrams", buildWordNgrams, "built-in")
+    reg.createOrReplaceTempFunction(
+      "has_min_words", buildHasMinWords, "built-in")
+  }
+
+  /** Builds `has_min_words(text, k)` from SQL args — k must be a
+    * literal (it parameterizes codegen). */
+  def buildHasMinWords(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"has_min_words expects 2 arguments, got ${args.length}")
+    require(args(1).foldable, "k must be a literal")
+    org.apache.spark.sql.graftvec.HasMinWords(
+      args(0), args(1).eval().asInstanceOf[Number].intValue)
   }
 
   /** Builds `bigram_hash_stats(text)` from SQL args. */

@@ -37,4 +37,11 @@ object VectorExpressions {
     VectorKernels.column(
       org.apache.spark.sql.graftvec.WordNgrams(
         VectorKernels.expression(text), n))
+
+  /** Early-exit "at least k words" predicate
+    * ([[org.apache.spark.sql.graftvec.HasMinWords]]). */
+  def hasMinWords(text: Column, k: Int): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.HasMinWords(
+        VectorKernels.expression(text), k))
 }

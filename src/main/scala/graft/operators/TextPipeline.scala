@@ -715,11 +715,14 @@ object TextPipeline {
       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     // one-scan native kernel: no word array, no per-bigram lambda —
-    // graft.expressions.VectorExpressions.bigramHashStats scaladoc
+    // graft.expressions.VectorExpressions.bigramHashStats scaladoc.
+    // The gate is the early-exit has_min_words predicate: a filter on
+    // bs.n_bigrams gets pushed below the projection by re-inlining the
+    // kernel (two full evaluations per row — PLANS.md q54 history)
     Tables.documents(s, d)
+      .where(graft.expressions.VectorExpressions.hasMinWords(col("text"), 2))
       .select(col("doc_id"),
         graft.expressions.VectorExpressions.bigramHashStats(col("text")).as("bs"))
-      .where(col("bs.n_bigrams") >= 1) // == the size(words) >= 2 gate
       .select(col("doc_id"),
         col("bs.n_bigrams").as("n_bigrams"),
         col("bs.n_distinct").as("n_distinct"),

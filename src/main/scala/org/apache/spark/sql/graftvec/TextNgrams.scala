@@ -114,6 +114,34 @@ object NgramKernel {
     new GenericInternalRow(Array[Any](hashes.length.toLong, distinct))
   }
 
+  /** True iff the text contains at least `k` words — EARLY EXIT at the
+    * k-th word, so as a pre-filter it reads a handful of bytes per row
+    * where the stats kernel would scan the whole document. (Catalyst
+    * pushes a filter on `bigram_hash_stats(text).n_bigrams` below the
+    * projection by re-inlining the kernel — two full evaluations per
+    * row, since codegen subexpression elimination does not span a
+    * Filter/Project pair. Filtering on this predicate instead keeps the
+    * stats kernel to ONE evaluation.) Called from generated code. */
+  def hasMinWords(text: UTF8String, k: Int): Boolean = {
+    if (k <= 0) return true
+    val n = text.numBytes()
+    // (b | 0x20) folds A-Z onto a-z and maps no other byte into the range
+    @inline def letter(i: Int): Boolean = {
+      val b = text.getByte(i) | 0x20
+      b >= 'a' && b <= 'z'
+    }
+    var words = 0
+    var i = 0
+    while (i < n) {
+      if (letter(i)) {
+        words += 1
+        if (words >= k) return true
+        while (i < n && letter(i)) i += 1
+      } else i += 1
+    }
+    false
+  }
+
   /** Space-joined word n-grams as an array<string>. Called from
     * generated code. */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
@@ -166,6 +194,23 @@ case class BigramHashStats(child: Expression) extends NgramUnaryExpression {
       s"${ev.value} = $kernelCls.bigramStats($t);")
 
   override protected def withNewChildInternal(newChild: Expression): BigramHashStats =
+    copy(child = newChild)
+}
+
+/** Early-exit "has at least k words" predicate — the pushdown-friendly
+  * pre-filter for [[BigramHashStats]]. */
+case class HasMinWords(child: Expression, k: Int) extends NgramUnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "has_min_words"
+
+  override def nullSafeEval(t: Any): Any =
+    NgramKernel.hasMinWords(t.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $kernelCls.hasMinWords($t, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): HasMinWords =
     copy(child = newChild)
 }
 

@@ -132,6 +132,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nul.forall(_.isNullAt(0)))
   }
 
+  test("has_min_words == (word count >= k) on fixture + edge strings") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.hasMinWords
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .union(Seq("", "one", "a!b", "7 8 9", "UPPER lower").toDF("text"))
+    for (k <- Seq(1, 2, 3)) {
+      val bad = docs.where(
+        hasMinWords(col("text"), k) =!=
+          (size(filter(split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0)) >= k))
+      assert(bad.isEmpty, s"k=$k mismatches: ${bad.collect().toSeq.take(5)}")
+    }
+  }
+
   test("bigram_hash_stats matches the transform/xxhash64 formulation") {
     import graft.expressions.VectorExpressions.bigramHashStats
     val docs = Tables.documents(spark, sf0001)
