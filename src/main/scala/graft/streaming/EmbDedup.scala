@@ -41,12 +41,20 @@ object EmbDedup {
   // public: the state-encoder's generated code calls the accessors
   case class VecRep(rep_id: Long, v: Seq[Double], nrm: Double)
 
+  /** [[Vec]] with an event time — the TTL variant's incoming shape. */
+  case class VecTs(vec_id: Long, embedding: Seq[Double], ts: java.sql.Timestamp)
+
+  /** [[BandRowV]] carrying the event time. */
+  case class BandRowVTs(vec_id: Long, band: Int, bsig: Long, v: Seq[Double],
+                        ts: java.sql.Timestamp)
+
   /** Banded rows for a `(vec_id, embedding)` frame, scan-local — the
     * carry-the-vector form of `Similarity.hyperplaneBanded` (same
     * signature math, pinned against it in StreamingSpec). Works on both
-    * static and streaming input. */
+    * static and streaming input; `carry` forwards extra columns (the
+    * TTL variant rides the event time through). */
   def bandedRows(emb: DataFrame, bits: Int = 64, bands: Int = 16,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L, carry: Seq[String] = Nil): DataFrame = {
     require(bits >= 1 && bits <= 64 && bands >= 1 && bits % bands == 0)
     val rows = bits / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1L
@@ -58,9 +66,11 @@ object EmbDedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * rows).bitwiseAND(lit(mask)).as("bsig"))
     }
-    sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"), col("v"))
-      .select(col("vec_id"), col("bd.band").as("band"),
-        col("bd.bsig").as("bsig"), col("v"))
+    val carried = carry.map(col)
+    sig.select(col("vec_id") +: explode(array(bandCols: _*)).as("bd") +:
+        col("v") +: carried: _*)
+      .select(col("vec_id") +: col("bd.band").as("band") +:
+        col("bd.bsig").as("bsig") +: col("v") +: carried: _*)
   }
 
   /** [[DocDedup.WordBucketProcessor]] for vectors: up to `cap` member
@@ -124,6 +134,89 @@ object EmbDedup {
       .groupByKey(r => (r.band, r.bsig))
       .transformWithState(new VecBucketProcessor(cap),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[VecBucketProcessor]] with EVENT-TIME TTL on the stored members
+    * ([[DocDedup.TtlBucketProcessor]] pattern): every bucket arrival
+    * re-arms a timer at `last event time + ttl`; when the watermark
+    * passes it the bucket's member list is cleared, so state is bounded
+    * by event-time-ACTIVE buckets. Same activity-anchored horizon as
+    * the doc variant: any traffic into a bucket keeps its members
+    * alive — the horizon is "ttl since last bucket activity", not
+    * "since each member was admitted". */
+  class VecBucketProcessorTtl(cap: Int, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandRowVTs, Probe] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var members: ListState[VecRep] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[VecRep](
+        "members", Encoders.product[VecRep], TTLConfig.NONE)
+
+    private def norm(v: Seq[Double]): Double =
+      math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRowVTs],
+                                 timers: TimerValues): Iterator[Probe] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.vec_id))
+      val out = Seq.newBuilder[Probe]
+      val stored = scala.collection.mutable.ArrayBuffer.empty[VecRep]
+      members.get().foreach(stored += _)
+      sorted.foreach { r =>
+        if (stored.exists(_.rep_id == r.vec_id)) {
+          out += Probe(r.vec_id, key._1, -1L, 0.0)
+        } else {
+          val rn = norm(r.v)
+          var bestId = -1L
+          var bestCos = Double.MinValue
+          stored.foreach { m =>
+            var d = 0.0
+            var i = 0
+            while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
+            val cos = d / (m.nrm * rn)
+            if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
+              { bestId = m.rep_id; bestCos = cos }
+          }
+          out += Probe(r.vec_id, key._1, bestId,
+            if (bestId >= 0) bestCos else 0.0)
+          if (stored.size < cap) {
+            val w = VecRep(r.vec_id, r.v, rn)
+            stored += w
+            members.appendValue(w)
+          }
+        }
+      }
+      // one armed timer per bucket: slide expiry to the newest activity
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(sorted.map(_.ts.getTime).max + ttlMs)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Probe] = {
+      members.clear()
+      Iterator.empty
+    }
+  }
+
+  /** TTL variant of [[probes]] over a `(vec_id, embedding, ts)` stream:
+    * bucket member lists age out after `ttlMs` of event-time bucket
+    * inactivity (watermark-driven), bounding state on perpetual feeds —
+    * the vector twin of [[DocDedup.incrementalCandidatesTtl]], same
+    * activity-anchored expiry horizon. Requires a watermark on `ts`
+    * (applied here) and the RocksDB state store provider. */
+  def probesTtl(emb: DataFrame, cap: Int = TextPipeline.LshMaxBucket,
+                ttlMs: Long = 24L * 3600 * 1000,
+                lateness: String = "10 minutes"): Dataset[Probe] = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    bandedRows(emb.withWatermark("ts", lateness), carry = Seq("ts"))
+      .as[BandRowVTs]
+      .groupByKey(r => (r.band, r.bsig))
+      .transformWithState(new VecBucketProcessorTtl(cap, ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Fold per-band probes into one verdict per vector — keep iff no

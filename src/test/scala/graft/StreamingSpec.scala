@@ -885,6 +885,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup with event-time TTL: bucket members age out") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[streaming.EmbDedup.VecTs]
+      val query = streaming.EmbDedup.probesTtl(
+          in.toDF(), ttlMs = 30L * 60000, lateness = "10 minutes")
+        .writeStream.format("memory").queryName("embdedupttl")
+        .outputMode("append").start()
+      val va = Seq(1.0, 2.0, 3.0, 4.0)
+      val far = Seq(-4.0, 3.0, -2.0, 1.0) // different signature, most bands
+      in.addData(streaming.EmbDedup.VecTs(1, va, ts(0)))
+      query.processAllAvailable()
+      // within TTL: vec 2 probes against the live member (cos = 1)
+      in.addData(streaming.EmbDedup.VecTs(2, va, ts(10)))
+      query.processAllAvailable()
+      // unrelated vector at t=100 → watermark 90 min, past the timers
+      // re-armed at 10+30 → vec 1's buckets expire EXCEPT any band
+      // where vec 3 happens to collide: an arrival re-arms that
+      // bucket's timer (the documented activity-anchored horizon)
+      in.addData(streaming.EmbDedup.VecTs(3, far, ts(100)))
+      query.processAllAvailable()
+      // vec 4 re-claims the expired buckets; vec 5 probes vec 4 there
+      in.addData(streaming.EmbDedup.VecTs(4, va, ts(110)),
+        streaming.EmbDedup.VecTs(5, va, ts(111)))
+      query.processAllAvailable()
+      query.stop()
+      val probes = spark.table("embdedupttl").as[streaming.EmbDedup.Probe]
+        .collect()
+      def matched(id: Long): Map[Int, Long] =
+        probes.filter(p => p.vec_id == id && p.dup_of >= 0)
+          .map(p => p.band -> p.dup_of).toMap
+      assert(matched(2L).values.toSet == Set(1L),
+        s"vec 2 should probe vec 1 everywhere: ${probes.toSeq}")
+      // bands vec 3 landed in vec 1's bucket — their timers re-armed
+      val kept = matched(3L).keySet
+      assert(kept.size < 8, s"fixture vectors collide too much: $kept")
+      val m4 = matched(4L)
+      assert(m4.keySet == kept && m4.values.forall(_ == 1L),
+        s"vec 4 must probe vec 1 ONLY on activity-kept bands $kept: $m4")
+      val m5 = matched(5L)
+      assert(m5.filter(_._2 == 4L).keySet == m5.keySet -- kept &&
+        m5.keySet.size == 16,
+        s"vec 5 must probe vec 4 exactly on the expired bands: $m5 (kept $kept)")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental dedup with event-time TTL: representatives age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
