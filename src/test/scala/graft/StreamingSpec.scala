@@ -885,6 +885,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("embedding TTL stream survives kill/restart on RocksDB: " +
+    "restarted run == uninterrupted run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import streaming.EmbDedup
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val va = Seq(1.0, 2.0, 3.0, 4.0)
+      // batch A: vec 1 claims its buckets, vec 2 probes it.
+      // batch B (after the RESTART): vec 6 at t=35 probes the RESTORED
+      //   member (if state were lost it would silently re-claim).
+      // batch C: vec 5 probes whatever each bucket now holds — the
+      //   assert is pure restart-vs-continuous equality, band by band.
+      val batches = Seq(
+        Seq(EmbDedup.VecTs(1, va, ts(0)), EmbDedup.VecTs(2, va, ts(10))),
+        Seq(EmbDedup.VecTs(6, va, ts(35)),
+          EmbDedup.VecTs(3, Seq(-4.0, 3.0, -2.0, 1.0), ts(100))),
+        Seq(EmbDedup.VecTs(5, va, ts(111))))
+
+      val root = java.nio.file.Files.createTempDirectory("embttlrestart").toString
+      val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+      batches.foreach { b =>
+        b.toDF().coalesce(1).write.mode("append").parquet(src)
+        val q = EmbDedup.probesTtl(
+            spark.readStream.schema(batches.head.toDF().schema).parquet(src),
+            ttlMs = 30L * 60000, lateness = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      def probeSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "band", "dup_of", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 10000) / 10000)).toSet
+      val restarted = probeSet(spark.read.parquet(out))
+
+      val in = MemoryStream[EmbDedup.VecTs]
+      val q2 = EmbDedup.probesTtl(in.toDF(),
+          ttlMs = 30L * 60000, lateness = "10 minutes")
+        .writeStream.format("memory").queryName("embttluninterrupted")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q2.processAllAvailable() }
+      q2.stop()
+      val continuous = probeSet(spark.table("embttluninterrupted"))
+
+      assert(restarted == continuous,
+        s"restart drift: only-restarted=${restarted -- continuous} " +
+          s"only-continuous=${continuous -- restarted}")
+      // vec 6 probed the RESTORED vec-1 member on every one of its bands
+      val v6 = restarted.filter(_._1 == 6L)
+      assert(v6.nonEmpty && v6.forall(_._3 == 1L),
+        s"vec 6 must probe the restored member on all bands: $v6")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("embedding dedup with event-time TTL: bucket members age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
