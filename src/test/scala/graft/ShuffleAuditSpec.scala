@@ -55,8 +55,17 @@ class ShuffleAuditSpec extends SparkSpec {
                                 // compares O(|L|x|R|) pairs
     "q77_theta_agg_join" -> 5,  // same bucket shape as q76: the running SUM
                                 // rides the SAME window exchange as the count
-    "q78_theta_band_join" -> 5) // and the inclusive-op running MIN/MAX too —
+    "q78_theta_band_join" -> 5, // and the inclusive-op running MIN/MAX too —
                                 // op variants change sort order, not exchanges
+    "q54_repetition_filter" -> 2, // the whole computation is ONE codegen
+                                  // projection over the scan (native
+                                  // bigram_hash_stats + has_min_words gate);
+                                  // hash repartition + range sort only
+    "q55_boilerplate_ngrams" -> 3) // native word_ngrams Generate over the
+                                   // scan; COUNT(DISTINCT doc_id) is a
+                                   // two-phase agg — (shingle, doc_id)
+                                   // dedup exchange then (shingle) —
+                                   // + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
