@@ -204,6 +204,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find on random graphs (sparse, " +
+    "dense, and forest shapes)") {
+    import spark.implicits._
+    import graft.operators.TextPipeline
+    // deterministic LCG so failures reproduce
+    var seed = 0x5DEECE66DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min id per component: roots were always merged toward the min
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(id => id -> find(id.toInt).toLong).toMap
+    }
+    // (nodes, edges): sparse forest-ish, denser than nodes, tiny dense
+    for ((n, m) <- Seq((400, 150), (300, 600), (40, 300))) {
+      val edges = Seq.fill(m)((nextInt(n).toLong, nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val want = unionFind(n, edges)
+      val got = TextPipeline.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n m=$m: " +
+        s"diff=${(got.toSet -- want.toSet).take(5)} / ${(want.toSet -- got.toSet).take(5)}")
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
