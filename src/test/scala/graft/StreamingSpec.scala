@@ -885,6 +885,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("embedding greedy vs transitive on a hand-built corpus: equal on " +
+    "cliques, greedy keeps the chain end the batch drops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import streaming.EmbDedup
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // cliques: identical vectors in orthogonal planes (exact cos 1 / 0)
+      def v(dims: (Int, Int), deg: Double): Seq[Double] = {
+        val a = math.toRadians(deg)
+        Seq.tabulate(8)(i => if (i == dims._1) math.cos(a)
+          else if (i == dims._2) math.sin(a) else 0.0)
+      }
+      val vecA = v((0, 1), 0); val vecB = v((0, 1), 90)
+      // chain at tau 0.8 in its own plane: consecutive links 30° apart
+      // (cos .866 >= .8), ends 60° apart (cos .5 < .8). Arrival order
+      // 10 < 11 < 12 puts the MIDDLE (12) last: 11's only near-dup
+      // arrives later — greedy keeps 11, transitive election drops it.
+      val vecs = Seq(
+        EmbDedup.Vec(1, vecA), EmbDedup.Vec(2, vecA), EmbDedup.Vec(3, vecA),
+        EmbDedup.Vec(4, vecB), EmbDedup.Vec(5, vecB),
+        EmbDedup.Vec(10, v((2, 3), 0)), EmbDedup.Vec(11, v((2, 3), 60)),
+        EmbDedup.Vec(12, v((2, 3), 30)))
+      val embDF = vecs.toDF("vec_id", "embedding")
+      val root = java.nio.file.Files.createTempDirectory("embchain").toString
+      val in = MemoryStream[EmbDedup.Vec]
+      val vq = EmbDedup.verdictQuery(in.toDF(), 0.8, s"$root/v", s"$root/vc")
+      vecs.grouped(3).foreach { chunk =>
+        in.addData(chunk: _*)
+        vq.processAllAvailable()
+      }
+      vq.stop()
+      val greedyKeep = spark.read.parquet(s"$root/v").where(col("keep"))
+        .select("vec_id").as[Long].collect().toSet
+      assert(greedyKeep == Set(1L, 4L, 10L, 11L), s"got $greedyKeep")
+      // transitive min-id election additionally drops the chain end
+      val batchKeep = operators.Similarity
+        .dedupEmbeddings(embDF, 0.8, "lsh")
+        .select("vec_id").as[Long].collect().toSet
+      assert(batchKeep == Set(1L, 4L, 10L), s"got $batchKeep")
+      // and the survivor index lands on the batch answer
+      val in2 = MemoryStream[EmbDedup.Vec]
+      val sq = EmbDedup.survivorQuery(in2.toDF(), 0.8, s"$root/state",
+        s"$root/s", s"$root/sc")
+      vecs.grouped(3).foreach { chunk =>
+        in2.addData(chunk: _*)
+        sq.processAllAvailable()
+      }
+      sq.stop()
+      val idxKeep = spark.read.parquet(s"$root/s/epoch=2")
+        .select("vec_id").as[Long].collect().toSet
+      assert(idxKeep == batchKeep, s"got $idxKeep want $batchKeep")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("embedding TTL stream survives kill/restart on RocksDB: " +
     "restarted run == uninterrupted run") {
     implicit val sql = spark.sqlContext
