@@ -1267,6 +1267,74 @@ object TextPipeline {
       .orderBy("source", "rn")
   }
 
+  /** q79: deterministic corpus shuffle + shard assignment — the
+    * training-order randomization step of a data pipeline. Every doc
+    * gets a content-derived shuffle key (the engine-portable polyHash,
+    * so the oracle reproduces it bit-for-bit), its shard is `key mod
+    * nShards` (pure HASH partitioning), and `pos` ranks it within its
+    * shard — each shard is an independently ordered unit a trainer
+    * streams. Deliberately NOT a corpus-wide total order: that would
+    * cost a range exchange plus a near-serial sample pass at 100 TB,
+    * and training only needs within-shard order + cross-shard
+    * pseudo-randomness, which the hash key provides. ONE hash shuffle
+    * (the shard window); the output ORDER BY is the registry's
+    * determinism contract, not part of the operator. */
+  val q79_corpus_shuffle = QueryDef(
+    "q79_corpus_shuffle",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(29 AS BIGINT),
+      |      list_transform(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS skey
+      |  FROM documents)
+      |SELECT doc_id, skey, CAST(skey % 8 AS BIGINT) AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.polyHash(col("text"), 29L).as("skey"))
+      .withColumn("shard", col("skey") % 8L)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
+  /** q80: weighted source mixing — compose a training corpus from
+    * heterogeneous sources at chosen proportions (here: keep 50% of
+    * `en`, 25% of every other language), deterministically by
+    * content-hash rank (q49's engine-portable mechanism — no RNG
+    * state, reproducible across engines and runs). ONE language-keyed
+    * window carries BOTH the rank and the per-language total, so the
+    * whole mix is a single shuffle; at production scale the weights
+    * arrive as a broadcast dimension rather than a literal CASE. */
+  val q80_weighted_mix = QueryDef(
+    "q80_weighted_mix",
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    list_reduce(list_prepend(CAST(17 AS BIGINT),
+      |      list_transform(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS hk
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, hk,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY lang) AS total
+      |      FROM h)
+      |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r
+      |WHERE rn <= CEIL(total * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END))
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        Text.polyHash(col("text"), 17L).as("hk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rn") <= ceil(col("total") *
+        when(col("lang") === "en", 0.5).otherwise(0.25)))
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1275,5 +1343,6 @@ object TextPipeline {
     q55_boilerplate_ngrams, q56_shard_pack, q57_lm_xent,
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
-    q71_dedup_corpus, q72_dedup_corpus_lsh)
+    q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
+    q80_weighted_mix)
 }
