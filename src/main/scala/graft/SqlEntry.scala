@@ -811,7 +811,23 @@ object SqlEntry {
         |    AS max_cents
         |FROM run JOIN pfx ON run.bucket = pfx.bucket
         |WHERE is_r = 0 AND prefix + below > 0
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    "q79_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, poly_hash(text, 29) AS skey FROM documents)
+        |SELECT doc_id, skey, CAST(skey % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8
+        |                          ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q80_weighted_mix" ->
+      """WITH h AS (SELECT lang, doc_id, poly_hash(text, 17) AS hk
+        |           FROM documents),
+        |r AS (SELECT lang, doc_id, hk,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY lang) AS total
+        |      FROM h)
+        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= CEIL(total * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END))
+        |ORDER BY lang, rn""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,
