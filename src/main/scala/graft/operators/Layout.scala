@@ -37,24 +37,42 @@ object Layout {
     * join and per-bucket guard aggregate read the standing side
     * Exchange-free (bucketing carries across epoch partitions), so only
     * the epoch-sized new batch ever shuffles. Idempotent under
-    * micro-batch replay: an epoch whose partition already exists is
-    * skipped (the check prunes to that one partition — a metadata-cheap
-    * probe, not a table scan). */
+    * micro-batch replay: the epoch's partition is REWRITTEN (dynamic
+    * partition overwrite touching only `epoch=N`), not skipped-if-seen —
+    * a check-then-act skip would permanently lose rows after a crash
+    * that left the partition partially visible (non-atomic committer),
+    * and is racy for concurrent writers; overwrite converges to the
+    * same complete partition no matter how many times the epoch
+    * replays. */
   def appendEpochBucketed(df: DataFrame, table: String, buckets: Int,
                           epochId: Long, bucketCols: Seq[String]): Unit = {
     require(bucketCols.nonEmpty)
     val spark = df.sparkSession
     val withEpoch = df.withColumn("epoch", lit(epochId))
-    def write(mode: String): Unit = withEpoch.write.mode(mode)
-      .partitionBy("epoch")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
-    if (!spark.catalog.tableExists(table)) write("overwrite")
-    else if (spark.table(table).where(col("epoch") === epochId).isEmpty)
-      write("append")
-    // else: replayed epoch — rows already present, exactly-once skip
+    if (!spark.catalog.tableExists(table)) {
+      withEpoch.write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+    } else {
+      // insertInto inherits the catalog table's bucket spec; dynamic
+      // overwrite rewrites exactly the partitions present in df — the
+      // one epoch=N directory — leaving every other epoch untouched
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        // insertInto is position-based: match the table's column order
+        val cols = spark.table(table).columns.map(col)
+        withEpoch.select(cols.toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(table)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Two-phase salted aggregation: spread a skewed group key over

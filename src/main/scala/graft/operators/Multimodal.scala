@@ -9,14 +9,18 @@ import graft.{QueryDef, Tables}
   * image/audio/video as opaque `binary` columns with typed metadata,
   * processed in partition-local batches.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — a stand-in with the
-  * same signature and batch shape a real libjpeg/ffmpeg binding would
-  * have. Everything around it — binary columns, metadata struct, typed
-  * Dataset encoders, mapPartitions batching, partition-by-kind layout —
-  * is the real 100 TB plumbing: executors stream batches of byte arrays,
-  * never the driver; feature vectors come out as ArrayType(FloatType)
-  * compatible with the Similarity operators.
+  * The IMAGE path is REAL: the JDK ships a PNG codec (`javax.imageio`),
+  * so PNG payloads are decoded to actual pixels ([[decodePng]]) and the
+  * q39 features derive from them. Audio/video kinds still go through a
+  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — the container has
+  * no ffmpeg/soundfile — with the same signature and batch shape a real
+  * binding would have; [[decodeKernel]] dispatches on the payload's
+  * magic bytes, so swapping a stub for a codec changes nothing outside
+  * this file. Everything around the kernels — binary columns, metadata
+  * struct, typed Dataset encoders, mapPartitions batching,
+  * partition-by-kind layout — is the real 100 TB plumbing: executors
+  * stream batches of byte arrays, never the driver; feature vectors come
+  * out as ArrayType(FloatType) compatible with the Similarity operators.
   */
 object Multimodal {
 
@@ -48,10 +52,11 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
-  // STUB: the real decoder (libjpeg/ffmpeg/soundfile) is absent in this
-  // container. This deterministic fake has the exact signature and
+  // STUB: real AUDIO/VIDEO decoders (ffmpeg/soundfile) are absent in
+  // this container. This deterministic fake has the exact signature and
   // per-batch call shape the real kernel would have; swapping it for a
   // JNI/process-based codec changes nothing outside this function.
+  // (The IMAGE path below is NOT a stub — the JDK decodes PNG.)
   // ----------------------------------------------------------------
   private[operators] def decodeStub(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     val w = 16 + (bytes.length % 64)          // fake "decoded" dimensions
@@ -62,6 +67,70 @@ object Multimodal {
     (w, h, emb)
   }
 
+  /** PNG magic bytes — what [[decodeKernel]] dispatches on. */
+  private val PngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  private[graft] def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+      bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+
+  /** REAL image decode via the JDK's PNG codec (`javax.imageio` — no
+    * external dependency): payload → actual pixel raster. Features are a
+    * normalized luminance fold: pixel (x, y)'s luma (0.2126 R + 0.7152 G
+    * + 0.0722 B, the BT.709 weights) accumulates into bin
+    * `(y * width + x) % dim`. Deterministic because PNG is lossless —
+    * whatever encoder wrote the bytes, the decoded raster (and therefore
+    * the feature vector) is exact. */
+  private[graft] def decodePng(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload claimed to be PNG")
+    val w = img.getWidth
+    val h = img.getHeight
+    val emb = new Array[Float](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.2126f * ((rgb >> 16) & 0xff) +
+          0.7152f * ((rgb >> 8) & 0xff) + 0.0722f * (rgb & 0xff)
+        emb((y * w + x) % dim) += luma / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, emb)
+  }
+
+  /** Deterministic tiny-PNG generator for the media fixture: a `w`×`h`
+    * RGB raster whose pixel values mix (seed, x, y) through a 64-bit LCG,
+    * encoded with the JDK PNG writer. Pixels (not bytes) are the
+    * determinism contract — PNG is lossless, so decode(encode(p)) == p
+    * regardless of encoder version. */
+  private[graft] def encodePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = seed * 6364136223846793005L + (x * 2862933555777941757L) +
+          (y * 3202034522624059733L) + 1442695040888963407L
+        img.setRGB(x, y, ((m >>> 16) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** The per-payload kernel: REAL PNG decode when the payload carries
+    * the PNG magic, deterministic stub otherwise (audio/video). */
+  private[operators] def decodeKernel(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
+    if (isPng(bytes)) decodePng(bytes, dim) else decodeStub(bytes, dim)
+
   /** Decode + feature-extract in partition-local batches: one
     * mapPartitions pass, no shuffle; the iterator IS the batch stream
     * (an Arrow-batched kernel would sit at the same boundary). */
@@ -69,20 +138,21 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, emb) = decodeStub(r.bytes, dim)
+        val (w, h, emb) = decodeKernel(r.bytes, dim)
         MediaFeature(r.media_id, r.kind, w, h, emb)
       }
     }
   }
 
   // ----------------------------------------------------------------
-  // STUB (batch shape): a vectorized codec binding (Arrow FFI, JNI
-  // batch call, or a subprocess fed a whole batch) amortizes its
-  // per-call overhead across rows. This stub has that call shape: one
-  // invocation per batch of payloads, columnar in/out.
+  // Batch shape: a vectorized codec binding (Arrow FFI, JNI batch call,
+  // or a subprocess fed a whole batch) amortizes its per-call overhead
+  // across rows. This has that call shape — one invocation per batch of
+  // payloads, columnar in/out — dispatching to the same per-payload
+  // kernel (real PNG decode or the audio/video stub).
   // ----------------------------------------------------------------
   private[operators] def decodeBatchStub(batch: Array[Array[Byte]], dim: Int): Array[(Int, Int, Array[Float])] =
-    batch.map(decodeStub(_, dim))
+    batch.map(decodeKernel(_, dim))
 
   /** [[decodeFeatures]] with an explicitly BATCHED kernel boundary: rows
     * are grouped into fixed-size batches inside each partition and the
@@ -139,6 +209,25 @@ object Multimodal {
           i => substring_index(base64(col("bytes")), "=", 1).substr(
             i * lit(8) + 1, lit(8))).as("frames"))
 
+  /** [[mediaFromDocuments]] with REAL payloads for the image kind: every
+    * `doc_id % 3 == 0` row carries an actual PNG (deterministic raster
+    * from the doc_id via [[encodePng]], dims `8 + id%9` × `8 + id%7`);
+    * audio/video rows keep the fake byte payloads. This is the fixture
+    * q39 decodes — image features come from real pixels through the JDK
+    * codec, not the stub. */
+  def mediaWithImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, dir).map { r =>
+      if (r.kind == "image") {
+        val bytes = encodePng(r.media_id,
+          8 + (r.media_id % 9).toInt, 8 + (r.media_id % 7).toInt)
+        r.copy(bytes = bytes,
+          meta = MediaMeta("image", bytes.length.toLong,
+            bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      } else r
+    }
+  }
+
   /** q36 (declared): metadata projection — the deterministic part of the
     * pipeline, oracled in DuckDB over the same bytes. */
   val q36_media_meta = QueryDef(
@@ -163,10 +252,14 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** q39: decoded features (stub kernel) — deterministic but the fake
-    * decode has no SQL analog; driver records a rows-only check. */
+  /** q39: decoded features — image rows decode REAL PNG payloads through
+    * the JDK codec (width/height/features from actual pixels; dims are
+    * spec-pinned against the [[mediaWithImages]] formula in
+    * MultimodalSpec), audio/video rows go through the deterministic
+    * stub. No SQL engine can decode PNG, so the driver records a
+    * rows-only check; determinism is the spec's job. */
   val q39_media_features = QueryDef.unchecked("q39_media_features") { (s, d) =>
-    decodeFeatures(mediaFromDocuments(s, d)).toDF()
+    decodeFeatures(mediaWithImages(s, d)).toDF()
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         round(aggregate(col("embedding"),
           lit(0.0d), (a, x) => a + x.cast("double")), 4).as("emb_sum"))

@@ -312,18 +312,39 @@ object Similarity {
     * [[TextPipeline.bucketGuardedCandidates]] bounding any degenerate
     * bucket (identical/boilerplate embeddings) to LINEAR star edges;
     * candidates are verified with the codegen cosine kernel against the
-    * two vectors only — never all pairs; the losers set (pair members
-    * only) broadcasts into the final anti-join. `method = "exact"` is
-    * the bounded-contract oracle twin. */
+    * two vectors only — never all pairs; the final anti-join is left
+    * UN-hinted (losers holds pair members only, but at real dup rates
+    * that is O(corpus) ids — AQE broadcasts it when genuinely small and
+    * uses a shuffled anti join when not; a forced broadcast would OOM
+    * at scale). `method = "exact"` is the bounded-contract oracle twin. */
   def dedupEmbeddings(emb: DataFrame, threshold: Double,
                       method: String = "lsh",
                       maxBucket: Int = TextPipeline.LshMaxBucket): DataFrame = {
+    // STAGE 0 — exact collapse (round 7, the dedupCorpus stage-0 twin):
+    // bit-identical embeddings fold onto their min-id member BEFORE any
+    // banding — one hash exchange partitioned on the vector itself.
+    // Guarantees an identical-vector flood always collapses no matter
+    // what the LSH hot-bucket guard truncates downstream, and shrinks
+    // the banding input by the exact-dup fraction. Survivors are
+    // unchanged: cos(dup, x) == cos(base, x) bit-for-bit, so contraction
+    // preserves components and the min-id election. Zero-norm vectors
+    // are EXEMPT (kept as their own reps): the documented contract is
+    // that cosine is undefined for them, so they are never anyone's
+    // duplicate — even a byte-identical zero vector survives.
+    val isZero = aggregate(col("embedding"),
+      lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double")) === 0.0d
+    val famed = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("fam_rep", min("vec_id").over(Window.partitionBy("embedding")))
+    val reps = famed
+      .where(col("vec_id") === col("fam_rep") || isZero)
+      .select("vec_id", "embedding")
+      .localCheckpoint() // two consumers below — materialize the scan once
     val pairs = (method match {
-      case "exact" => cosineThresholdPairs(emb, Long.MaxValue, threshold)
+      case "exact" => cosineThresholdPairs(reps, Long.MaxValue, threshold)
       case "lsh" =>
         val cand = TextPipeline.bucketGuardedCandidates(
-          hyperplaneBanded(emb), maxBucket, idCol = "vec_id")
-        val base = withVec(emb).select(col("vec_id"), col("v"), col("nrm"))
+          hyperplaneBanded(reps), maxBucket, idCol = "vec_id")
+        val base = withVec(reps).select(col("vec_id"), col("v"), col("nrm"))
         cand
           .join(base.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
           .join(base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
@@ -334,7 +355,11 @@ object Similarity {
     val losers = TextPipeline.connectedComponents(pairs)
       .where(col("id") =!= col("rep"))
       .select(col("id").as("vec_id"))
-    emb.join(broadcast(losers), Seq("vec_id"), "left_anti")
+    // survivors = reps minus component losers; the semi join recovers the
+    // original rows (family losers were never reps — same shape as
+    // dedupCorpus, un-hinted so AQE picks broadcast vs shuffle by size)
+    val survivors = reps.select("vec_id").join(losers, Seq("vec_id"), "left_anti")
+    emb.join(survivors, Seq("vec_id"), "left_semi")
   }
 
   /** q74: [[dedupEmbeddings]] end-to-end with the exact pair method on

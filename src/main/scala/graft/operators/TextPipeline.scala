@@ -591,18 +591,24 @@ object TextPipeline {
     * distance predicate re-filters. O(pairs-per-bucket) instead of
     * O(n²): the all-pairs comparison never happens.
     *
-    * HOT-BUCKET GUARD (the [[bucketGuardedCandidates]] policy): n
-    * identical signatures share every band bucket, so the unguarded
-    * join would still emit n²/2 in-bucket candidates. Buckets with ≤
+    * OPT-IN HOT-BUCKET GUARD (`maxBucket > 0`): n identical signatures
+    * share every band bucket, so the exact join emits n²/2 in-bucket
+    * candidates on a degenerate corpus. With the guard, buckets with ≤
     * `maxBucket` members keep the exact all-pairs path; larger buckets
-    * emit STAR edges only (bucket-min id → member, O(n) per bucket) —
-    * retrieval reachability and dedup-cluster membership survive, full
-    * pair ENUMERATION inside a degenerate bucket does not (inherently
-    * quadratic; no bounded algorithm can emit it). `maxBucket <= 0`
-    * disables the guard and restores the exact contract. */
+    * emit STAR edges only (bucket-min id → member, O(n) per bucket).
+    * Honest limits of the guarded mode: star edges still pass through
+    * the final `dist ≤ k` filter, so a hot-bucket member FARTHER than k
+    * from the bucket-min representative loses its star edge — retrieval
+    * reachability inside an over-cap bucket is preserved only for
+    * members within k of that representative (members beyond it would
+    * need the enumerated pairs the guard exists to avoid). The DEFAULT
+    * (`maxBucket = 0`) is the exact contract — every pair within
+    * hamming distance k, the semantics the q50 oracle checks — and
+    * skips the per-bucket window entirely (one fewer exchange). Callers
+    * deduplicating adversarial web-scale corpora opt in explicitly. */
   def hammingNeighborPairs(sigs: DataFrame, k: Int, bits: Int = 16,
                            id: String = "doc_id", sig: String = "simhash",
-                           maxBucket: Int = LshMaxBucket): DataFrame = {
+                           maxBucket: Int = 0): DataFrame = {
     val nBands = k + 1
     val bandWidth = bits / nBands
     require(bits % nBands == 0, s"$bits bits must split into ${k + 1} bands")
@@ -610,32 +616,42 @@ object TextPipeline {
         explode(sequence(lit(0), lit(nBands - 1))).as("bandIdx"))
       .withColumn("bandVal",
         expr(s"shiftright($sig, bandIdx * $bandWidth) & ${(1 << bandWidth) - 1}"))
-    val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
-    // same key the candidate join hashes on — one extra window, no
-    // extra shuffle family (the bucketGuardedCandidates shape). The
-    // signature rides the band rows and the rep's signature comes off
-    // the same window exchange (first over the id-ordered frame), so no
-    // lookup join is ever needed.
-    val wB = Window.partitionBy("bandIdx", "bandVal")
-    val sized = banded
-      .withColumn("bn", count(lit(1)).over(wB))
-      .withColumn("rep", min(col(id)).over(wB))
-      .withColumn("repSig", first(col(sig)).over(wB.orderBy(col(id))))
-    val small = sized.where(col("bn") <= cap)
-      .select(col(id), col(sig), col("bandIdx"), col("bandVal"))
-    val smallPairs = small.as("x").join(small.as("y"),
-        col("x.bandIdx") === col("y.bandIdx") &&
-          col("x.bandVal") === col("y.bandVal") &&
-          col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
-        bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig")))
-          .cast("long").as("dist"))
-    val starPairs = sized.where(col("bn") > cap && col(id) =!= col("rep"))
-      .select(col("rep").as("a"), col(id).as("b"),
-        bit_count(col("repSig").bitwiseXOR(col(sig))).cast("long").as("dist"))
-    smallPairs.union(starPairs)
-      .distinct()
-      .where(col("dist") <= k)
+    val pairs =
+      if (maxBucket <= 0) {
+        // exact: plain band-bucket equi-join, no guard metadata needed
+        banded.as("x").join(banded.as("y"),
+            col("x.bandIdx") === col("y.bandIdx") &&
+              col("x.bandVal") === col("y.bandVal") &&
+              col(s"x.$id") < col(s"y.$id"))
+          .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
+            bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig")))
+              .cast("long").as("dist"))
+      } else {
+        // guard metadata rides the same key the candidate join hashes on —
+        // one extra window, no extra shuffle family (the
+        // bucketGuardedCandidates shape). The signature rides the band
+        // rows and the rep's signature comes off the same window exchange
+        // (first over the id-ordered frame), so no lookup join is needed.
+        val wB = Window.partitionBy("bandIdx", "bandVal")
+        val sized = banded
+          .withColumn("bn", count(lit(1)).over(wB))
+          .withColumn("rep", min(col(id)).over(wB))
+          .withColumn("repSig", first(col(sig)).over(wB.orderBy(col(id))))
+        val small = sized.where(col("bn") <= maxBucket)
+          .select(col(id), col(sig), col("bandIdx"), col("bandVal"))
+        val smallPairs = small.as("x").join(small.as("y"),
+            col("x.bandIdx") === col("y.bandIdx") &&
+              col("x.bandVal") === col("y.bandVal") &&
+              col(s"x.$id") < col(s"y.$id"))
+          .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
+            bit_count(col(s"x.$sig").bitwiseXOR(col(s"y.$sig")))
+              .cast("long").as("dist"))
+        val starPairs = sized.where(col("bn") > maxBucket && col(id) =!= col("rep"))
+          .select(col("rep").as("a"), col(id).as("b"),
+            bit_count(col("repSig").bitwiseXOR(col(sig))).cast("long").as("dist"))
+        smallPairs.union(starPairs)
+      }
+    pairs.distinct().where(col("dist") <= k)
   }
 
   /** q50: SimHash neighbor query — the retrieval half of the SimHash
@@ -867,10 +883,13 @@ object TextPipeline {
     * the end-to-end shape of a real corpus dedup.
     *
     * Scale posture: the clusters frame only holds docs that appear in a
-    * near-dup pair — a small fraction of the corpus — so it broadcasts
-    * to the per-doc score side; the survivor election window partitions
-    * by cluster_rep (bounded groups). ORDER BY uses the ROUNDED score so
-    * rank is reproducible across engines. */
+    * near-dup pair, but at real-corpus dup rates (routinely 30–80% of
+    * documents) that is O(corpus) ids — so the join is left UN-hinted:
+    * AQE/statistics broadcast it when it is genuinely small and fall
+    * back to a shuffled join when it is not (a forced broadcast of
+    * billions of ids would OOM at scale). The survivor election window
+    * partitions by cluster_rep (bounded groups). ORDER BY uses the
+    * ROUNDED score so rank is reproducible across engines. */
   val q58_dedup_survivors = QueryDef(
     "q58_dedup_survivors",
     s"""WITH RECURSIVE $TokensCte,
@@ -916,7 +935,7 @@ object TextPipeline {
         .as("score"))
     val w = Window.partitionBy("cluster_rep").orderBy(col("score").desc, col("doc_id"))
     val wc = Window.partitionBy("cluster_rep")
-    score.join(broadcast(clusters), "doc_id")
+    score.join(clusters, "doc_id")
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(wc).cast("long"))
       .where(col("rn") === 1)
@@ -1139,14 +1158,46 @@ object TextPipeline {
     * stream can honor (verdicts, once emitted, are never revoked).
     *
     * Scale posture: with `method = "minhash-lsh"` no stage is ever
-    * all-pairs (bucket join bounds candidates); the clusters/losers
-    * frames hold only near-dup members (≪ corpus) so the final removal
-    * is a broadcast anti join against the full corpus scan. */
+    * all-pairs (bucket join bounds candidates). The clusters/losers
+    * frames hold only near-dup members, but on a real LLM training
+    * corpus the duplicate fraction is routinely 30–80% of documents —
+    * losers is O(corpus) in ids, so neither join is broadcast-hinted:
+    * the optimizer (AQE at runtime, statistics otherwise) broadcasts
+    * when the loser set is genuinely small and uses a shuffled anti
+    * join when it is not. DedupScaleSpec pins both behaviors on a
+    * majority-duplicate corpus with the broadcast threshold forced off. */
   def dedupCorpus(docs: DataFrame, tau: Double = 0.8,
                   method: String = "exact",
                   electBy: String = "quality",
                   maxBucket: Int = LshMaxBucket): DataFrame = {
-    val sets = Text.tokens(docs).select("doc_id", "word").distinct()
+    // STAGE 0 — exact collapse (new in round 7): byte-identical texts
+    // (J = 1, the dominant duplicate class at crawl scale and exactly
+    // the degenerate input that floods LSH buckets) fold onto their
+    // min-id member BEFORE any signature work — one hash exchange on a
+    // 256-bit text digest. Guarantees: an exact-duplicate family always
+    // collapses no matter what the approximate path does downstream
+    // (the hot-bucket guard may truncate pair enumeration inside a
+    // flooded bucket, but an identical-doc flood now reaches the bucket
+    // join as ONE row), and the LSH/banding input shrinks by the exact-
+    // dup fraction. Survivors are unchanged: identical docs have
+    // identical word sets, so contracting a family onto its min-id rep
+    // preserves components (every member's edges duplicate the rep's),
+    // the component minimum (a family's min IS its rep), and quality
+    // election (identical text ⇒ identical rounded score ⇒ the family's
+    // min doc_id already outranks its other members).
+    val famed = docs
+      .select(col("doc_id"), col("text"),
+        sha2(coalesce(col("text"), lit("")).cast("binary"), 256).as("th"))
+      .withColumn("fam_rep", min("doc_id").over(Window.partitionBy("th")))
+    // reps feeds two branches (tokens/score and the survivor anti join);
+    // checkpoint it once so the scan + digest window run ONCE, not per
+    // branch (the operator is already action-driven — the components
+    // loop below runs jobs — so eager materialization costs nothing
+    // extra, and at scale it halves the corpus scans)
+    val reps = famed.where(col("doc_id") === col("fam_rep"))
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val sets = Text.tokens(reps).select("doc_id", "word").distinct()
     val pairs = (method match {
       case "exact" => exactJaccardPairs(sets, tau)
       case "minhash-lsh" => minHashLshPairs(sets, tau, maxBucket)
@@ -1155,7 +1206,7 @@ object TextPipeline {
     }).select("a", "b")
     val clusters = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("rep"))
-    val losers = electBy match {
+    val compLosers = electBy match {
       case "first" =>
         // arrival-order election: the earliest (min doc_id) member of
         // each component survives — the semantics an incremental ingest
@@ -1167,19 +1218,25 @@ object TextPipeline {
         // score rounded to 4 decimals BEFORE ranking (q58 protocol): the
         // survivor election must be reproducible across engines/libm — a
         // 1-ULP ln() difference must not flip which duplicate we keep.
-        val score = Text.tokens(docs).groupBy("doc_id").agg(
+        val score = Text.tokens(reps).groupBy("doc_id").agg(
           round(log(lit(1) + count(lit(1))) *
             (lit(1) - sum(when(stop, 1).otherwise(0)).cast("double") / count(lit(1))), 4)
             .as("score"))
         val w = Window.partitionBy("rep").orderBy(col("score").desc, col("doc_id"))
-        score.join(broadcast(clusters), "doc_id")
+        score.join(clusters, "doc_id")
           .withColumn("rn", row_number().over(w))
           .where(col("rn") > 1)
           .select("doc_id")
       case other => throw new IllegalArgumentException(
         s"unknown electBy '$other' (expected quality | first)")
     }
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    // survivors = family reps minus component losers; one semi join
+    // recovers the original rows (family losers were never reps, so they
+    // fall out without a separate anti branch — keeps the famed subtree
+    // single-consumer and the shuffle budget flat)
+    val survivors = reps.select("doc_id")
+      .join(compLosers, Seq("doc_id"), "left_anti")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
   }
 
   /** q71: [[dedupCorpus]] itself as a registry query — the one-call
@@ -1335,6 +1392,97 @@ object TextPipeline {
       .orderBy("lang", "rn")
   }
 
+  /** q81: PII scrubbing — mask emails and phone numbers before a corpus
+    * ships (the redaction pass every training-data release runs). All
+    * regexp built-ins, fully codegen, zero shuffles beyond the output
+    * sort: the 100 TB cost is one scan.
+    *
+    * The driver fixtures deliberately contain no PII, so the query first
+    * SALTS a raw column deterministically from existing columns (doc_id
+    * parity picks which docs get an email / a phone — both the match and
+    * the no-match paths are exercised) and then scrubs it; the DuckDB
+    * twin synthesizes the identical raw text, so the oracle checks the
+    * scrub NON-vacuously: every synthesized email/phone must be masked,
+    * every clean doc must pass through byte-identical. Patterns are
+    * shared Java-regex/RE2 syntax (char classes + quantifiers only). */
+  val q81_pii_scrub = QueryDef(
+    "q81_pii_scrub",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' Contact user' || doc_id || '@' || source || '.example.com now.'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN ' Call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+      |      ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(raw, '[a-z0-9._%]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM raw ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailRe = "[a-z0-9._%]+@[a-z0-9.-]+[.][a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" Contact user"), col("doc_id"), lit("@"),
+            col("source"), lit(".example.com now."))).otherwise(""),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" Call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today."))).otherwise("")).as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** q82: URL extraction — pull every URL out of each document (link
+    * harvesting / crawl-frontier seeding), with host and scheme split
+    * out. `regexp_extract_all` → explode keeps it one codegen scan +
+    * generator; docs salted as in q81 (doc_id % 5 picks who gets a
+    * second URL, so multi-URL and single-URL docs both exist). */
+  val q82_url_extract = QueryDef(
+    "q82_url_extract",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text || ' See https://' || source || '.example.com/d/' || doc_id ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' and http://mirror.example.org/x/' || doc_id || '?ref=ab'
+      |      ELSE '' END || ' ok.' AS raw
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(raw, 'https?://[a-z0-9./?=_-]+[a-z0-9/]')) AS url
+      |  FROM raw)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS host,
+      |  regexp_extract(url, '^(https?)', 1) AS scheme
+      |FROM u ORDER BY doc_id, url""".stripMargin) { (s, d) =>
+    val urlRe = "https?://[a-z0-9./?=_-]+[a-z0-9/]"
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" See https://"), col("source"),
+        lit(".example.com/d/"), col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" and http://mirror.example.org/x/"), col("doc_id"),
+            lit("?ref=ab"))).otherwise(""),
+        lit(" ok.")).as("raw"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("raw"), lit(urlRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https?://([a-z0-9.-]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^(https?)", 1).as("scheme"))
+      .orderBy("doc_id", "url")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1344,5 +1492,5 @@ object TextPipeline {
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
-    q80_weighted_mix)
+    q80_weighted_mix, q81_pii_scrub, q82_url_extract)
 }

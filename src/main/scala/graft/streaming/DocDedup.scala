@@ -184,9 +184,14 @@ object DocDedup {
             if (est >= tau) out += Match(r.doc_id, b.rep_id, key._1, est)
         }
       }
-      // one armed timer per bucket: slide expiry to the newest activity
+      // one armed timer per bucket, moved FORWARD only: a late-but-valid
+      // row (within the watermark delay) whose event time is older than
+      // the armed timer must not pull expiry backward — take the max of
+      // the existing timer and this batch's newest activity + ttl
+      val armed = getHandle.listTimers().foldLeft(Long.MinValue)(math.max)
+      val target = math.max(armed, sorted.map(_.ts.getTime).max + ttlMs)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(sorted.map(_.ts.getTime).max + ttlMs)
+      getHandle.registerTimer(target)
       out.result().iterator
     }
 
@@ -299,10 +304,15 @@ object DocDedup {
   /** Per-band probes for a streaming `(doc_id, text)` frame — stage one
     * of the keep/drop verdict pipeline. Tokenless documents never reach
     * the state stage (no band rows) but still need a verdict, so their
-    * probe row (band = -1, nothing to compare) is emitted scan-locally. */
-  def probes(docs: DataFrame): Dataset[Probe] = {
-    import docs.sparkSession.implicits._
+    * probe row (band = -1, nothing to compare) is emitted scan-locally.
+    * NULL text counts as tokenless: it is coalesced to '' up front so
+    * the one-verdict-per-document contract holds (without the coalesce,
+    * `size(wordsOf(NULL))` is NULL and a null-text doc would match
+    * neither the banded nor the tokenless branch — no verdict at all). */
+  def probes(docsIn: DataFrame): Dataset[Probe] = {
+    import docsIn.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val docs = docsIn.withColumn("text", coalesce(col("text"), lit("")))
     val withW = docs.withColumn("wset", array_distinct(Text.wordsOf(col("text"))))
     val probed = bandedRows(withW, carry = Seq("wset"))
       .select(col("doc_id"), col("band"), col("bsig"), col("wset").as("words"))
@@ -439,8 +449,10 @@ object DocDedup {
       else TextPipeline.connectedComponents(allPairs)
         .where(col("id") =!= col("rep"))
         .select(col("id").as("doc_id"))
+    // un-hinted anti join: losers is O(duplicate count) — AQE broadcasts
+    // it when small, shuffles when a dup-heavy feed makes it O(corpus)
     spark.read.parquet(s"$stateDir/ids").select("doc_id")
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
   }
 

@@ -25,6 +25,13 @@ import graft.operators.TextPipeline
   *    components and min-id election) when neither side's bucket cap
   *    truncates. The greedy-vs-transitive contrast is the same as
   *    DocDedup's and is documented there.
+  *
+  * ZERO-NORM CONTRACT (batch and stream agree): cosine similarity is
+  * undefined for a zero vector, so a zero-norm embedding is never a
+  * duplicate of anything and nothing is a duplicate of it — it always
+  * receives a keep verdict, survives batch dedup (the exact-cosine
+  * filter evaluates NaN ≥ τ as false), and is never stored as a bucket
+  * member, so NaN never participates in a best-match comparison.
   */
 object EmbDedup {
 
@@ -104,17 +111,24 @@ object EmbDedup {
           val rn = norm(r.v)
           var bestId = -1L
           var bestCos = Double.MinValue
-          stored.foreach { m =>
-            var d = 0.0
-            var i = 0
-            while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
-            val cos = d / (m.nrm * rn)
-            if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
-              { bestId = m.rep_id; bestCos = cos }
+          // zero-norm contract: cosine is undefined for a zero vector, so
+          // a zero-norm arrival matches nothing (kept, dup_of = -1) and
+          // is never stored; zero-norm stored members (legacy state) are
+          // skipped — NaN never enters the comparison, matching the batch
+          // path where `cos >= threshold` is false for NaN
+          if (rn > 0.0) stored.foreach { m =>
+            if (m.nrm > 0.0) {
+              var d = 0.0
+              var i = 0
+              while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
+              val cos = d / (m.nrm * rn)
+              if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
+                { bestId = m.rep_id; bestCos = cos }
+            }
           }
           out += Probe(r.vec_id, key._1, bestId,
             if (bestId >= 0) bestCos else 0.0)
-          if (stored.size < cap) {
+          if (rn > 0.0 && stored.size < cap) {
             val w = VecRep(r.vec_id, r.v, rn)
             stored += w
             members.appendValue(w)
@@ -171,26 +185,38 @@ object EmbDedup {
           val rn = norm(r.v)
           var bestId = -1L
           var bestCos = Double.MinValue
-          stored.foreach { m =>
-            var d = 0.0
-            var i = 0
-            while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
-            val cos = d / (m.nrm * rn)
-            if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
-              { bestId = m.rep_id; bestCos = cos }
+          // zero-norm contract: cosine is undefined for a zero vector, so
+          // a zero-norm arrival matches nothing (kept, dup_of = -1) and
+          // is never stored; zero-norm stored members (legacy state) are
+          // skipped — NaN never enters the comparison, matching the batch
+          // path where `cos >= threshold` is false for NaN
+          if (rn > 0.0) stored.foreach { m =>
+            if (m.nrm > 0.0) {
+              var d = 0.0
+              var i = 0
+              while (i < r.v.length) { d += m.v(i) * r.v(i); i += 1 }
+              val cos = d / (m.nrm * rn)
+              if (cos > bestCos || (cos == bestCos && bestId >= 0 && m.rep_id < bestId))
+                { bestId = m.rep_id; bestCos = cos }
+            }
           }
           out += Probe(r.vec_id, key._1, bestId,
             if (bestId >= 0) bestCos else 0.0)
-          if (stored.size < cap) {
+          if (rn > 0.0 && stored.size < cap) {
             val w = VecRep(r.vec_id, r.v, rn)
             stored += w
             members.appendValue(w)
           }
         }
       }
-      // one armed timer per bucket: slide expiry to the newest activity
+      // one armed timer per bucket, moved FORWARD only: a late-but-valid
+      // row (within the watermark delay) whose event time is older than
+      // the armed timer must not pull expiry backward — take the max of
+      // the existing timer and this batch's newest activity + ttl
+      val armed = getHandle.listTimers().foldLeft(Long.MinValue)(math.max)
+      val target = math.max(armed, sorted.map(_.ts.getTime).max + ttlMs)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(sorted.map(_.ts.getTime).max + ttlMs)
+      getHandle.registerTimer(target)
       out.result().iterator
     }
 
@@ -306,8 +332,10 @@ object EmbDedup {
       else TextPipeline.connectedComponents(allPairs)
         .where(col("id") =!= col("rep"))
         .select(col("id").as("vec_id"))
+    // un-hinted anti join: losers is O(duplicate count) — AQE broadcasts
+    // it when small, shuffles when a dup-heavy feed makes it O(corpus)
     spark.read.parquet(s"$stateDir/ids").select("vec_id")
-      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .join(losers, Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
   }
 

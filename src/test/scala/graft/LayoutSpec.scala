@@ -153,6 +153,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("appendEpochBucketed replay REWRITES the epoch partition " +
+    "(crash-safe idempotence, not skip-if-seen)") {
+    // A crash can leave an epoch partition PARTIALLY visible; a
+    // skip-if-nonempty replay check would then lose rows forever. The
+    // dynamic-partition-overwrite replay must repair the partition to the
+    // complete batch, leave other epochs untouched, and stay a no-op
+    // under exact replays.
+    import spark.implicits._
+    val tbl = "b_banded_replay_layoutspec"
+    val e0 = Seq((1L, 0, "a"), (2L, 0, "b")).toDF("doc_id", "band", "bsig")
+    val e1full = Seq((3L, 1, "c"), (4L, 1, "d")).toDF("doc_id", "band", "bsig")
+    val e1partial = e1full.where(col("doc_id") === 3L) // simulated partial commit
+    try {
+      Layout.appendEpochBucketed(e0, tbl, 2, 0L, Seq("band", "bsig"))
+      Layout.appendEpochBucketed(e1partial, tbl, 2, 1L, Seq("band", "bsig"))
+      Layout.appendEpochBucketed(e1full, tbl, 2, 1L, Seq("band", "bsig"))
+      val got = spark.table(tbl).select(col("doc_id"), col("epoch").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)),
+        s"replay did not repair the partial epoch: $got")
+      Layout.appendEpochBucketed(e1full, tbl, 2, 1L, Seq("band", "bsig"))
+      assert(spark.table(tbl).count() == 4, "exact replay duplicated rows")
+      // the bucket spec survived the insertInto path
+      val spec = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect().mkString
+      assert(spec.contains("band"), s"bucket spec lost on replay: $spec")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val out = Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/orders"
     val orders = Tables.orders(spark, sf0001)

@@ -41,6 +41,55 @@ class MultimodalSpec extends SparkSpec {
     assert(batched == perRow)
   }
 
+  test("REAL PNG decode: JDK codec round-trips the generated raster — " +
+    "dims pinned to the fixture formula, features from actual pixels") {
+    // encode → decode through javax.imageio and pin width/height against
+    // the mediaWithImages formula (8 + id%9, 8 + id%7) for known ids
+    for (id <- Seq(0L, 3L, 6L, 33L, 498L)) {
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val bytes = Multimodal.encodePng(id, w, h)
+      assert(Multimodal.isPng(bytes), s"payload for id=$id lacks PNG magic")
+      val (dw, dh, emb) = Multimodal.decodePng(bytes, 16)
+      assert((dw, dh) == (w, h), s"id=$id decoded ${(dw, dh)}, want ${(w, h)}")
+      // luma fold over the real raster, computed independently here
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val want = new Array[Float](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        want((y * w + x) % 16) += (0.2126f * ((rgb >> 16) & 0xff) +
+          0.7152f * ((rgb >> 8) & 0xff) + 0.0722f * (rgb & 0xff)) / 255.0f
+      }
+      assert(emb.toSeq == want.toSeq, s"id=$id feature mismatch")
+    }
+  }
+
+  test("mediaWithImages: image rows are real PNGs decoded by the kernel, " +
+    "audio/video rows still ride the stub") {
+    val media = Multimodal.mediaWithImages(spark, sf0001)
+    val feats = Multimodal.decodeFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f).toMap
+    val rows = media.collect().map(r => r.media_id -> r).toMap
+    assert(rows.values.exists(r => r.kind == "image"))
+    rows.values.foreach { r =>
+      if (r.kind == "image") {
+        assert(Multimodal.isPng(r.bytes), s"image row ${r.media_id} not a PNG")
+        val f = feats(r.media_id)
+        assert(f.width == 8 + (r.media_id % 9).toInt &&
+          f.height == 8 + (r.media_id % 7).toInt,
+          s"image ${r.media_id} decoded dims ${(f.width, f.height)} off-formula")
+      } else {
+        assert(!Multimodal.isPng(r.bytes))
+        // metadata still consistent with the payload for stub kinds
+        assert(r.meta.n_bytes == r.bytes.length.toLong)
+      }
+    }
+    // a second run is bit-identical (PNG is lossless; raster is seeded)
+    val again = Multimodal.decodeFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.embedding.toSeq).toMap
+    feats.foreach { case (id, f) => assert(again(id) == f.embedding.toSeq) }
+  }
+
   test("frameSample emits n frames per row") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(5)
     val rows = Multimodal.frameSample(media, nFrames = 4)
