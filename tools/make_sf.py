@@ -33,8 +33,20 @@ Design goals:
   copy past dim-1 an exact duplicate of the source.)
 - events: ids offset, timestamps/props untouched — per-user session
   structure replicates exactly.
+- DUP-HEAVY mode (dupFrac > 0, VERDICT r6 #2): the first
+  int(copies * dupFrac) non-source copies of documents/embeddings are
+  EXACT replicas under fresh ids (text/vector unchanged) instead of
+  suffixed/rotated — e.g. copies=10 dupFrac=0.6 yields a corpus where
+  60% of documents are byte-identical duplicates of a lower-id doc,
+  the realistic crawl regime the dedup family must survive at scale.
+  Exact replicas are the J=1 / cos=1 end of near-dup: they exercise the
+  dedup pipelines' exact-collapse prepass and the loser-set anti-join at
+  O(corpus) loser cardinality. Remaining copies keep the injective
+  suffix / rotation treatment, so within-copy near-dup structure is
+  still present. Other tables replicate normally (dup-heaviness is a
+  documents/embeddings property).
 
-Usage: make_sf.py <srcDir> <dstDir> [copies=10]
+Usage: make_sf.py <srcDir> <dstDir> [copies=10] [dupFrac=0]
 """
 import os
 import sys
@@ -49,6 +61,11 @@ STRIDE = 10_000_000  # far above any source key; keeps copy-0 ids intact
 def main():
     src, dst = sys.argv[1], sys.argv[2]
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dup_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    if not (0.0 <= dup_frac < 1.0):
+        raise SystemExit(f"dupFrac={dup_frac} must be in [0, 1)")
+    # copies 1..n_dup are exact replicas (dup-heavy mode); 0 stays source
+    n_dup = int(copies * dup_frac)
     con = duckdb.connect()
 
     def t(name):
@@ -133,12 +150,12 @@ def main():
            "chr(CAST(97 + i % 26 AS INTEGER))")
     write("documents", f"""
         SELECT doc_id + i*{STRIDE} AS doc_id,
-               CASE WHEN i = 0 THEN text
+               CASE WHEN i <= {n_dup} THEN text
                     ELSE regexp_replace(text, '([A-Za-z]+)',
                                         '\\1zzq' || {sfx}, 'g')
                END AS text,
                lang, source,
-               CASE WHEN i = 0 THEN n_chars
+               CASE WHEN i <= {n_dup} THEN n_chars
                     ELSE CAST(length(regexp_replace(text, '([A-Za-z]+)',
                               '\\1zzq' || {sfx}, 'g')) AS BIGINT)
                END AS n_chars
@@ -149,7 +166,7 @@ def main():
     # unchanged either way
     write("embeddings", f"""
         SELECT vec_id + i*{STRIDE} AS vec_id,
-               CASE WHEN i = 0 THEN embedding
+               CASE WHEN i <= {n_dup} THEN embedding
                     ELSE list_transform(
                         embedding[1 + (1 + (i-1) % {dim - 1}):]
                           || embedding[1:(1 + (i-1) % {dim - 1})],

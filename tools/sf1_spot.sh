@@ -52,4 +52,30 @@ SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   "${JAVA[@]}" graft.Bench "${SPOT[@]}" \
   | tail -1 > "BENCH_r${ROUND}_sf1_local.json"
 cat "BENCH_r${ROUND}_sf1_local.json"
-echo "[sf1_spot] wrote CORRECTNESS_r${ROUND}_sf1_local.txt and BENCH_r${ROUND}_sf1_local.json"
+
+# ---- dup-heavy leg (VERDICT r6 #2): the same 10x derivation but with
+# 60% of documents/embeddings as EXACT replicas under fresh ids — the
+# realistic crawl dup rate. Two artifacts:
+#   CORRECTNESS_r<N>_sf1dup_local.txt — oracle compare of the dedup-
+#     sensitive spot queries on the dup-heavy corpus
+#   DEDUP_r<N>_sf1dup.json — full-corpus (UNBOUNDED) dedupCorpus +
+#     dedupEmbeddings wall times, survivor counts, and the exact-family
+#     invariant check (graft.DedupAudit exits 1 on violation)
+SF1DUP="${SF1DUP_DIR:-testdata/sf1dup}"
+if [ ! -d "$SF1DUP" ]; then
+  echo "[sf1_spot] deriving dup-heavy $SF1DUP (copies=10, dupFrac=0.6)"
+  python3 tools/make_sf.py /root/testdata/sf0.1 "$SF1DUP" 10 0.6
+fi
+DUPSPOT=(q24_exact_dedup q71_dedup_corpus)
+OUT2="$(mktemp -d /tmp/sf1dup_spot.XXXXXX)"
+echo "[sf1_spot] verify dedup spot set at $SF1DUP -> $OUT2"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  "${JAVA[@]}" graft.Verify "$SF1DUP" "$OUT2" "${DUPSPOT[@]}" >/dev/null
+python3 tools/oracle_check.py "$SF1DUP" "$OUT2" "${DUPSPOT[@]}" \
+  | tee "CORRECTNESS_r${ROUND}_sf1dup_local.txt"
+echo "[sf1_spot] full-corpus dedup audit at $SF1DUP"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  "${JAVA[@]}" graft.DedupAudit "$SF1DUP" \
+  | tail -1 > "DEDUP_r${ROUND}_sf1dup.json"
+cat "DEDUP_r${ROUND}_sf1dup.json"
+echo "[sf1_spot] wrote CORRECTNESS_r${ROUND}_sf1_local.txt, BENCH_r${ROUND}_sf1_local.json, CORRECTNESS_r${ROUND}_sf1dup_local.txt, DEDUP_r${ROUND}_sf1dup.json"
