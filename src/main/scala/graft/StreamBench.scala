@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.DocDedup
+
+/** Streaming ingest-dedup throughput micro-bench (VERDICT r6 #7): feed
+  * synthetic documents through [[DocDedup.incrementalCandidatesTtl]] —
+  * scan-local MinHash banding → RocksDB-backed per-bucket state with
+  * event-time TTL timers — in fixed-size micro-batches and report
+  * rows/sec as one JSON line (the BENCH_rN_stream.json artifact).
+  *
+  * Texts cycle through the sf0.01 documents fixture (real token
+  * distributions, including its hot LSH buckets) under fresh ids with
+  * monotonically increasing event times, so every row exercises banding,
+  * state lookup/update, and timer re-arming. Wall time covers the full
+  * query lifecycle across all micro-batches (processAllAvailable per
+  * batch — commit latency included, the honest ingest number).
+  *
+  * Usage: StreamBench [rows=50000] [batchSize=5000] [sfDir=sf0.01 path]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toInt else 50000
+    val batchSize = if (args.length > 1) args(1).toInt else 5000
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf, "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val texts = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    val t0ms = 1700000000000L // fixed epoch base — deterministic event times
+
+    val in = MemoryStream[DocDedup.TsDoc]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("streambench-ckpt").toString
+    val query = DocDedup.incrementalCandidatesTtl(in.toDF())
+      .writeStream.format("noop")
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+    val start = System.nanoTime()
+    var emitted = 0
+    while (emitted < rows) {
+      val n = math.min(batchSize, rows - emitted)
+      val batch = (0 until n).map { j =>
+        val id = (emitted + j).toLong
+        DocDedup.TsDoc(id, texts((id % texts.length).toInt),
+          new Timestamp(t0ms + id * 10L))
+      }
+      in.addData(batch)
+      query.processAllAvailable()
+      emitted += n
+    }
+    val secs = (System.nanoTime() - start) / 1e9
+    query.stop()
+    val rps = rows / secs
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","op":"incrementalCandidatesTtl","store":"rocksdb","rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

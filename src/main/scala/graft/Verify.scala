@@ -12,10 +12,15 @@ object Verify {
       System.err.println(
         s"[verify] WARNING: unknown query name(s), skipping: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the master — e.g. local-cluster[2,8,2048]
+    // to exercise real serialization + network shuffle (multi-JVM) without
+    // a cluster; executors then need the graft classes via
+    // -Dspark.executor.extraClassPath=target/scala-2.13/classes
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     // only stop what we start — embedding callers (tests) keep theirs
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf, "true")
