@@ -827,7 +827,47 @@ object SqlEntry {
         |      FROM h)
         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r
         |WHERE rn <= CEIL(total * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END))
-        |ORDER BY lang, rn""".stripMargin)
+        |ORDER BY lang, rn""".stripMargin,
+    "q81_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CONCAT(text,
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN CONCAT(' Contact user', doc_id, '@', source,
+        |                    '.example.com now.')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN CONCAT(' Call 555-',
+        |                    lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+        |                    ' today.')
+        |        ELSE '' END) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(regexp_count(raw, '[a-z0-9._%]+@[a-z0-9.-]+[.][a-z]+') AS BIGINT)
+        |    AS n_emails,
+        |  CAST(regexp_count(raw, '555-[0-9]{4}') AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9._%]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>'),
+        |    '555-[0-9]{4}', '<PHONE>') AS scrubbed
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q82_url_extract" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CONCAT(text, ' See https://', source, '.example.com/d/', doc_id,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN CONCAT(' and http://mirror.example.org/x/', doc_id,
+        |                    '?ref=ab')
+        |        ELSE '' END, ' ok.') AS raw
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    explode(regexp_extract_all(raw,
+        |      'https?://[a-z0-9./?=_-]+[a-z0-9/]', 0)) AS url
+        |  FROM raw)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS host,
+        |  regexp_extract(url, '^(https?)', 1) AS scheme
+        |FROM u ORDER BY doc_id, url""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,
