@@ -1483,6 +1483,96 @@ object TextPipeline {
       .orderBy("doc_id", "url")
   }
 
+  /** Duplicated-span detection — exact SUBSTRING-level dedup (the
+    * "exact substring deduplication" of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed
+    * relationally): find every maximal run of word positions whose
+    * k-word shingles also appear in at least `minDocs`-1 OTHER documents.
+    * Document-level MinHash (q71) misses a boilerplate paragraph pasted
+    * into otherwise-unique docs; this operator flags exactly those spans
+    * so a pipeline can cut them instead of dropping whole documents.
+    *
+    * Plan shape (and why it scales):
+    *  1. one-scan shingling — the native [[org.apache.spark.sql.graftvec.
+    *     WordNgrams]] codegen kernel + posexplode, no word arrays kept;
+    *  2. duplicated-shingle set via COUNT(DISTINCT doc_id) — two-phase
+    *     hash agg, so a boilerplate shingle in a million docs is folded
+    *     map-side per partition before it ever crosses the wire;
+    *  3. positions join back on the shingle string — NO broadcast hint
+    *     (the duplicated-shingle set is O(corpus) in the worst case; the
+    *     optimizer/AQE picks broadcast vs shuffled vs skew-split — the
+    *     round-7 dedup lesson applied from birth);
+    *  4. per-doc gaps-and-islands window (positions whose spans overlap
+    *     or touch — gap ≤ k — merge into one island), then a groupBy
+    *     (doc_id, island) that RIDES the window's doc_id exchange.
+    * 5 shuffles total, pinned in ShuffleAuditSpec.
+    *
+    * Output: (doc_id, span_start, span_end, n_shingles) per maximal
+    * duplicated span, word-position indexed (0-based, end inclusive of
+    * the last shingle's final word). */
+  def dupSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), posexplode(
+        graft.expressions.VectorExpressions.wordNgrams(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("shingle"))
+    val flagged = g.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("shingle")
+    val hits = g.join(flagged, "shingle").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** q83: duplicated 8-gram spans over the documents table — see
+    * [[dupSpans]]. The DuckDB twin re-derives the same shingles with
+    * 1-based inclusive list slicing (`words[i:i+7]`), so position
+    * semantics are pinned cross-engine: Spark's 0-based posexplode
+    * index equals DuckDB's `i - 1`. */
+  val q83_dup_spans = QueryDef(
+    "q83_dup_spans",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(words[i:i+7], ' ') AS shingle
+      |  FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)),
+      |f AS (
+      |  SELECT shingle FROM g GROUP BY shingle
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (shingle)),
+      |b AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM h),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS island
+      |  FROM b)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles
+      |FROM s GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    dupSpans(Tables.documents(s, d), k = 8, minDocs = 2)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1492,5 +1582,5 @@ object TextPipeline {
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
-    q80_weighted_mix, q81_pii_scrub, q82_url_extract)
+    q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans)
 }

@@ -61,11 +61,16 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // projection over the scan (native
                                   // bigram_hash_stats + has_min_words gate);
                                   // hash repartition + range sort only
-    "q55_boilerplate_ngrams" -> 3) // native word_ngrams Generate over the
+    "q55_boilerplate_ngrams" -> 3, // native word_ngrams Generate over the
                                    // scan; COUNT(DISTINCT doc_id) is a
                                    // two-phase agg — (shingle, doc_id)
                                    // dedup exchange then (shingle) —
                                    // + orderBy
+    "q83_dup_spans" -> 5) // q55's two COUNT(DISTINCT) exchanges + the
+                          // positions side re-keyed on shingle for the
+                          // un-hinted join (flagged side reuses its agg
+                          // partitioning) + ONE doc_id exchange serving
+                          // window AND groupBy(doc_id, island) + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

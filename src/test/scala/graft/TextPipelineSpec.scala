@@ -124,6 +124,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 3L, 1.3219), (1L, 2L, 1.8219)))
   }
 
+  test("dupSpans on a hand-computed corpus: merge, split, touch, within-doc repeats") {
+    import spark.implicits._
+    // k=3, minDocs=2. Shared shingles: abc/bcd/cde (docs 0,1,2 carry abc),
+    // uvw (docs 3,4). doc2 places abc at positions 0 and 7 (gap 7 > k →
+    // two islands) and holds "q q q" TWICE within itself (within-doc
+    // repeat must NOT flag — n_docs counts distinct docs). doc3 has uvw
+    // at positions 0 and 3 (gap == k → spans touch → ONE island).
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "z z a b c d e z z"),
+      (2L, "a b c q q q q a b c"),
+      (3L, "u v w u v w"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val got = TextPipeline.dupSpans(docs, k = 3, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 4L, 3L),  // abc,bcd,cde at 0..2 → one span [0,4]
+      (1L, 2L, 6L, 3L),  // same three at 2..4 → [2,6]
+      (2L, 0L, 2L, 1L),  // abc at 0
+      (2L, 7L, 9L, 1L),  // abc at 7 — split island
+      (3L, 0L, 5L, 2L),  // uvw at 0 and 3 — touching spans merge
+      (4L, 0L, 2L, 1L)))
+  }
+
   test("q54 hashed bigram distinct == exact string bigram distinct (fixture)") {
     // q54's contract note: distinct counts are over xxhash64(bigram) —
     // this pins the hashed formulation against the exact string one on
