@@ -867,7 +867,59 @@ object SqlEntry {
         |SELECT doc_id, url,
         |  regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS host,
         |  regexp_extract(url, '^(https?)', 1) AS scheme
-        |FROM u ORDER BY doc_id, url""".stripMargin)
+        |FROM u ORDER BY doc_id, url""".stripMargin,
+    "q83_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, shingle
+        |  FROM documents
+        |  LATERAL VIEW posexplode(word_ngrams(text, 8)) t AS pos, shingle),
+        |f AS (
+        |  SELECT shingle FROM g GROUP BY shingle
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (shingle)),
+        |b AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM b)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  COUNT(*) AS n_shingles
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q84_span_cut" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, shingle
+        |  FROM documents
+        |  LATERAL VIEW posexplode(word_ngrams(text, 8)) t AS pos, shingle),
+        |f AS (
+        |  SELECT shingle FROM g GROUP BY shingle
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (shingle)),
+        |c AS (
+        |  SELECT doc_id, collect_set(cp) AS covered
+        |  FROM (SELECT doc_id, explode(sequence(pos, pos + 7)) AS cp FROM h)
+        |  GROUP BY doc_id),
+        |w AS (
+        |  SELECT doc_id,
+        |    filter(split(lower(text), '[^a-z]+'), x -> length(x) > 0)
+        |      AS words
+        |  FROM documents),
+        |j AS (
+        |  SELECT w.doc_id, w.words,
+        |    filter(w.words, (x, i) -> NOT array_contains(
+        |      coalesce(c.covered, CAST(array() AS ARRAY<BIGINT>)),
+        |      CAST(i AS BIGINT))) AS kept
+        |  FROM w LEFT JOIN c ON w.doc_id = c.doc_id)
+        |SELECT doc_id, CAST(size(words) AS BIGINT) AS n_words,
+        |  CAST(size(words) - size(kept) AS BIGINT) AS n_cut,
+        |  concat_ws(' ', kept) AS cleaned
+        |FROM j ORDER BY doc_id""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

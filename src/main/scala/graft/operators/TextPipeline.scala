@@ -1483,6 +1483,24 @@ object TextPipeline {
       .orderBy("doc_id", "url")
   }
 
+  /** Shared stage of [[dupSpans]]/[[cutSpans]]: every word position whose
+    * k-shingle also occurs in at least `minDocs` distinct documents.
+    * One row per (doc_id, pos) — positions are unique per doc (one
+    * shingle starts at each position) and the flagged-shingle side is
+    * distinct, so the join cannot duplicate. */
+  private def dupHits(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), posexplode(
+        graft.expressions.VectorExpressions.wordNgrams(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("shingle"))
+    val flagged = g.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("shingle")
+    g.join(flagged, "shingle").select("doc_id", "pos")
+  }
+
   /** Duplicated-span detection — exact SUBSTRING-level dedup (the
     * "exact substring deduplication" of Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", re-expressed
@@ -1511,16 +1529,7 @@ object TextPipeline {
     * duplicated span, word-position indexed (0-based, end inclusive of
     * the last shingle's final word). */
   def dupSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val g = docs
-      .select(col("doc_id"), posexplode(
-        graft.expressions.VectorExpressions.wordNgrams(col("text"), k)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("shingle"))
-    val flagged = g.groupBy("shingle")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .select("shingle")
-    val hits = g.join(flagged, "shingle").select("doc_id", "pos")
+    val hits = dupHits(docs, k, minDocs)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("brk",
@@ -1573,6 +1582,86 @@ object TextPipeline {
     dupSpans(Tables.documents(s, d), k = 8, minDocs = 2)
   }
 
+  /** Span CUTTING — [[dupSpans]] applied: rewrite each document with
+    * every word covered by a cross-document duplicated k-shingle removed.
+    * Removes EVERY occurrence (the public exact-substring dedup tooling's
+    * behavior — deliberately conservative; keep-first would need a global
+    * occurrence order, which is a policy choice layered on top, not part
+    * of this operator's contract). Documents with no duplicated spans
+    * pass through byte-identical in normalized word space.
+    *
+    * Plan shape: [[dupHits]] (duplicated positions) → explode each hit to
+    * its k covered positions → collect_set per doc (partial agg dedups
+    * overlapping shingles map-side, and the per-doc set is bounded by doc
+    * length — never corpus-sized) → left join docs on doc_id → scan-local
+    * indexed-lambda filter keeps words at uncovered positions. The
+    * covered-set side arrives hash(doc_id)-partitioned from its agg, so
+    * only the docs side shuffles for the join. 6 shuffles, pinned.
+    *
+    * Output: (doc_id, n_words, n_cut, cleaned) — cleaned is the
+    * space-joined surviving words (empty string when everything was
+    * boilerplate), n_cut = words removed. */
+  def cutSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val covered = dupHits(docs, k, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy("doc_id").agg(collect_set("cp").as("covered"))
+    docs
+      .select(col("doc_id"), Text.wordsOf(col("text")).as("words"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), array().cast("array<bigint>")))
+      .withColumn("kept", filter(col("words"),
+        (w, i) => !array_contains(col("covered"), i.cast("long"))))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("n_cut"),
+        concat_ws(" ", col("kept")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** q84: q83's spans cut out of the corpus — see [[cutSpans]]. The
+    * DuckDB twin enumerates covered positions (hit → range(pos, pos+8)),
+    * anti-joins the per-position word stream, and reassembles with an
+    * ordered string_agg; empty survivors coalesce to '' to match Spark's
+    * concat_ws on an empty array. */
+  val q84_span_cut = QueryDef(
+    "q84_span_cut",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(words[i:i+7], ' ') AS shingle
+      |  FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)),
+      |f AS (
+      |  SELECT shingle FROM g GROUP BY shingle
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (shingle)),
+      |c AS (
+      |  SELECT DISTINCT doc_id, pos + d AS cp
+      |  FROM h, UNNEST(range(0, 8)) AS r(d)),
+      |p AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS word
+      |  FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)),
+      |kept AS (
+      |  SELECT p.doc_id, p.pos, p.word FROM p
+      |  WHERE NOT EXISTS (SELECT 1 FROM c
+      |                    WHERE c.doc_id = p.doc_id AND c.cp = p.pos)),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+      |  CAST(len(w.words) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_cut,
+      |  COALESCE(agg.cleaned, '') AS cleaned
+      |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+      |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+    cutSpans(Tables.documents(s, d), k = 8, minDocs = 2)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1582,5 +1671,6 @@ object TextPipeline {
     q58_dedup_survivors, q59_decontam, q60_bm25, q61_length_outliers,
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
-    q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans)
+    q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
+    q84_span_cut)
 }

@@ -66,11 +66,15 @@ class ShuffleAuditSpec extends SparkSpec {
                                    // two-phase agg — (shingle, doc_id)
                                    // dedup exchange then (shingle) —
                                    // + orderBy
-    "q83_dup_spans" -> 5) // q55's two COUNT(DISTINCT) exchanges + the
+    "q83_dup_spans" -> 5, // q55's two COUNT(DISTINCT) exchanges + the
                           // positions side re-keyed on shingle for the
                           // un-hinted join (flagged side reuses its agg
                           // partitioning) + ONE doc_id exchange serving
                           // window AND groupBy(doc_id, island) + orderBy
+    "q84_span_cut" -> 6)  // q83's first three exchanges + covered-set
+                          // groupBy(doc_id) + the docs side of the left
+                          // join (covered side reuses its agg
+                          // partitioning) + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -148,6 +148,30 @@ class TextPipelineSpec extends SparkSpec {
       (4L, 0L, 2L, 1L)))
   }
 
+  test("cutSpans removes exactly the covered positions, keeps the rest") {
+    import spark.implicits._
+    // Same corpus as the dupSpans test (k=3, minDocs=2) plus a fully
+    // unique doc 5 that must pass through untouched. Covered positions
+    // are the union of [hit, hit+2] ranges; doc 3 is ALL boilerplate so
+    // its cleaned text must be the empty string (not null).
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "z z a b c d e z z"),
+      (2L, "a b c q q q q a b c"),
+      (3L, "u v w u v w"),
+      (4L, "u v w"),
+      (5L, "only unique words here")).toDF("doc_id", "text")
+    val got = TextPipeline.cutSpans(docs, k = 3, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 8L, 5L, "f g h"),        // hits 0,1,2 → covered {0..4}
+      (1L, 9L, 5L, "z z z z"),      // hits 2,3,4 → covered {2..6}
+      (2L, 10L, 6L, "q q q q"),     // hits 0,7 → covered {0,1,2,7,8,9}
+      (3L, 6L, 6L, ""),             // hits 0,3 → everything covered
+      (4L, 3L, 3L, ""),             // hit 0 → everything covered
+      (5L, 4L, 0L, "only unique words here")))
+  }
+
   test("q54 hashed bigram distinct == exact string bigram distinct (fixture)") {
     // q54's contract note: distinct counts are over xxhash64(bigram) —
     // this pins the hashed formulation against the exact string one on
