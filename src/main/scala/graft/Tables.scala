@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated fixtures
   * (/root/repo/TESTDATA.md, FIXTURES.md). Parquet is self-describing;
@@ -33,19 +33,29 @@ object Tables {
     * would silently change how unrelated nanos parquet reads behave. */
   val nanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf, see
-    * [[nanosAsLongConf]]) and convert to a proper timestamp; fixture
-    * values are µs-precision so ns→µs is lossless (verified against the
-    * parquet footer 2026-08-12). */
+  /** events.ts normalization. The driver fixtures have shipped two
+    * physical encodings of `ts` across rounds:
+    *  - TIMESTAMP(NANOS) (rounds 1–6): Spark's reader rejects it unless
+    *    [[nanosAsLongConf]] is set, in which case it surfaces as a raw
+    *    nanos LongType → convert ns→µs (lossless, fixture values are
+    *    µs-precision) and build a session-TZ timestamp.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 7+): surfaces
+    *    as TIMESTAMP_NTZ → cast to TIMESTAMP. All graft entry points
+    *    pin spark.sql.session.timeZone=UTC, so the NTZ wall time and
+    *    the resulting instant are identical — and window/watermark/
+    *    unix_micros operators, which demand TIMESTAMP, keep working.
+    * Either way callers always see `ts: timestamp`. */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get(nanosAsLongConf, "false") == "true",
-      s"reading events.parquet (TIMESTAMP NANOS) requires $nanosAsLongConf=true " +
-        "set at session construction (see graft entry points)")
+      s"reading events.parquet may hit TIMESTAMP(NANOS) fixtures, which " +
+        s"require $nanosAsLongConf=true set at session construction " +
+        "(see graft entry points)")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -414,15 +414,57 @@ object TextPipeline {
     * the per-bucket metadata aggregate and the candidate join both read
     * it Exchange-free and only the epoch-sized `fresh` side shuffles —
     * the streaming mirror of q65's bucketed-standing-corpus posture
-    * (asserted in LayoutSpec). */
+    * (asserted in LayoutSpec). `pruneBuckets > 0` additionally prunes
+    * standing-side READS to the touched buckets via
+    * [[pruneToTouchedBuckets]] — worth it when epochs are tiny relative
+    * to the index (the driver-side key collect is bounded at
+    * `pruneBuckets + 1` rows by construction). */
+  /** Prune the standing banded index to the buckets the fresh batch
+    * actually touches: collect the batch's DISTINCT (band, bsig) keys —
+    * bounded by construction via `limit(cap + 1)`, so the collect is
+    * O(cap) no matter how large the batch is — and push them back as a
+    * per-band `band = b AND bsig IN (...)` disjunction on the standing
+    * scan. The predicate reaches parquet as pushed filters; because
+    * `Layout.appendEpochBucketed` sorts files by (band, bsig), row-group
+    * min/max stats then skip every untouched bucket, so a tiny epoch
+    * reads O(touched buckets) of the index instead of all of it.
+    *
+    * Correct by construction: the filter keys are exactly the join keys
+    * of every downstream use, so (a) rows outside touched buckets could
+    * never join a fresh row anyway, and (b) every row of a touched
+    * bucket survives the filter — the per-bucket guard metadata (bn,
+    * rep) computed on the pruned frame is IDENTICAL to the unpruned
+    * value for all buckets that matter. If the batch touches more than
+    * `cap` buckets the frame is returned unchanged (a big epoch reads
+    * most of the index anyway; an enormous IN list would only bloat the
+    * plan). `cap <= 0` disables pruning. */
+  private[graft] def pruneToTouchedBuckets(standing: DataFrame,
+      fresh: DataFrame, cap: Int): DataFrame = {
+    if (cap <= 0) return standing
+    val keys = fresh.select("band", "bsig").distinct().limit(cap + 1).collect()
+    if (keys.length > cap) standing
+    else if (keys.isEmpty) standing.where(lit(false)) // empty batch: no buckets touched
+    else {
+      val pred = keys.groupBy(_.get(0)).toSeq
+        .map { case (band, rows) =>
+          col("band") === lit(band) &&
+            col("bsig").isin(rows.map(_.get(1)).toIndexedSeq: _*)
+        }
+        .reduce(_ || _)
+      standing.where(pred)
+    }
+  }
+
   private[graft] def incrementalGuardedCandidates(standing: DataFrame,
-      fresh: DataFrame, cap: Int, idCol: String = "doc_id"): DataFrame = {
-    val meta = standing.groupBy("band", "bsig")
+      fresh: DataFrame, cap: Int, idCol: String = "doc_id",
+      pruneBuckets: Int = 0): DataFrame = {
+    val st = pruneToTouchedBuckets(standing, fresh, pruneBuckets)
+    val meta = st.groupBy("band", "bsig")
       .agg(count(lit(1)).as("bn"), min(idCol).as("rep"))
     val nj = fresh.select(col(idCol).as("n"), col("band"), col("bsig"))
       .join(meta, Seq("band", "bsig"))
     val small = nj.where(col("bn") <= cap)
-      .join(standing.select(col(idCol).as("s"), col("band"), col("bsig")),
+      .join(st.select(col(idCol).as("s"), col("band"), col("bsig")),
         Seq("band", "bsig"))
       .where(col("n") =!= col("s"))
       .select("n", "s")

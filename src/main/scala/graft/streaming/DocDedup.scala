@@ -408,7 +408,8 @@ object DocDedup {
                   outDir: String, epochId: Long,
                   maxBucket: Int = TextPipeline.LshMaxBucket,
                   bandedTable: Option[String] = None,
-                  indexBuckets: Int = 8): Unit = {
+                  indexBuckets: Int = 8,
+                  pruneStandingBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.select("doc_id")
@@ -434,7 +435,8 @@ object DocDedup {
       .select("doc_id", "band", "bsig")
     val words = spark.read.parquet(s"$stateDir/words")
       .select("doc_id", "words")
-    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket)
+    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
+        pruneBuckets = pruneStandingBuckets)
       // exact verification of candidates only — minHashLshPairs' contract
       .join(words.select(col("doc_id").as("a"), col("words").as("wa")), "a")
       .join(words.select(col("doc_id").as("b"), col("words").as("wb")), "b")
@@ -474,12 +476,13 @@ object DocDedup {
                     outDir: String, checkpointDir: String,
                     maxBucket: Int = TextPipeline.LshMaxBucket,
                     bandedTable: Option[String] = None,
-                    indexBuckets: Int = 8)
+                    indexBuckets: Int = 8,
+                    pruneStandingBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         ingestEpoch(batch, tau, stateDir, outDir, epochId, maxBucket,
-          bandedTable, indexBuckets)
+          bandedTable, indexBuckets, pruneStandingBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

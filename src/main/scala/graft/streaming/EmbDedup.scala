@@ -288,7 +288,8 @@ object EmbDedup {
                   outDir: String, epochId: Long,
                   maxBucket: Int = TextPipeline.LshMaxBucket,
                   bandedTable: Option[String] = None,
-                  indexBuckets: Int = 8): Unit = {
+                  indexBuckets: Int = 8,
+                  pruneStandingBuckets: Int = 0): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     b.select("vec_id")
@@ -317,7 +318,7 @@ object EmbDedup {
       .select("vec_id", "v", "nrm")
     val dot = graft.expressions.VectorExpressions.dotProduct(col("va"), col("vb"))
     TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
-        idCol = "vec_id")
+        idCol = "vec_id", pruneBuckets = pruneStandingBuckets)
       .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na")), "a")
       .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -348,12 +349,13 @@ object EmbDedup {
                     outDir: String, checkpointDir: String,
                     maxBucket: Int = TextPipeline.LshMaxBucket,
                     bandedTable: Option[String] = None,
-                    indexBuckets: Int = 8)
+                    indexBuckets: Int = 8,
+                    pruneStandingBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         ingestEpoch(batch, threshold, stateDir, outDir, epochId, maxBucket,
-          bandedTable, indexBuckets)
+          bandedTable, indexBuckets, pruneStandingBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -153,6 +153,64 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("touched-bucket pruning pushes the epoch's bucket keys into the " +
+    "standing scan and changes no candidates") {
+    // NOTES r6 candidate: beyond never re-SHUFFLING the bucketed
+    // standing index, a tiny epoch should not re-READ all of it either.
+    // pruneToTouchedBuckets collects the batch's distinct (band, bsig)
+    // keys (bounded at cap+1 rows) and pushes them as parquet filters;
+    // with files sorted by (band, bsig) the untouched buckets' row
+    // groups are skipped. Asserted here: the filter reaches the scan as
+    // PushedFilters, the pruned frame holds exactly the touched-bucket
+    // rows, candidate output is bit-identical, and an over-cap batch
+    // falls back to the unpruned frame.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.streaming.DocDedup
+    import graft.operators.TextPipeline
+    val tbl = "b_banded_prune_layoutspec"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val banded0 = DocDedup.bandedRows(docs.where(col("doc_id") % 3 =!= 2))
+      .select("doc_id", "band", "bsig")
+    val fresh = DocDedup.bandedRows(docs.where(col("doc_id").isin(2L, 5L)))
+      .select("doc_id", "band", "bsig").persist()
+    try {
+      Layout.appendEpochBucketed(banded0, tbl, 4, 0L, Seq("band", "bsig"))
+      val standing = spark.table(tbl).select("doc_id", "band", "bsig")
+      val pruned = TextPipeline.pruneToTouchedBuckets(standing, fresh, 64)
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      val pf = scan.metadata.getOrElse("PushedFilters", "")
+      assert(pf.contains("band") && pf.contains("bsig"),
+        s"bucket keys not pushed to the standing scan: $pf")
+      // row-level: exactly the standing rows in the batch's buckets
+      val touched = fresh.select("band", "bsig").distinct()
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      val want = standing.collect()
+        .filter(r => touched((r.getInt(1), r.getString(2))))
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val got = pruned.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == want, "pruned frame is not exactly the touched buckets")
+      assert(got.size < standing.count(),
+        "pruning test is vacuous: the tiny batch touches every bucket")
+      // end-to-end parity: identical candidate pairs with pruning on
+      val cWant = TextPipeline
+        .incrementalGuardedCandidates(standing, fresh, 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cGot = TextPipeline
+        .incrementalGuardedCandidates(standing, fresh, 128, pruneBuckets = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cGot == cWant)
+      // over-cap batch: helper must return the frame unchanged
+      assert(TextPipeline.pruneToTouchedBuckets(standing, fresh, 1) eq standing)
+    } finally {
+      fresh.unpersist()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("appendEpochBucketed replay REWRITES the epoch partition " +
     "(crash-safe idempotence, not skip-if-seen)") {
     // A crash can leave an epoch partition PARTIALLY visible; a
