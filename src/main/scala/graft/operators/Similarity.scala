@@ -301,6 +301,19 @@ object Similarity {
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bsig").as("bsig"))
   }
 
+  /** Corpus-size threshold for `dedupEmbeddings(method = "auto")`:
+    * below it the exact all-pairs join wins (banding overhead dominates
+    * small n), at or above it the guarded LSH path wins and the gap
+    * grows as n². Set from the measured sf1 crossover bracket
+    * [2,000, 5,000) — see BASELINE.md / CROSSOVER_r07.json. */
+  val AutoDedupCrossover: Long = 4000L
+
+  /** The `method = "auto"` decision, exposed for direct spec pinning
+    * (the end-to-end result can't reveal which branch ran — both are
+    * survivor-identical on well-separated corpora by construction). */
+  def chooseDedupMethod(n: Long): String =
+    if (n < AutoDedupCrossover) "exact" else "lsh"
+
   /** One-call EMBEDDING corpus dedup — the vector twin of
     * [[TextPipeline.dedupCorpus]]: near-dup pairs (exact all-pairs or
     * hot-bucket-guarded hyperplane-LSH buckets) → connected components →
@@ -316,10 +329,21 @@ object Similarity {
     * UN-hinted (losers holds pair members only, but at real dup rates
     * that is O(corpus) ids — AQE broadcasts it when genuinely small and
     * uses a shuffled anti join when not; a forced broadcast would OOM
-    * at scale). `method = "exact"` is the bounded-contract oracle twin. */
+    * at scale). `method = "exact"` is the bounded-contract oracle twin.
+    * `method = "auto"` counts the corpus once (one cheap count job on
+    * the projected input) and picks exact below [[AutoDedupCrossover]]
+    * rows, lsh at or above it — the measured sf1 crossover sits between
+    * n = 2,000 and 5,000 at every tested threshold, where the banded
+    * path's fixed banding/guard cost starts beating the exact join's n²
+    * growth (48.9 s exact vs 1.9 s lsh at n = 20,000; BASELINE.md
+    * "EXACT-vs-LSH EMBEDDING-DEDUP CROSSOVER", CROSSOVER_r07.json). */
   def dedupEmbeddings(emb: DataFrame, threshold: Double,
                       method: String = "lsh",
                       maxBucket: Int = TextPipeline.LshMaxBucket): DataFrame = {
+    if (method == "auto") {
+      val n = emb.select("vec_id").count()
+      return dedupEmbeddings(emb, threshold, chooseDedupMethod(n), maxBucket)
+    }
     // STAGE 0 — exact collapse (round 7, the dedupCorpus stage-0 twin):
     // bit-identical embeddings fold onto their min-id member BEFORE any
     // banding — one hash exchange partitioned on the vector itself.
@@ -350,7 +374,7 @@ object Similarity {
           .join(base.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
           .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       case other => throw new IllegalArgumentException(
-        s"unknown dedup method '$other' (expected exact | lsh)")
+        s"unknown dedup method '$other' (expected exact | lsh | auto)")
     }).select("a", "b")
     val losers = TextPipeline.connectedComponents(pairs)
       .where(col("id") =!= col("rep"))

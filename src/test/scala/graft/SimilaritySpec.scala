@@ -75,6 +75,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(200L, 201L, 202L).forall(kept.contains), "orthogonal vectors kept")
   }
 
+  test("dedupEmbeddings: method=auto matches exact below the crossover " +
+    "and lsh above it") {
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 200)
+    assert(emb.count() < Similarity.AutoDedupCrossover) // premise: small side
+    val auto = Similarity.dedupEmbeddings(emb, 0.3, "auto")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.dedupEmbeddings(emb, 0.3, "exact")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(auto == exact, "small corpus must ride the exact path")
+    // the decision function itself, at the boundary
+    assert(Similarity.chooseDedupMethod(Similarity.AutoDedupCrossover - 1) == "exact")
+    assert(Similarity.chooseDedupMethod(Similarity.AutoDedupCrossover) == "lsh")
+    // end-to-end above the crossover (rides lsh): an identical-vector
+    // flood still collapses to the single min-id survivor
+    val big = spark.range(0, Similarity.AutoDedupCrossover + 64)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(2.0f), lit(3.0f)).as("embedding"))
+    val bigKept = Similarity.dedupEmbeddings(big.toDF(), 0.9, "auto")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bigKept == Set(0L), "identical-vector flood must keep vec_id 0 only")
+  }
+
   test("dedupEmbeddings: exact survivors ⊆ LSH survivors on fixture") {
     val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 200)
     val exact = Similarity.dedupEmbeddings(emb, 0.3, "exact")
