@@ -1190,6 +1190,19 @@ object TextPipeline {
       .orderBy("doc_id", "word")
   }
 
+  /** Corpus-size threshold for `dedupCorpus(method = "auto")`: the
+    * sf1-measured crossover (CROSSOVER_r07.json) has the banded path
+    * already level with exact at n = 500 and 2.3× faster at n = 1,000
+    * — the exact method's word-level self-join degenerates toward
+    * all-pairs whenever documents share vocabulary, which real corpora
+    * always do. Below the threshold exact also buys full transitive
+    * recall (see [[dedupCorpus]]'s auto note). */
+  val AutoDedupCrossover: Long = 1000L
+
+  /** The `method = "auto"` decision, exposed for direct spec pinning. */
+  def chooseDedupMethod(n: Long): String =
+    if (n < AutoDedupCrossover) "exact" else "minhash-lsh"
+
   /** One-call corpus dedup — THE end-to-end pipeline a user of this
     * library runs: near-dup pair generation (exact Jaccard or the
     * MinHash-LSH scale path) → connected components → per-cluster
@@ -1207,11 +1220,27 @@ object TextPipeline {
     * the optimizer (AQE at runtime, statistics otherwise) broadcasts
     * when the loser set is genuinely small and uses a shuffled anti
     * join when it is not. DedupScaleSpec pins both behaviors on a
-    * majority-duplicate corpus with the broadcast threshold forced off. */
+    * majority-duplicate corpus with the broadcast threshold forced off.
+    *
+    * `method = "auto"` counts the corpus once and picks exact below
+    * [[AutoDedupCrossover]] docs, minhash-lsh at or above it — the
+    * measured sf1 crossover (CROSSOVER_r07.json, BASELINE.md): exact's
+    * word-level self-join grows quadratically on shared-vocab corpora
+    * (6.6 s at n=1,000 → 147 s at n=5,000) while the banded path stays
+    * ~3 s flat. NOTE this is a COST switch, not a semantics-free one:
+    * banding recall at tau is < 1 (per-band collision ≈ tau^rows), so
+    * missed edges can SPLIT clusters and the LSH branch keeps a
+    * superset of exact's survivors (the q72 spec bound, pinned on the
+    * fixture in TextPipelineSpec) — callers who need the exact
+    * transitive relation at any size must say `method = "exact"`. */
   def dedupCorpus(docs: DataFrame, tau: Double = 0.8,
                   method: String = "exact",
                   electBy: String = "quality",
                   maxBucket: Int = LshMaxBucket): DataFrame = {
+    if (method == "auto") {
+      val n = docs.select("doc_id").count()
+      return dedupCorpus(docs, tau, chooseDedupMethod(n), electBy, maxBucket)
+    }
     // STAGE 0 — exact collapse (new in round 7): byte-identical texts
     // (J = 1, the dominant duplicate class at crawl scale and exactly
     // the degenerate input that floods LSH buckets) fold onto their

@@ -113,6 +113,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(keptIds.subsetOf(keptLsh))
   }
 
+  test("dedupCorpus: method=auto rides exact below the crossover and " +
+    "minhash-lsh above it") {
+    val docs = Tables.documents(spark, sf0001).where(col("doc_id") < 100)
+    assert(docs.count() < TextPipeline.AutoDedupCrossover) // premise
+    val auto = TextPipeline.dedupCorpus(docs, 0.8, "auto")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = TextPipeline.dedupCorpus(docs, 0.8, "exact")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auto == exact, "small corpus must ride the exact path")
+    // the decision function, at the boundary
+    assert(TextPipeline.chooseDedupMethod(
+      TextPipeline.AutoDedupCrossover - 1) == "exact")
+    assert(TextPipeline.chooseDedupMethod(
+      TextPipeline.AutoDedupCrossover) == "minhash-lsh")
+    // end-to-end above the crossover (rides minhash-lsh): an exact-
+    // duplicate flood still collapses via stage 0 regardless of banding
+    import spark.implicits._
+    val big = spark.range(0, TextPipeline.AutoDedupCrossover + 64)
+      .select(col("id").as("doc_id"), lit("same words every time").as("text"))
+    val bigKept = TextPipeline.dedupCorpus(big.toDF(), 0.8, "auto")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bigKept == Set(0L), "identical-doc flood must keep doc_id 0 only")
+  }
+
   test("lmCrossEntropy: hand-computed unigram cross-entropy") {
     import spark.implicits._
     // corpus counts: a=2, b=2, c=1, total=5 → p(a)=p(b)=0.4, p(c)=0.2
