@@ -43,17 +43,28 @@ object Layout {
     * that left the partition partially visible (non-atomic committer),
     * and is racy for concurrent writers; overwrite converges to the
     * same complete partition no matter how many times the epoch
-    * replays. */
+    * replays.
+    *
+    * `sortCols` (defaults to `bucketCols`) orders rows WITHIN each
+    * bucket file — pass the real lookup keys when bucketing on a
+    * derived single key: Spark prunes bucket FILES only for
+    * single-column bucket specs, so the file-prunable layout for a
+    * (band, bsig) index is `bucketCols = Seq("bkey")` with
+    * `bkey = functions.hash(band, bsig)` in `df` and
+    * `sortCols = Seq("band", "bsig")` for row-group stats — the layout
+    * DocDedup/EmbDedup ingestEpoch writes for new tables. */
   def appendEpochBucketed(df: DataFrame, table: String, buckets: Int,
-                          epochId: Long, bucketCols: Seq[String]): Unit = {
+                          epochId: Long, bucketCols: Seq[String],
+                          sortCols: Seq[String] = Seq.empty): Unit = {
     require(bucketCols.nonEmpty)
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
     val spark = df.sparkSession
     val withEpoch = df.withColumn("epoch", lit(epochId))
     if (!spark.catalog.tableExists(table)) {
       withEpoch.write.mode("overwrite")
         .partitionBy("epoch")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sorts.head, sorts.tail: _*)
         .format("parquet")
         .saveAsTable(table)
     } else {

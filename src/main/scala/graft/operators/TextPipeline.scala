@@ -441,31 +441,63 @@ object TextPipeline {
   private[graft] def pruneToTouchedBuckets(standing: DataFrame,
       fresh: DataFrame, cap: Int): DataFrame = {
     if (cap <= 0) return standing
-    val keys = fresh.select("band", "bsig").distinct().limit(cap + 1).collect()
+    val keyed = standing.columns.contains("bkey")
+    val keyCols = if (keyed) Seq("bkey", "band", "bsig") else Seq("band", "bsig")
+    val keys = fresh.select(keyCols.head, keyCols.tail: _*)
+      .distinct().limit(cap + 1).collect()
     if (keys.length > cap) standing
     else if (keys.isEmpty) standing.where(lit(false)) // empty batch: no buckets touched
     else {
-      val pred = keys.groupBy(_.get(0)).toSeq
+      // (band, bsig) sit at positions keyCols.length-2 / -1 either way
+      val b = keyCols.length - 2
+      val pred = keys.groupBy(_.get(b)).toSeq
         .map { case (band, rows) =>
           col("band") === lit(band) &&
-            col("bsig").isin(rows.map(_.get(1)).toIndexedSeq: _*)
+            col("bsig").isin(rows.map(_.get(b + 1)).toIndexedSeq: _*)
         }
         .reduce(_ || _)
-      standing.where(pred)
+      // bkey IN (...) first: on a table BUCKETED BY the single bkey
+      // column this is what unlocks bucket FILE pruning (Spark only
+      // prunes files for single-column bucket specs); the per-band
+      // disjunction then prunes row groups within surviving files
+      val full =
+        if (keyed) col("bkey").isin(keys.map(_.get(0)).toIndexedSeq: _*) && pred
+        else pred
+      standing.where(full)
     }
   }
 
   private[graft] def incrementalGuardedCandidates(standing: DataFrame,
       fresh: DataFrame, cap: Int, idCol: String = "doc_id",
       pruneBuckets: Int = 0): DataFrame = {
-    val st = pruneToTouchedBuckets(standing, fresh, pruneBuckets)
-    val meta = st.groupBy("band", "bsig")
+    // Keyed layout (round 7): when the standing index carries `bkey`
+    // (= functions.hash(band, bsig), the single BUCKET column of the
+    // file-prunable layout — see Layout scaladoc), thread it through
+    // every stage: grouping/joining on the superset (bkey, band, bsig)
+    // keeps results identical (bkey is functionally dependent on the
+    // other two) and pruneToTouchedBuckets pushes bkey literals for
+    // genuine bucket-file skipping. CAVEAT: for the standing side to
+    // satisfy the join distribution from its HashPartitioning(bkey)
+    // bucket spec — i.e. to keep the no-standing-shuffle property —
+    // the session must run with
+    // spark.sql.requireAllClusterKeysForCoPartition=false (the public
+    // planner knob for joining bucketed tables on a key subset;
+    // results are identical either way). DocDedup/EmbDedup ingestEpoch
+    // set/restore it around their actions; direct callers own it
+    // (LayoutSpec pins both the pruning and the no-shuffle plan).
+    val keyed = standing.columns.contains("bkey")
+    val fr =
+      if (keyed && !fresh.columns.contains("bkey"))
+        fresh.withColumn("bkey", hash(col("band"), col("bsig")))
+      else fresh
+    val keyCols = if (keyed) Seq("bkey", "band", "bsig") else Seq("band", "bsig")
+    val st = pruneToTouchedBuckets(standing, fr, pruneBuckets)
+    val meta = st.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bn"), min(idCol).as("rep"))
-    val nj = fresh.select(col(idCol).as("n"), col("band"), col("bsig"))
-      .join(meta, Seq("band", "bsig"))
+    val nj = fr.select((col(idCol).as("n") +: keyCols.map(col)): _*)
+      .join(meta, keyCols)
     val small = nj.where(col("bn") <= cap)
-      .join(st.select(col(idCol).as("s"), col("band"), col("bsig")),
-        Seq("band", "bsig"))
+      .join(st.select((col(idCol).as("s") +: keyCols.map(col)): _*), keyCols)
       .where(col("n") =!= col("s"))
       .select("n", "s")
     val star = nj.where(col("bn") > cap && col("n") =!= col("rep"))

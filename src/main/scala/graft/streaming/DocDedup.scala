@@ -420,8 +420,19 @@ object DocDedup {
     val bandedNew = bandedRows(b).select("doc_id", "band", "bsig")
     bandedTable match {
       case Some(t) =>
-        Layout.appendEpochBucketed(bandedNew, t, indexBuckets, epochId,
-          Seq("band", "bsig"))
+        // new tables get the file-prunable keyed layout (bucketed on the
+        // single bkey column, sorted by (band, bsig) for row-group
+        // stats); tables created before round 7 keep their (band, bsig)
+        // bucket spec — insertInto must match the existing schema
+        val keyed = !spark.catalog.tableExists(t) ||
+          spark.table(t).columns.contains("bkey")
+        if (keyed)
+          Layout.appendEpochBucketed(
+            bandedNew.withColumn("bkey", hash(col("band"), col("bsig"))),
+            t, indexBuckets, epochId, Seq("bkey"), Seq("band", "bsig"))
+        else
+          Layout.appendEpochBucketed(bandedNew, t, indexBuckets, epochId,
+            Seq("band", "bsig"))
       case None =>
         bandedNew.write.mode("overwrite")
           .parquet(s"$stateDir/banded/epoch=$epochId")
@@ -430,20 +441,36 @@ object DocDedup {
 
     val bandedAll = bandedTable.map(spark.table)
       .getOrElse(spark.read.parquet(s"$stateDir/banded"))
-    val allB = bandedAll.select("doc_id", "band", "bsig")
+    val bandCols =
+      Seq("doc_id", "band", "bsig") ++
+        (if (bandedAll.columns.contains("bkey")) Seq("bkey") else Nil)
+    val allB = bandedAll.select(bandCols.head, bandCols.tail: _*)
     val newB = bandedAll.where(col("epoch") === epochId)
-      .select("doc_id", "band", "bsig")
+      .select(bandCols.head, bandCols.tail: _*)
     val words = spark.read.parquet(s"$stateDir/words")
       .select("doc_id", "words")
-    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
-        pruneBuckets = pruneStandingBuckets)
-      // exact verification of candidates only — minHashLshPairs' contract
-      .join(words.select(col("doc_id").as("a"), col("words").as("wa")), "a")
-      .join(words.select(col("doc_id").as("b"), col("words").as("wb")), "b")
-      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("double"))
-      .where(col("i") / (size(col("wa")) + size(col("wb")) - col("i")) >= tau)
-      .select("a", "b")
-      .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+    // subset-key co-partition knob: lets the bkey-bucketed standing
+    // table satisfy the (bkey, band, bsig) join distribution from its
+    // bucket spec — no standing shuffle; results identical either way.
+    // Set around OUR action only (the pairs write below plans and runs
+    // inside this scope), restored after.
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPrev = spark.conf.getOption(coKey)
+    spark.conf.set(coKey, "false")
+    try {
+      TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
+          pruneBuckets = pruneStandingBuckets)
+        // exact verification of candidates only — minHashLshPairs' contract
+        .join(words.select(col("doc_id").as("a"), col("words").as("wa")), "a")
+        .join(words.select(col("doc_id").as("b"), col("words").as("wb")), "b")
+        .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("double"))
+        .where(col("i") / (size(col("wa")) + size(col("wb")) - col("i")) >= tau)
+        .select("a", "b")
+        .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+    } finally coPrev match {
+      case Some(v) => spark.conf.set(coKey, v)
+      case None => spark.conf.unset(coKey)
+    }
 
     val allPairs = spark.read.parquet(s"$stateDir/pairs").select("a", "b")
     val losers =

@@ -301,8 +301,16 @@ object EmbDedup {
     val bandedNew = bandedRows(b).select("vec_id", "band", "bsig")
     bandedTable match {
       case Some(t) =>
-        graft.operators.Layout.appendEpochBucketed(bandedNew, t,
-          indexBuckets, epochId, Seq("band", "bsig"))
+        // keyed (file-prunable) layout for new tables — see DocDedup
+        val keyed = !spark.catalog.tableExists(t) ||
+          spark.table(t).columns.contains("bkey")
+        if (keyed)
+          graft.operators.Layout.appendEpochBucketed(
+            bandedNew.withColumn("bkey", hash(col("band"), col("bsig"))),
+            t, indexBuckets, epochId, Seq("bkey"), Seq("band", "bsig"))
+        else
+          graft.operators.Layout.appendEpochBucketed(bandedNew, t,
+            indexBuckets, epochId, Seq("band", "bsig"))
       case None =>
         bandedNew.write.mode("overwrite")
           .parquet(s"$stateDir/banded/epoch=$epochId")
@@ -311,21 +319,33 @@ object EmbDedup {
 
     val bandedAll = bandedTable.map(spark.table)
       .getOrElse(spark.read.parquet(s"$stateDir/banded"))
-    val allB = bandedAll.select("vec_id", "band", "bsig")
+    val bandCols =
+      Seq("vec_id", "band", "bsig") ++
+        (if (bandedAll.columns.contains("bkey")) Seq("bkey") else Nil)
+    val allB = bandedAll.select(bandCols.head, bandCols.tail: _*)
     val newB = bandedAll.where(col("epoch") === epochId)
-      .select("vec_id", "band", "bsig")
+      .select(bandCols.head, bandCols.tail: _*)
     val vecs = spark.read.parquet(s"$stateDir/vecs")
       .select("vec_id", "v", "nrm")
     val dot = graft.expressions.VectorExpressions.dotProduct(col("va"), col("vb"))
-    TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
-        idCol = "vec_id", pruneBuckets = pruneStandingBuckets)
-      .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na")), "a")
-      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb")), "b")
-      .where(dot / (col("na") * col("nb")) >= threshold)
-      .select("a", "b")
-      .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+    // subset-key co-partition knob — see DocDedup.ingestEpoch
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPrev = spark.conf.getOption(coKey)
+    spark.conf.set(coKey, "false")
+    try {
+      TextPipeline.incrementalGuardedCandidates(allB, newB, maxBucket,
+          idCol = "vec_id", pruneBuckets = pruneStandingBuckets)
+        .join(vecs.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nrm").as("na")), "a")
+        .join(vecs.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb")), "b")
+        .where(dot / (col("na") * col("nb")) >= threshold)
+        .select("a", "b")
+        .write.mode("overwrite").parquet(s"$stateDir/pairs/epoch=$epochId")
+    } finally coPrev match {
+      case Some(v) => spark.conf.set(coKey, v)
+      case None => spark.conf.unset(coKey)
+    }
 
     val allPairs = spark.read.parquet(s"$stateDir/pairs").select("a", "b")
     val losers =

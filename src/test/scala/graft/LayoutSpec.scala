@@ -211,6 +211,86 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("keyed standing index: bkey literals prune bucket FILES and the " +
+    "standing side still never shuffles") {
+    // Spark prunes bucket files only for SINGLE-column bucket specs, so
+    // the (band, bsig) index gets a derived bucket key bkey =
+    // hash(band, bsig): candidates group/join on the superset
+    // (bkey, band, bsig) — identical results, distribution satisfied by
+    // HashPartitioning(bkey) — and pruneToTouchedBuckets pushes bkey
+    // IN (...) so a tiny epoch's scan selects only the touched bucket
+    // files ("SelectedBucketsCount" in the scan) on top of the
+    // row-group pruning the unkeyed layout already had.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.streaming.DocDedup
+    import graft.operators.TextPipeline
+    val tbl = "b_banded_keyed_layoutspec"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val keyedOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("bkey", hash(col("band"), col("bsig")))
+    val banded0 = keyedOf(DocDedup.bandedRows(docs.where(col("doc_id") % 3 =!= 2))
+      .select("doc_id", "band", "bsig"))
+    val fresh = keyedOf(DocDedup.bandedRows(docs.where(col("doc_id").isin(2L, 5L)))
+      .select("doc_id", "band", "bsig")).persist()
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      // the subset-key co-partition knob the keyed layout documents
+      // (ingestEpoch sets it around its own actions)
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      Layout.appendEpochBucketed(banded0, tbl, 8, 0L,
+        Seq("bkey"), Seq("band", "bsig"))
+      val standing = spark.table(tbl).select("doc_id", "band", "bsig", "bkey")
+      val cand = TextPipeline.incrementalGuardedCandidates(
+        standing, fresh, 128, pruneBuckets = 64)
+      cand.collect()
+      val exec = cand.queryExecution.executedPlan
+      // 1. bucket-file pruning visible on the standing scan
+      val scans = exec.collect {
+        case f: FileSourceScanExec if f.toString.contains(tbl) => f
+      }
+      assert(scans.nonEmpty, s"no standing-table scan in plan:\n$exec")
+      val sel = scans.map(_.toString).filter(_.contains("SelectedBucketsCount"))
+      assert(sel.nonEmpty,
+        s"no SelectedBucketsCount on the standing scans:\n${scans.head}")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(sel.head)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"bucket files not pruned: ${sel.head}")
+      // 2. the standing side still never re-shuffles: every bkey-keyed
+      // Exchange (the join distribution) must sit over the FRESH side —
+      // the pairs-distinct Exchange on (a, b) spans the whole tree and
+      // is not a bucket-key shuffle
+      val bkeyExchanges = exec.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("bkey") => e
+      }
+      assert(bkeyExchanges.nonEmpty, // sanity: the join is not broadcast
+        s"expected the fresh side to hash on bkey:\n$exec")
+      val offending = bkeyExchanges.filter(_.child.toString.contains(tbl))
+      assert(offending.isEmpty,
+        s"keyed standing table re-shuffled:\n${offending.mkString}")
+      // 3. parity with the plain unkeyed + unpruned path
+      val plain = DocDedup.bandedRows(docs.where(col("doc_id") % 3 =!= 2))
+        .select("doc_id", "band", "bsig")
+      val want = TextPipeline.incrementalGuardedCandidates(
+          plain, fresh.drop("bkey"), 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally {
+      fresh.unpersist()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("appendEpochBucketed replay REWRITES the epoch partition " +
     "(crash-safe idempotence, not skip-if-seen)") {
     // A crash can leave an epoch partition PARTIALLY visible; a
