@@ -53,7 +53,12 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // ns -> µs with INTEGRAL division: `col / 1000L` is Spark's
+        // fractional (double) division, and epoch-ns magnitudes exceed
+        // double's 53-bit mantissa — the truncated result can be off by
+        // 1 µs (surfaced by SourcesSpec's encoding round-trip; second-
+        // precision oracle output never showed it). `DIV` stays in longs.
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df

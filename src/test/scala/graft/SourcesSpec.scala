@@ -12,6 +12,43 @@ class SourcesSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sf0001)
     .select("doc_id", "lang", "source", "n_chars") // no free text: CSV-safe
 
+  test("Tables.events normalizes every observed ts encoding to TIMESTAMP") {
+    // The driver fixtures changed physical ts encoding in round 7
+    // (TIMESTAMP NANOS -> TIMESTAMP MICROS isAdjustedToUTC=false, which
+    // Spark reads as TIMESTAMP_NTZ) and broke unix_micros/watermarks
+    // mid-round. Pin the normalization: whatever the fixture ships,
+    // callers see ts: timestamp with unchanged instants (UTC session).
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // 1. the live fixture, whatever encoding this round's driver wrote
+    val live = Tables.events(spark, sf0001)
+    assert(live.schema("ts").dataType == TimestampType,
+      s"live fixture not normalized: ${live.schema("ts").dataType}")
+    // 2. the micros-NTZ encoding (r7+), synthesized: write an NTZ copy
+    val dir = Files.createTempDirectory("evntz").toString
+    live.limit(100)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ntz = Tables.events(spark, dir)
+    assert(ntz.schema("ts").dataType == TimestampType)
+    // instants unchanged: UTC session makes NTZ wall time == instant
+    val wantTs = live.limit(100).select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    ntz.select("event_id", "ts").collect().foreach { r =>
+      assert(r.getTimestamp(1) == wantTs(r.getLong(0)))
+    }
+    // 3. the nanos-as-long encoding (r1–r6 fixtures + derived make_sf
+    // output), synthesized: raw ns longs under the same reader path
+    val dir2 = Files.createTempDirectory("evns").toString
+    live.limit(100)
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast(LongType))
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val ns = Tables.events(spark, dir2)
+    assert(ns.schema("ts").dataType == TimestampType)
+    ns.select("event_id", "ts").collect().foreach { r =>
+      assert(r.getTimestamp(1) == wantTs(r.getLong(0)))
+    }
+  }
+
   test("CSV round-trip with explicit schema") {
     val dir = Files.createTempDirectory("csv").toString + "/docs"
     docs.write.mode("overwrite").option("header", "true").csv(dir)
