@@ -205,6 +205,15 @@ class LayoutSpec extends SparkSpec {
       assert(cGot == cWant)
       // over-cap batch: helper must return the frame unchanged
       assert(TextPipeline.pruneToTouchedBuckets(standing, fresh, 1) eq standing)
+      // disabled pruning: identity
+      assert(TextPipeline.pruneToTouchedBuckets(standing, fresh, 0) eq standing)
+      // empty batch touches no buckets: pruned standing is empty and the
+      // candidate relation is empty (not an error)
+      val none = fresh.where(lit(false))
+      assert(TextPipeline.pruneToTouchedBuckets(standing, none, 64).count() == 0)
+      assert(TextPipeline
+        .incrementalGuardedCandidates(standing, none, 128, pruneBuckets = 64)
+        .count() == 0)
     } finally {
       fresh.unpersist()
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
