@@ -919,7 +919,31 @@ object SqlEntry {
         |SELECT doc_id, CAST(size(words) AS BIGINT) AS n_words,
         |  CAST(size(words) - size(kept) AS BIGINT) AS n_cut,
         |  concat_ws(' ', kept) AS cleaned
-        |FROM j ORDER BY doc_id""".stripMargin)
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // q85/q86 exercise Spark's native PIVOT / UNPIVOT grammar — the
+    // parser path the DataFrame builders (pivot()/unpivot()) skip.
+    "q85_pivot" ->
+      """WITH base AS (
+        |  SELECT n_name, YEAR(o_orderdate) AS yr,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, COALESCE(y1995, 0L) AS y1995,
+        |  COALESCE(y1996, 0L) AS y1996, COALESCE(y1997, 0L) AS y1997,
+        |  COALESCE(y1998, 0L) AS y1998
+        |FROM base
+        |PIVOT (SUM(cents) FOR yr IN (1995 AS y1995, 1996 AS y1996,
+        |                             1997 AS y1997, 1998 AS y1998))
+        |ORDER BY n_name""".stripMargin,
+    "q86_unpivot" ->
+      """SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag,
+        |    SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents,
+        |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+        |    SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR metric IN (qty_cents, price_cents, disc_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

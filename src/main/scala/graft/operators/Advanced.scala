@@ -643,9 +643,78 @@ object Advanced {
       .orderBy("o_orderpriority")
   }
 
+  /** q85: PIVOT — long→wide reshaping (revenue per nation × order year
+    * as columns), the reporting-table shape every analytics engine
+    * grows eventually. `pivot(col, values)` with an EXPLICIT value list
+    * compiles to a single partial+final hash aggregate over
+    * pivot-branch expressions — one pass, one exchange, no
+    * distinct-values pre-job and no per-value self-join (the naive
+    * reshaping). Sums are exact integer cents (SURVEY §7 rule) so the
+    * cross-engine hash cannot flake on float summation order; absent
+    * (nation, year) cells are pinned to 0 on both sides. */
+  val q85_pivot = QueryDef(
+    "q85_pivot",
+    """WITH base AS (
+      |  SELECT n_name, YEAR(o_orderdate) AS yr,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name,
+      |  CAST(COALESCE(SUM(CASE WHEN yr = 1995 THEN cents END), 0) AS BIGINT) AS y1995,
+      |  CAST(COALESCE(SUM(CASE WHEN yr = 1996 THEN cents END), 0) AS BIGINT) AS y1996,
+      |  CAST(COALESCE(SUM(CASE WHEN yr = 1997 THEN cents END), 0) AS BIGINT) AS y1997,
+      |  CAST(COALESCE(SUM(CASE WHEN yr = 1998 THEN cents END), 0) AS BIGINT) AS y1998
+      |FROM base GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    base.groupBy("n_name").pivot("yr", Seq(1995, 1996, 1997, 1998))
+      .agg(sum("cents"))
+      .select(col("n_name"),
+        coalesce(col("1995"), lit(0L)).as("y1995"),
+        coalesce(col("1996"), lit(0L)).as("y1996"),
+        coalesce(col("1997"), lit(0L)).as("y1997"),
+        coalesce(col("1998"), lit(0L)).as("y1998"))
+      .orderBy("n_name")
+  }
+
+  /** q86: UNPIVOT — wide→long, the inverse reshaping (per-flag metric
+    * columns melted to (flag, metric, value) rows). `Dataset.unpivot`
+    * compiles to an Expand node — each input row fans out to one row
+    * per value column INSIDE the scan stage, zero additional shuffle
+    * (the oracle's UNION-ALL-of-selects shape would re-scan the
+    * aggregate once per metric). Metric values share one exact-cents
+    * BIGINT type, the unpivot well-formedness requirement. */
+  val q86_unpivot = QueryDef(
+    "q86_unpivot",
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM w
+      |UNION ALL SELECT l_returnflag, 'disc_cents', disc_cents FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        sum(round(col("l_discount") * 100).cast("long")).as("disc_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
-      q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join)
+      q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
+      q85_pivot, q86_unpivot)
 }

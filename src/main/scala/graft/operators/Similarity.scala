@@ -243,6 +243,232 @@ object Similarity {
     probeWithCentroids(emb, cents, col("vec_id") < 5, 5, 4)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the billion-vector ANN memory path.
+  // ------------------------------------------------------------------
+
+  /** Internal codebook shape: cb(sub)(code) = (centroid, |centroid|²).
+    * m × ksub entries of dim/m doubles — always driver-bounded (the PQ
+    * contract: codebooks are tiny, CODES are the big table). */
+  private type PqCodebooks = Array[Array[(Seq[Double], Double)]]
+
+  /** Unit-normalized corpus for PQ: (vec_id, u, [v, nrm]). PQ quantizes
+    * in L2 over UNIT vectors, where ranking by L2 distance equals
+    * ranking by cosine (|q−u|² = 2 − 2·cos on the unit sphere) — one
+    * quantizer serves the engine's cosine contract. Zero-norm vectors
+    * are excluded by the documented contract (cosine undefined; same
+    * rule as [[dedupEmbeddings]]'s stage-0 exemption). */
+  private def unitized(emb: DataFrame): DataFrame =
+    withVec(emb).where(col("nrm") > 0.0d)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+
+  /** Per-subspace L2 distance of `sv` to a codebook entry, up to the
+    * query-constant |sv|² term: |sv−c|² − |sv|² = |c|² − 2·sv·c. Argmin
+    * over codes is unaffected, and the dropped term is restored where
+    * the absolute distance matters (the ADC table). */
+  private def relDist(sv: Column, cv: Column, cn2: Column): Column =
+    cn2 - lit(2.0d) * dot(sv, cv)
+
+  /** Train per-subspace PQ codebooks: split dim into `m` contiguous
+    * subspaces and run `iters` Lloyd rounds of `ksub`-means in EACH
+    * subspace — all m trainings ride ONE DataFrame per round (subspace
+    * id is just another grouping key), executors do every data pass,
+    * and the driver only collects the m×ksub centroid table (same
+    * coordination shape as [[lloydCentroids]]). Deterministic: init
+    * from the first `ksub` vectors by id, no RNG. Empty cells keep
+    * their previous centroid. */
+  private[operators] def trainPq(base: DataFrame, m: Int, ksub: Int,
+                                 iters: Int): PqCodebooks = {
+    val dim = base.select(size(col("u"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(ksub >= 2 && ksub <= 128,
+      s"ksub=$ksub out of range [2,128] (codes are SIGNED bytes)")
+    val dsub = dim / m
+    val seed = base.orderBy("vec_id").limit(ksub)
+      .select("u").collect().map(_.getSeq[Double](0))
+    require(seed.length == ksub,
+      s"PQ needs >= ksub=$ksub non-zero vectors, corpus has ${seed.length}")
+    var cb: PqCodebooks = Array.tabulate(m) { s =>
+      seed.map { v =>
+        val cv = v.slice(s * dsub, (s + 1) * dsub)
+        (cv, cv.map(x => x * x).sum)
+      }
+    }
+    // (sub, sv) rows: every vector exploded into its m sub-vectors
+    def subs = base.select(col("vec_id"), explode(array((0 until m).map { s =>
+      struct(lit(s).as("sub"), slice(col("u"), s * dsub + 1, dsub).as("sv"))
+    }: _*)).as("e")).select(col("e.sub").as("sub"), col("e.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      val assigned = subs.withColumn("code", pqAssign(col("sub"), col("sv"), cb))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      cb = Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { j =>
+          means.get((s, j)) match {
+            case Some(mv) => (mv, mv.map(x => x * x).sum)
+            case None     => cb(s)(j)
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** Codebooks as a literal: array over subs of array over codes of
+    * struct(cv, cn2) — scan-local lookup, no join. */
+  private def cbLiteral(cb: PqCodebooks): Column =
+    array(cb.map { sub =>
+      array(sub.map { case (cv, cn2) =>
+        struct(array(cv.map(lit(_)): _*).as("cv"), lit(cn2).as("cn2"))
+      }: _*)
+    }: _*)
+
+  /** Nearest code for one sub-vector: argmin of [[relDist]] over the
+    * sub's codebook, code index as tie-break — pure codegen HOFs. */
+  private def pqAssign(sub: Column, sv: Column, cb: PqCodebooks): Column = {
+    val scored = array_sort(zip_with(
+      element_at(cbLiteral(cb), sub + 1),
+      sequence(lit(0), lit(cb.head.length - 1)),
+      (c, j) => struct(relDist(sv, c.getField("cv"), c.getField("cn2")).as("d"),
+        j.as("code"))))
+    element_at(scored, 1).getField("code")
+  }
+
+  /** All m codes for a full unit vector, as `array<tinyint>` — the
+    * compact standing index. m bytes per vector (ksub <= 256): a
+    * 64-dim float corpus compresses 32×, a 1024-dim production corpus
+    * 256× — the table a 100 TB deployment actually scans. */
+  private def pqCodes(u: Column, cb: PqCodebooks, dsub: Int): Column = {
+    val m = cb.length
+    array((0 until m).map { s =>
+      pqAssign(lit(s), slice(u, s * dsub + 1, dsub), cb).cast("tinyint")
+    }: _*)
+  }
+
+  /** Train-once lifecycle: codebooks as a persistable (sub, code, cv,
+    * cn2) DataFrame — m×ksub rows. The PQ twin of [[trainCentroids]]. */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 16, ksub: Int = 16,
+                       iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = trainPq(unitized(emb), m, ksub, iters)
+    cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case ((cv, cn2), j) => (s, j, cv, cn2) }
+    }.toSeq.toDF("sub", "code", "cv", "cn2")
+  }
+
+  /** Encode the corpus against a trained codebook table: (vec_id,
+    * codes array<tinyint>) — the persistable compact index
+    * ([[trainPqCodebooks]]'s consumer; scan-local, zero shuffle). */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val base = unitized(emb)
+    val dim = base.select(size(col("u"))).head.getInt(0)
+    base.select(col("vec_id"), pqCodes(col("u"), cb, dim / cb.length).as("codes"))
+  }
+
+  private def collectCodebooks(codebooks: DataFrame): PqCodebooks = {
+    val rows = codebooks.select("sub", "code", "cv", "cn2").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val byKey = rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    Array.tabulate(m)(s => Array.tabulate(ksub)(j => byKey((s, j))))
+  }
+
+  /** PQ approximate top-k with exact re-ranking — the memory-bound
+    * billion-vector path (IVF-PQ's PQ half; Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * literature, PAPERS.md family).
+    *
+    * ADC (asymmetric distance computation): each bounded-by-contract
+    * query precomputes ONCE an m×ksub lookup table of per-subspace
+    * distances to every codebook entry; the corpus side is then scanned
+    * as CODES ONLY — per (query, vector) cost is m byte-indexed adds
+    * (`zip_with` + `aggregate` over tinyints), never a float-vector
+    * read. Top `refine`·k candidates per query by approximate distance
+    * are re-ranked with TRUE cosine against the full vectors of the
+    * candidates only — so every returned `cos` is exact; approximation
+    * affects only WHICH rows reach the re-rank (recall), the same
+    * contract as [[ivfTopK]]. Plan: codes scan + broadcast ADC join
+    * (zero corpus shuffle) → one qid exchange for the candidate
+    * window → broadcast-hinted re-rank join (candidates are
+    * refine·k·|Q| rows, bounded) → tiny final window. */
+  def pqTopKWith(emb: DataFrame, cb: PqCodebooks, queryPred: Column,
+                 k: Int, refine: Int = 4): DataFrame = {
+    val m = cb.length
+    val ksub = cb.head.length
+    val base = unitized(emb)
+    val dim = base.select(size(col("u"))).head.getInt(0)
+    val dsub = dim / m
+    val codes = base.select(col("vec_id").as("nid"),
+      pqCodes(col("u"), cb, dsub).as("codes"))
+    // per-query ADC table: lut[s][j] = |q_s − c_{s,j}|² (the |q_s|²
+    // terms sum to 1 on the unit sphere, restored as the +1 below)
+    val lut = transform(cbLiteral(cb), (subEntry, s) =>
+      transform(subEntry, c =>
+        relDist(slice(col("u"), s * dsub + lit(1), lit(dsub)),
+          c.getField("cv"), c.getField("cn2"))))
+    val q = base.where(queryPred)
+      .select(col("vec_id").as("qid"), lut.as("lut"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val adist = aggregate(
+      zip_with(col("lut"), col("codes"),
+        (l, c) => element_at(l, c.cast("int") + 1)),
+      lit(1.0d), (a, x) => a + x)
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    val cand = codes.join(broadcast(q.select("qid", "lut")), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adist.as("adist"))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= k * refine)
+      .select("qid", "nid")
+    // exact re-rank of candidates only: true cosine from the full vectors
+    val full = withVec(emb).select(col("vec_id").as("nid"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    full.join(broadcast(cand), "nid")
+      .join(broadcast(q.select("qid", "qv", "qn")), "qid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Probe against a SAVED codebook table (the consumer half of the
+    * train-once lifecycle: [[trainPqCodebooks]] → persist → this). */
+  def pqProbeTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
+                  k: Int, refine: Int = 4): DataFrame =
+    pqTopKWith(emb, collectCodebooks(codebooks), queryPred, k, refine)
+
+  /** Inline convenience: train + encode + probe in one call (the
+    * benchmarkable lifecycle is [[trainPqCodebooks]]/[[pqEncode]]/
+    * [[pqProbeTopK]]). */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 16,
+             ksub: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame =
+    pqTopKWith(emb, trainPq(unitized(emb), m, ksub, iters), queryPred, k, refine)
+
+  /** Deterministic codebook memo for q87 (the PQ twin of
+    * [[centroidMemo]]): training is pure, so repeated Bench passes time
+    * the ADC probe plan — the amortized train-once lifecycle. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), PqCodebooks]
+
+  /** q87: ANN via product quantization + exact re-rank — approximate
+    * recall by design → rows-only driver check; SimilaritySpec pins
+    * returned-cos exactness, recall vs exact q25, and the
+    * train/encode/probe lifecycle parity. */
+  val q87_ann_pq = QueryDef.unchecked("q87_ann_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = pqMemo.getOrElseUpdate((d, 16, 16, 2),
+      trainPq(unitized(emb), 16, 16, 2))
+    pqTopKWith(emb, cb, col("vec_id") < 5, 5)
+  }
+
   /** The EXACT cosine-threshold pair join, declared declaratively — the
     * plan shape [[graft.plans.LshJoinRewrite]] detects: an inner join
     * whose condition carries a `cosine_sim(av, bv) >= t` conjunct. */
@@ -423,5 +649,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup,
-      q74_dedup_embeddings, q75_dedup_embeddings_lsh)
+      q74_dedup_embeddings, q75_dedup_embeddings_lsh, q87_ann_pq)
 }

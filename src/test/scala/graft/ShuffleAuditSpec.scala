@@ -71,10 +71,20 @@ class ShuffleAuditSpec extends SparkSpec {
                           // un-hinted join (flagged side reuses its agg
                           // partitioning) + ONE doc_id exchange serving
                           // window AND groupBy(doc_id, island) + orderBy
-    "q84_span_cut" -> 6)  // q83's first three exchanges + covered-set
+    "q84_span_cut" -> 6,  // q83's first three exchanges + covered-set
                           // groupBy(doc_id) + the docs side of the left
                           // join (covered side reuses its agg
                           // partitioning) + orderBy
+    "q85_pivot" -> 4,     // orders⋈customer SMJ re-keys (2, AQE may
+                          // broadcast at test SFs) + ONE pivot hash agg
+                          // (explicit value list → no distinct-values
+                          // job) + orderBy; nation is broadcast
+    "q86_unpivot" -> 2,   // ONE flag agg; unpivot is an Expand inside
+                          // the scan stage (zero shuffle) + orderBy
+    "q87_ann_pq" -> 3)    // codes scan + broadcast ADC join shuffle
+                          // NOTHING; one qid exchange for the candidate
+                          // window, one for the (tiny) re-rank window,
+                          // + orderBy which reuses it / final sort
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -109,4 +109,80 @@ class SimilaritySpec extends SparkSpec {
       s"exact-only survivors: ${(exact -- lsh).toSeq.sorted.take(5)}")
     assert(exact.nonEmpty && lsh.size <= 200)
   }
+
+  test("pqTopK: recall vs exact top-k AND every returned cos is exact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") < 5
+    // exact cos for EVERY (query, neighbor) pair — k=499 makes the
+    // brute-force ranking exhaustive, so it doubles as a cos oracle
+    val exactAll = Similarity.cosineTopK(emb, pred, 499)
+      .select("qid", "nid", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // NB: .collect returning pairs on a Map would rebuild a MAP and
+    //     collapse by qid — filter + keySet keeps all 25 pairs
+    val exactTop5 = exactAll.filter(_._2._2 <= 5).keySet
+    val got = Similarity.pqTopK(emb, pred, 5)
+      .select("qid", "nid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 25, "5 queries × k=5")
+    // re-ranking is exact: approximation can only affect WHICH rows are
+    // returned, never the reported similarity
+    got.foreach { case (qid, nid, cos) =>
+      assert(exactAll((qid, nid))._1 == cos,
+        s"($qid,$nid): PQ cos $cos != exact ${exactAll((qid, nid))._1}")
+    }
+    val recall = got.count { case (q, n, _) => exactTop5((q, n)) } / 25.0
+    // deterministic (no RNG anywhere): 0.64 at the m=16/ksub=16/refine=4
+    // defaults on this fixture — random 64-dim data is PQ's worst case
+    // (no cluster structure to quantize), so this is a recall FLOOR
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+  }
+
+  test("pqEncode: m tinyint codes in [0, ksub); saved codebooks " +
+    "reproduce the inline PQ result") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 2)
+      .write.mode("overwrite").parquet(dir)
+    val saved = spark.read.parquet(dir)
+    val codes = Similarity.pqEncode(emb, saved)
+    assert(codes.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType,
+      "codes are physically bytes — m bytes per vector on disk")
+    val bad = codes.where(size(col("codes")) =!= 16 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0L, "every vector gets 16 codes in [0,16)")
+    assert(codes.count() == emb.count())
+    val pred = col("vec_id") < 5
+    val viaSaved = Similarity.pqProbeTopK(emb, saved, pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val inline = Similarity.pqTopK(emb, pred, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(viaSaved.nonEmpty && viaSaved.sameElements(inline),
+      "saved-codebook probe must reproduce the inline PQ result exactly")
+  }
+
+  test("trainPqCodebooks is deterministic (no RNG, id-ordered init)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def rows() = Similarity.trainPqCodebooks(emb, m = 4, ksub = 8, iters = 1)
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2), r.getDouble(3)))
+    assert(rows().sameElements(rows()))
+  }
+
+  test("pqTopK hand-computed: identical copies are each other's top " +
+    "neighbors with cos 1.0") {
+    // two tight clusters far apart: PQ codes collapse within a cluster,
+    // so ADC ranks own-cluster members first; re-rank reports exact 1.0
+    val d = df(
+      ((0L until 8L).map(i => i -> Seq(1f, 0f, 0f, 0f)) ++
+        (8L until 16L).map(i => i -> Seq(0f, 0f, 0f, 1f))): _*)
+    val got = Similarity.pqTopK(d, col("vec_id") === 0, 3, m = 2, ksub = 2,
+      iters = 2, refine = 2)
+      .select("nid", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 3 && got.forall { case (n, c) => n < 8 && c == 1.0 },
+      s"expected own-cluster neighbors at cos 1.0, got ${got.toSeq}")
+  }
 }
