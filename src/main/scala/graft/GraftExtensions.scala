@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSim))
     ext.injectFunction(binary("dot_product", DotProduct))
+    ext.injectFunction(adcDistance)
     ext.injectFunction(hyperplaneSig)
     ext.injectFunction(polyHash)
     ext.injectFunction(bigramHashStats)
@@ -34,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in (spark.graft.lsh.autoRewrite.enabled) cosine-join → LSH rewrite
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
   }
+
+  /** `adc_distance(lut, codes, ksub)` — ksub must be a literal. */
+  private def adcDistance = (
+    FunctionIdentifier("adc_distance"),
+    new ExpressionInfo(classOf[GraftExtensions].getName, "adc_distance"),
+    GraftExtensions.buildAdcDistance _)
 
   /** `hyperplane_sig(vec[, bits[, seed]])` — bits/seed must be literals. */
   private def hyperplaneSig = (
@@ -91,6 +98,8 @@ object GraftExtensions {
         name, args => make(args(0), args(1)), "built-in")
     }
     reg.createOrReplaceTempFunction(
+      "adc_distance", buildAdcDistance, "built-in")
+    reg.createOrReplaceTempFunction(
       "hyperplane_sig", buildHyperplaneSig, "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", buildPolyHash, "built-in")
@@ -100,6 +109,16 @@ object GraftExtensions {
       "word_ngrams", buildWordNgrams, "built-in")
     reg.createOrReplaceTempFunction(
       "has_min_words", buildHasMinWords, "built-in")
+  }
+
+  /** Builds `adc_distance(lut, codes, ksub)` from SQL args — ksub must
+    * be a literal (it is the codegen-time LUT stride). */
+  def buildAdcDistance(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"adc_distance expects 3 arguments, got ${args.length}")
+    require(args(2).foldable, "ksub must be a literal")
+    org.apache.spark.sql.graftvec.AdcDistance(
+      args(0), args(1), args(2).eval().asInstanceOf[Number].intValue)
   }
 
   /** Builds `has_min_words(text, k)` from SQL args — k must be a

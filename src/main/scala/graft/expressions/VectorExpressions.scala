@@ -17,6 +17,28 @@ object VectorExpressions {
       org.apache.spark.sql.graftvec.DotProduct(
         VectorKernels.expression(a), VectorKernels.expression(b)))
 
+  /** PQ asymmetric distance over a flat m×ksub LUT and tinyint codes
+    * ([[org.apache.spark.sql.graftvec.AdcDistance]]). */
+  def adcDistance(lut: Column, codes: Column, ksub: Int): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.AdcDistance(
+        VectorKernels.expression(lut), VectorKernels.expression(codes), ksub))
+
+  /** One-pass L2 normalization
+    * ([[org.apache.spark.sql.graftvec.NormalizeVec]]). */
+  def normalizeVec(v: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.NormalizeVec(
+        VectorKernels.expression(v)))
+
+  /** One-pass PQ code assignment against a flat row-major codebook
+    * ([[org.apache.spark.sql.graftvec.PqEncode]]). */
+  def pqEncode(u: Column, cb: Array[Double], m: Int, ksub: Int,
+               dsub: Int): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.PqEncode(
+        VectorKernels.expression(u), cb, m, ksub, dsub))
+
   /** Random-hyperplane LSH signature of an array<double> vector
     * ([[org.apache.spark.sql.graftvec.HyperplaneSig]]). */
   def hyperplaneSig(v: Column, bits: Int = 64, seed: Long = 42L): Column =

@@ -113,8 +113,12 @@ object Similarity {
         struct(lit(cell).as("cell"),
           array(cv.map(lit(_)): _*).as("cv"), lit(cn).as("cn"))
       }: _*)
+      // negcos/(nrm*cn) ordered by cell == negcos/cn ordered by cell:
+      // nrm > 0 is row-constant, so dividing by it cannot change the
+      // argmin — and keeping it would re-run the O(dim) norm per
+      // centroid once CollapseProject inlines the alias into the lambda
       val assignedCell = element_at(array_sort(transform(centLit, c =>
-        struct((-dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+        struct((-dot(col("v"), c.getField("cv")) / c.getField("cn"))
           .as("negcos"), c.getField("cell").as("cell")))), 1).getField("cell")
       val means = base.withColumn("cell", assignedCell)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -198,9 +202,12 @@ object Similarity {
     }: _*)
 
     // cells scored per row, sorted by (-cos, cell) — all codegen'd HOFs
+    // row-constant /nrm dropped: cell ORDER is what matters here, and
+    // it is unchanged (nrm > 0); keeping the alias in the lambda would
+    // re-run the O(dim) norm per centroid after CollapseProject inlining
     def scoredCells: Column = array_sort(transform(centLit, c =>
       struct(
-        (-dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+        (-dot(col("v"), c.getField("cv")) / c.getField("cn"))
           .as("negcos"),
         c.getField("cell").as("cell"))))
 
@@ -260,7 +267,10 @@ object Similarity {
     * rule as [[dedupEmbeddings]]'s stage-0 exemption). */
   private def unitized(emb: DataFrame): DataFrame =
     withVec(emb).where(col("nrm") > 0.0d)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      // native one-pass normalize: the HOF form (transform(v, _ / nrm))
+      // is pathological after CollapseProject inlines the nrm alias
+      // into the lambda body — the O(dim) norm re-runs PER ELEMENT
+      .withColumn("u", graft.expressions.VectorExpressions.normalizeVec(col("v")))
 
   /** Per-subspace L2 distance of `sv` to a codebook entry, up to the
     * query-constant |sv|² term: |sv−c|² − |sv|² = |c|² − 2·sv·c. Argmin
@@ -294,15 +304,19 @@ object Similarity {
         (cv, cv.map(x => x * x).sum)
       }
     }
-    // (sub, sv) rows: every vector exploded into its m sub-vectors
-    def subs = base.select(col("vec_id"), explode(array((0 until m).map { s =>
-      struct(lit(s).as("sub"), slice(col("u"), s * dsub + 1, dsub).as("sv"))
-    }: _*)).as("e")).select(col("e.sub").as("sub"), col("e.sv").as("sv"))
     for (_ <- 1 to iters) {
-      val assigned = subs.withColumn("code", pqAssign(col("sub"), col("sv"), cb))
-      val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos").agg(avg("x").as("mn"))
+      // assign ALL m codes per row with the native one-pass encoder,
+      // then re-key each coordinate by (subspace, its code, in-sub
+      // position) for the per-cell means — executors do every data
+      // pass, the driver collects only the ≤ m×ksub×dsub means table
+      val means = base
+        .select(pqCodes(col("u"), cb, dsub).as("codes"),
+          posexplode(col("u")).as(Seq("pos", "x")))
+        .withColumn("sub", (col("pos") / dsub).cast("int"))
+        .select(col("sub"),
+          element_at(col("codes"), col("sub") + 1).cast("int").as("code"),
+          (col("pos") % dsub).cast("int").as("spos"), col("x"))
+        .groupBy("sub", "code", "spos").agg(avg("x").as("mn"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
@@ -327,27 +341,20 @@ object Similarity {
       }: _*)
     }: _*)
 
-  /** Nearest code for one sub-vector: argmin of [[relDist]] over the
-    * sub's codebook, code index as tie-break — pure codegen HOFs. */
-  private def pqAssign(sub: Column, sv: Column, cb: PqCodebooks): Column = {
-    val scored = array_sort(zip_with(
-      element_at(cbLiteral(cb), sub + 1),
-      sequence(lit(0), lit(cb.head.length - 1)),
-      (c, j) => struct(relDist(sv, c.getField("cv"), c.getField("cn2")).as("d"),
-        j.as("code"))))
-    element_at(scored, 1).getField("code")
-  }
+  /** Codebook centroids flattened row-major ([s][j][t]) for the native
+    * encoder's reference object. */
+  private def flatCb(cb: PqCodebooks): Array[Double] =
+    cb.flatMap(_.flatMap(_._1)).toArray
 
   /** All m codes for a full unit vector, as `array<tinyint>` — the
-    * compact standing index. m bytes per vector (ksub <= 256): a
-    * 64-dim float corpus compresses 32×, a 1024-dim production corpus
-    * 256× — the table a 100 TB deployment actually scans. */
-  private def pqCodes(u: Column, cb: PqCodebooks, dsub: Int): Column = {
-    val m = cb.length
-    array((0 until m).map { s =>
-      pqAssign(lit(s), slice(u, s * dsub + 1, dsub), cb).cast("tinyint")
-    }: _*)
-  }
+    * compact standing index. m bytes per vector (ksub <= 128): a
+    * 64-dim float corpus compresses 16× at m=16, a 1024-dim production
+    * corpus 256× — the table a 100 TB deployment actually scans. One
+    * fused codegen loop ([[org.apache.spark.sql.graftvec.PqEncode]]);
+    * argmin ties break to the lowest code index. */
+  private def pqCodes(u: Column, cb: PqCodebooks, dsub: Int): Column =
+    graft.expressions.VectorExpressions.pqEncode(
+      u, flatCb(cb), cb.length, cb.head.length, dsub)
 
   /** Train-once lifecycle: codebooks as a persistable (sub, code, cv,
     * cn2) DataFrame — m×ksub rows. The PQ twin of [[trainCentroids]]. */
@@ -399,27 +406,43 @@ object Similarity {
     * window → broadcast-hinted re-rank join (candidates are
     * refine·k·|Q| rows, bounded) → tiny final window. */
   def pqTopKWith(emb: DataFrame, cb: PqCodebooks, queryPred: Column,
-                 k: Int, refine: Int = 4): DataFrame = {
+                 k: Int, refine: Int = 4,
+                 precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val m = cb.length
     val ksub = cb.head.length
     val base = unitized(emb)
     val dim = base.select(size(col("u"))).head.getInt(0)
     val dsub = dim / m
-    val codes = base.select(col("vec_id").as("nid"),
-      pqCodes(col("u"), cb, dsub).as("codes"))
-    // per-query ADC table: lut[s][j] = |q_s − c_{s,j}|² (the |q_s|²
-    // terms sum to 1 on the unit sphere, restored as the +1 below)
-    val lut = transform(cbLiteral(cb), (subEntry, s) =>
+    // the standing index: pass a persisted pqEncode output so the probe
+    // scans m-byte code words and NEVER touches the float vectors until
+    // the candidate re-rank — the read-path point of PQ. The inline
+    // fallback encodes on the fly (still the native one-pass kernel).
+    val codes = precomputedCodes
+      .map(_.select(col("vec_id").as("nid"), col("codes")))
+      .getOrElse(base.select(col("vec_id").as("nid"),
+        pqCodes(col("u"), cb, dsub).as("codes")))
+    // per-query ADC table, FLATTENED to m·ksub row-major doubles (the
+    // |q_s|² terms sum to 1 on the unit sphere, restored as the +1
+    // below): lut[s·ksub + j] = |q_s − c_{s,j}|² − |q_s|². Computed
+    // once per query row; the per-pair kernel is then the native
+    // adc_distance codegen loop (m byte-indexed adds), never a boxed
+    // zip_with/element_at chain.
+    val lut = flatten(transform(cbLiteral(cb), (subEntry, s) =>
       transform(subEntry, c =>
         relDist(slice(col("u"), s * dsub + lit(1), lit(dsub)),
-          c.getField("cv"), c.getField("cn2"))))
+          c.getField("cv"), c.getField("cn2")))))
+    // MATERIALIZED (bounded by the queryPred contract — the same
+    // assumption broadcast() makes): a plain projection here leaves the
+    // LUT expression un-evaluated under the broadcast, and every alias
+    // it references gets CollapseProject-inlined into the HOF lambdas,
+    // re-running the normalize per (sub, code) slice — measured 20×
+    // slower on the probe. One tiny job pins qid/lut/qv/qn once.
     val q = base.where(queryPred)
       .select(col("vec_id").as("qid"), lut.as("lut"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val adist = aggregate(
-      zip_with(col("lut"), col("codes"),
-        (l, c) => element_at(l, c.cast("int") + 1)),
-      lit(1.0d), (a, x) => a + x)
+      .localCheckpoint()
+    val adist = graft.expressions.VectorExpressions
+      .adcDistance(col("lut"), col("codes"), ksub) + lit(1.0d)
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
     val cand = codes.join(broadcast(q.select("qid", "lut")), col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), adist.as("adist"))
@@ -442,8 +465,9 @@ object Similarity {
   /** Probe against a SAVED codebook table (the consumer half of the
     * train-once lifecycle: [[trainPqCodebooks]] → persist → this). */
   def pqProbeTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
-                  k: Int, refine: Int = 4): DataFrame =
-    pqTopKWith(emb, collectCodebooks(codebooks), queryPred, k, refine)
+                  k: Int, refine: Int = 4,
+                  codes: Option[DataFrame] = None): DataFrame =
+    pqTopKWith(emb, collectCodebooks(codebooks), queryPred, k, refine, codes)
 
   /** Inline convenience: train + encode + probe in one call (the
     * benchmarkable lifecycle is [[trainPqCodebooks]]/[[pqEncode]]/

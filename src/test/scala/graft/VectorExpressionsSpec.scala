@@ -162,4 +162,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.where(col("bs.n_bigrams") =!= col("hof_n") ||
       col("bs.n_distinct") =!= col("hof_d")).count() == 0)
   }
+
+  test("adc_distance == the zip_with/element_at HOF formulation; SQL-callable") {
+    import graft.expressions.VectorExpressions.adcDistance
+    val ksub = 4
+    // deterministic pseudo-random flat LUT (m=3 × ksub=4) + codes per row
+    val rows = Tables.embeddings(spark, sf0001).limit(64)
+      .withColumn("lut", transform(sequence(lit(0), lit(3 * ksub - 1)),
+        i => sin(col("vec_id") * 7 + i).cast("double")))
+      .withColumn("codes", transform(sequence(lit(0), lit(2)),
+        i => pmod(col("vec_id") + i * 3, lit(ksub)).cast("tinyint")))
+    val both = rows.select(
+      adcDistance(col("lut"), col("codes"), ksub).as("native"),
+      aggregate(
+        zip_with(
+          transform(sequence(lit(0), lit(2)),
+            s => slice(col("lut"), s * ksub + 1, lit(ksub))),
+          col("codes"), (l, c) => element_at(l, c.cast("int") + 1)),
+        lit(0.0d), (a, x) => a + x).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("adc_rows")
+    val viaSql = spark.sql(
+      s"SELECT adc_distance(lut, codes, $ksub) AS d FROM adc_rows")
+      .collect().map(_.getDouble(0))
+    val viaApi = rows.select(adcDistance(col("lut"), col("codes"), ksub))
+      .collect().map(_.getDouble(0))
+    assert(viaSql.sameElements(viaApi))
+  }
 }
