@@ -66,6 +66,7 @@ object AnnBench {
       val cents = Similarity.trainCentroids(sub, nCells = 16).localCheckpoint()
       val cb = Similarity.trainPqCodebooks(sub).localCheckpoint()
       val codes = Similarity.pqEncode(sub, cb).localCheckpoint()
+      val ivfPqCodes = Similarity.ivfPqEncode(sub, cents, cb).localCheckpoint()
 
       def pairs(df: DataFrame): Set[(Long, Long)] =
         df.select("qid", "nid").collect()
@@ -87,9 +88,12 @@ object AnnBench {
         timeOne(() => Similarity.probeTopK(sub, cents, pred, k, nProbe = 4))
       val (pqSecs, pq) = timeOne(() =>
         Similarity.pqProbeTopK(sub, cb, pred, k, codes = Some(codes)))
+      val (ivfPqSecs, ivfpq) = timeOne(() =>
+        Similarity.ivfPqProbeTopK(sub, cents, cb, pred, k,
+          codes = Some(ivfPqCodes)))
       def recall(got: Set[(Long, Long)]): Double =
         if (exact.isEmpty) 1.0 else (exact intersect got).size.toDouble / exact.size
-      println(f"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"n_queries":$nQueries,"k":$k,"exact_secs":$exactSecs%.3f,"ivf_secs":$ivfSecs%.3f,"pq_secs":$pqSecs%.3f,"ivf_recall":${recall(ivf)}%.3f,"pq_recall":${recall(pq)}%.3f,"loadavg":"$la"}""")
+      println(f"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"n_queries":$nQueries,"k":$k,"exact_secs":$exactSecs%.3f,"ivf_secs":$ivfSecs%.3f,"pq_secs":$pqSecs%.3f,"ivfpq_secs":$ivfPqSecs%.3f,"ivf_recall":${recall(ivf)}%.3f,"pq_recall":${recall(pq)}%.3f,"ivfpq_recall":${recall(ivfpq)}%.3f,"loadavg":"$la"}""")
     }
     spark.stop()
   }

@@ -81,10 +81,12 @@ class ShuffleAuditSpec extends SparkSpec {
                           // job) + orderBy; nation is broadcast
     "q86_unpivot" -> 2,   // ONE flag agg; unpivot is an Expand inside
                           // the scan stage (zero shuffle) + orderBy
-    "q87_ann_pq" -> 3)    // codes scan + broadcast ADC join shuffle
-                          // NOTHING; one qid exchange for the candidate
-                          // window, one for the (tiny) re-rank window,
-                          // + orderBy which reuses it / final sort
+    "q87_ann_pq" -> 3,    // codes scan + broadcast ADC join shuffle
+                          // NOTHING; one qid exchange for the bounded
+                          // candidate TopKPairs agg, one for the (tiny)
+                          // re-rank agg, + the output orderBy
+    "q88_ann_ivfpq" -> 3) // same three: the cell-pruned broadcast join
+                          // adds no exchange
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
