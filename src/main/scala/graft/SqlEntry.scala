@@ -943,7 +943,17 @@ object SqlEntry {
         |    SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_cents
         |  FROM lineitem GROUP BY l_returnflag)
         |UNPIVOT (value FOR metric IN (qty_cents, price_cents, disc_cents))
-        |ORDER BY l_returnflag, metric""".stripMargin)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // q89's generated shift/and/or interleave is the SAME text the
+    // DuckDB oracle runs — Spark 4 parses the `>>`/`<<` operators, so
+    // one string serves both engines (bit-for-bit, per the oracle hash).
+    "q89_zorder" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(${graft.operators.Layout.zValueSql(
+               Seq("l_partkey", "l_suppkey"), 20)} AS BIGINT)
+        |    AS zval
+        |FROM lineitem
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -711,10 +711,32 @@ object Advanced {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** q89: Morton (Z-order) key derivation — the clustering key behind
+    * [[Layout.zorderWrite]], computed cross-engine so the oracle hash
+    * proves bit-for-bit agreement of the interleave (bit i of column j
+    * → output bit i·n + j, 20 bits per column here). The query sorts
+    * lineitem BY the z-value — exactly the order a z-clustered rewrite
+    * materializes — with the natural key as tie-break (equal masked
+    * (partkey, suppkey) pairs recur across rows). Pure integral
+    * shift/and/or built-ins folded into one codegen'd expression: scan
+    * → project → one range exchange for the total order. */
+  val q89_zorder = QueryDef(
+    "q89_zorder",
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  CAST(${Layout.zValueSql(Seq("l_partkey", "l_suppkey"), 20)} AS BIGINT)
+      |    AS zval
+      |FROM lineitem
+      |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        Layout.zValue(Seq(col("l_partkey"), col("l_suppkey")), 20).as("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
-      q85_pivot, q86_unpivot)
+      q85_pivot, q86_unpivot, q89_zorder)
 }

@@ -86,6 +86,66 @@ object Layout {
     }
   }
 
+  /** Morton (Z-order) interleaved key over the low `bits` bits of each
+    * column: bit i of column j lands at output bit `i·n + j`. Points
+    * close in EVERY dimension get close z-values, so sorting by the
+    * z-value clusters the data in all `cols` at once — after a
+    * range-partitioned write, per-file (and per-row-group) min/max
+    * stats are tight on EVERY z-ordered column, and a filter on ANY of
+    * them prunes files. A linear sort only ever does this for its
+    * leading column; at 100 TB the difference is reading 1/√F of the
+    * files instead of all of them for the second dimension (Databricks
+    * OPTIMIZE ZORDER / Iceberg sort-order compaction expose the same
+    * primitive). Built entirely from codegen'd integral built-ins
+    * (shift/and/or — `bits·n ≤ 63` terms folded into one expression, no
+    * UDF); columns are masked to `bits` bits, so the caller picks
+    * `bits` to cover each column's range (values beyond the mask wrap —
+    * derive a bounded key first for open-domain columns, same contract
+    * as any hash key). Non-negative inputs only. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.length <= 63,
+      s"${cols.length} cols x $bits bits exceeds a 63-bit z-value")
+    val n = cols.length
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The matching ANSI SQL text for [[zValue]] (DuckDB + Spark SQL both
+    * parse it: explicit shift functions and `&`/`|` operators) — one
+    * generated expression string per (cols, bits), used by the q89
+    * oracle so the cross-engine hash proves bit-for-bit agreement. */
+  def zValueSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.length
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield {
+      val bit = s"(CAST($c AS BIGINT) >> $i) & 1"
+      val p = i * n + j
+      if (p == 0) s"(($bit))" else s"((($bit) << $p))"
+    }).mkString(" | ")
+  }
+
+  /** Z-order clustered parquet write: range-partition by the z-value
+    * into `numFiles` balanced output files, sort within each file by
+    * the z-value, drop the helper column. One shuffle (the range
+    * exchange samples then partitions — same cost class as any global
+    * sort), after which every file covers a compact hyper-rectangle of
+    * the `zCols` space: LayoutSpec measures per-file spans of ~1/4 of
+    * each dimension's range at 16 files in 2-D, where a linear sort
+    * leaves the trailing column's span at 100% in every file. */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", zValue(zCols.map(col), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Two-phase salted aggregation: spread a skewed group key over
     * `salt` sub-keys for the partial aggregate, then merge partials.
     * COUNT/SUM-decomposable aggregates only — exactly the combiner

@@ -438,6 +438,79 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zValue: hand-computed interleave, masking, and ordering") {
+    import spark.implicits._
+    // x=3 (bits 0,1), y=5 (bits 0,2); bit i of col j -> output bit 2i+j:
+    // x:b0->0, x:b1->2, y:b0->1, y:b2->5 => 1+4+2+32 = 39
+    val got = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4)).head.getLong(0)
+    assert(got == 39L)
+    // masking: only the low `bits` bits participate (19 = 16+3 ≡ 3 mod 16)
+    val masked = Seq((19L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4)).head.getLong(0)
+    assert(masked == 39L)
+    // locality: equal points interleave to equal z; the origin to zero
+    assert(Seq((0L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4)).head.getLong(0) == 0L)
+    // three dims: bit i of col j -> bit 3i+j; (1,1,1) -> 0b111 = 7
+    assert(Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("z")), 4))
+      .head.getLong(0) == 7L)
+  }
+
+  test("zorderWrite clusters EVERY dimension; a linear sort only its " +
+    "leading column") {
+    import spark.implicits._
+    // full 256x256 grid: ground truth spans are exact, no sampling noise
+    val grid = spark.range(256L * 256L)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zorderWrite(grid, s"$dir/z", Seq("x", "y"), numFiles = 16, bits = 8)
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    def fileStats(path: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    val z = fileStats(s"$dir/z")
+    val lin = fileStats(s"$dir/linear")
+    assert(z.size == 16 && lin.size == 16)
+    // an ALIGNED 16-way cut of the 8-bit z-curve is 16 64x64 quadrants
+    // (span 64 in both dims); repartitionByRange boundaries come from
+    // sampling, so a boundary file can straddle a curve jump and span
+    // wide in one dim — the clustering claim is about the BULK: most
+    // files stay within ~2 quadrants in BOTH dimensions at once
+    val compact = z.count { case (x0, x1, y0, y1) =>
+      x1 - x0 <= 128 && y1 - y0 <= 128 }
+    assert(compact >= 10,
+      s"only $compact/16 z-ordered files are compact in both dims: $z")
+    // a linear sort can NEVER do this: its trailing column's span is
+    // full-range in every non-degenerate file
+    assert(lin.count { case (x0, x1, y0, y1) =>
+      x1 - x0 <= 128 && y1 - y0 <= 128 } == 0)
+    // the linear layout's trailing column is unclustered: full-range in
+    // (nearly) every file
+    assert(lin.count { case (_, _, y0, y1) => y1 - y0 >= 250 } >= 14,
+      s"expected full y-span in linear files: $lin")
+    // the pruning consequence, counted the way a reader's footer check
+    // would: a selective y-slice intersects few z-files but ALL linear
+    // files
+    def touched(st: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      st.count { case (_, _, y0, y1) => y1 >= lo && y0 <= hi }
+    assert(touched(z, 10, 20) <= 8, s"y in [10,20] touches ${touched(z, 10, 20)}/16 z files")
+    assert(touched(lin, 10, 20) == 16)
+    // correctness: the clustered rewrite is a permutation of the input
+    assert(spark.read.parquet(s"$dir/z").count() == 256L * 256L)
+    assert(spark.read.parquet(s"$dir/z")
+      .select(sum(col("x") + col("y") * 1000)).head.getLong(0) ==
+      grid.select(sum(col("x") + col("y") * 1000)).head.getLong(0))
+  }
+
   test("salted count/sum match plain groupBy") {
     val li = Tables.lineitem(spark, sf0001)
     val plainC = li.groupBy("l_returnflag").count()

@@ -85,8 +85,11 @@ class ShuffleAuditSpec extends SparkSpec {
                           // NOTHING; one qid exchange for the bounded
                           // candidate TopKPairs agg, one for the (tiny)
                           // re-rank agg, + the output orderBy
-    "q88_ann_ivfpq" -> 3) // same three: the cell-pruned broadcast join
+    "q88_ann_ivfpq" -> 3, // same three: the cell-pruned broadcast join
                           // adds no exchange
+    "q89_zorder" -> 1)    // scan → one codegen'd projection → the
+                          // total-order range exchange; the interleave
+                          // itself shuffles nothing
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
