@@ -25,9 +25,15 @@ final class TopKPairs(k: Int)
 
   def zero: List[(Double, Long)] = Nil
 
-  /** a beats b on higher score, then lower id. */
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** a beats b on higher score, then lower id. NaN scores as −∞ (a
+    * zero-norm pair ranks strictly last, id-tie-broken) — mapping NaN
+    * keeps the comparator TOTAL, which List.sortWith requires; raw
+    * `>`/`==` are all-false on NaN and would place it arbitrarily. */
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val as = if (a._1.isNaN) Double.NegativeInfinity else a._1
+    val bs = if (b._1.isNaN) Double.NegativeInfinity else b._1
+    as > bs || (as == bs && a._2 < b._2)
+  }
 
   /** worst-first insertion keeping ≤ k. */
   private def insert(buf: List[(Double, Long)],

@@ -34,6 +34,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPairs == window row_number model for random pairs with ties") {
+    val genCase = for {
+      k <- Gen.choose(1, 6)
+      // scores from a SMALL set so ties are common — the id tie-break
+      // is the part worth model-checking
+      xs <- Gen.listOf(Gen.zip(
+        Gen.choose(0, 4).map(_.toDouble / 2), Gen.choose(0L, 100L)))
+    } yield (k, xs.distinctBy(_._2))
+    samples(genCase, 100).foreach { case (k, xs) =>
+      val agg = new graft.functions.TopKPairs(k)
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val buf = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      // independent model: score desc, id asc — the window contract
+      val model = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(agg.finish(buf) == model, s"k=$k xs=$xs")
+    }
+    // NaN never beats: a zero-norm pair ranks strictly last
+    // (NaN-safe compare: tuple == is false on (NaN, NaN))
+    val agg = new graft.functions.TopKPairs(3)
+    val withNan = Seq((0.5, 1L), (Double.NaN, 2L), (0.7, 3L))
+    assert(agg.finish(withNan.foldLeft(agg.zero)(agg.reduce))
+      .map { case (s, i) => (s.toString, i) } ==
+      Seq(("0.7", 3L), ("0.5", 1L), ("NaN", 2L)))
+  }
+
+  test("udaf(TopKPairs) over groups == row_number window on random data") {
+    import spark.implicits._
+    val rows = samples(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 6),
+      Gen.choose(0L, 500L)), 300)
+      .map { case (q, s, id) => (q, s.toDouble / 3, id) }
+      .distinctBy(t => (t._1, t._3))
+    val df = rows.toDF("qid", "score", "nid")
+    val tk = udaf(new graft.functions.TopKPairs(4))
+    val viaAgg = df.groupBy("qid").agg(tk(col("score"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("qid"), col("p._2").as("nid"), (col("i") + 1).as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4)
+      .select("qid", "nid", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("asofJoin == per-row max-preceding model on random event sets") {
     import spark.implicits._
     val genEvents = for {
