@@ -953,7 +953,83 @@ object SqlEntry {
                Seq("l_partkey", "l_suppkey"), 20)} AS BIGINT)
         |    AS zval
         |FROM lineitem
-        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+    "q90_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |chg AS (
+        |  SELECT k, cents + 500 AS cents, 'U' AS op FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k, cents, 'I' AS op FROM base WHERE k % 11 = 0),
+        |kept AS (
+        |  SELECT b.k, b.cents, 'B' AS op FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.k = b.k))
+        |SELECT k, cents, op FROM chg
+        |UNION ALL SELECT k, cents, op FROM kept
+        |ORDER BY k, op""".stripMargin,
+    "q91_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, explode(sequence(d0, d1)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id) s),
+        |f AS (
+        |  SELECT s.user_id, s.day, d.cents,
+        |    SUM(CASE WHEN d.cents IS NULL THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY s.user_id ORDER BY s.day) AS grp
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+        |  CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed,
+        |  MAX(cents) OVER (PARTITION BY user_id, grp) AS filled_cents
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "q92_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name
+        |  FROM customer WHERE c_custkey < 1000),
+        |keyed AS (
+        |  SELECT id, name, explode(array_union(array(name),
+        |    transform(sequence(0, length(name) - 1),
+        |      i -> concat(substring(name, 1, i), substring(name, i + 2)))))
+        |    AS k
+        |  FROM c),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, x.name AS an, y.id AS b, y.name AS bn
+        |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.id < y.id)
+        |SELECT a, b, CAST(levenshtein(an, bn) AS BIGINT) AS lev
+        |FROM cand WHERE levenshtein(an, bn) <= 1
+        |ORDER BY a, b""".stripMargin,
+    // q93 has no SQL text: the bloom build is a DataFrame-surface stat op
+    // (DataFrameStatFunctions.bloomFilter); its SQL-expressible twin is
+    // q59's text, already in the `sql` map.
+    // q94's SQL text is the flat declarative window — Catalyst plans it as
+    // ONE global window (the single-partition shape); the builder's
+    // sharded two-level prefix sum is the scale path. Result-equal by
+    // associativity, which is exactly what the parity pin proves.
+    "q94_token_pack" ->
+      s"""WITH $TokensCte,
+        |t AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(COUNT(tokens.word), 0) AS BIGINT) AS n_tok
+        |  FROM documents d LEFT JOIN tokens ON d.doc_id = tokens.doc_id
+        |  GROUP BY d.doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tok, start_tok,
+        |  start_tok DIV 256 AS pack_id,
+        |  CASE WHEN n_tok = 0 THEN 0
+        |       ELSE (start_tok + n_tok - 1) DIV 256 - start_tok DIV 256 + 1
+        |  END AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

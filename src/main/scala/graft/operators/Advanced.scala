@@ -733,10 +733,159 @@ object Advanced {
       .orderBy("zval", "l_orderkey", "l_linenumber")
   }
 
+  /** q90: snapshot MERGE / upsert — apply a changes relation (updates +
+    * inserts, derived deterministically from `orders` so both engines
+    * see identical inputs) onto the base snapshot. The scalable
+    * formulation is NOT a full-outer join: `merged = changes ∪ (base ▷
+    * changes)` — one left-anti join on the key plus a union, the shape
+    * Delta/Iceberg MERGE compiles to for whole-row upserts. Both sides
+    * hash-shuffle on the key once (or the changes side broadcasts when
+    * small — AQE decides; no hint, per the round-7 dedup lesson), and
+    * the union is exchange-free. Exact integer cents throughout. */
+  val q90_merge_upsert = QueryDef(
+    "q90_merge_upsert",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |chg AS (
+      |  SELECT k, cents + 500 AS cents, 'U' AS op FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k + 10000000 AS k, cents, 'I' AS op FROM base WHERE k % 11 = 0),
+      |kept AS (
+      |  SELECT b.k, b.cents, 'B' AS op FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.k = b.k))
+      |SELECT k, cents, op FROM chg
+      |UNION ALL SELECT k, cents, op FROM kept
+      |ORDER BY k, op""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val upd = base.where(col("k") % 7 === 0)
+      .select(col("k"), (col("cents") + 500).as("cents"), lit("U").as("op"))
+    val ins = base.where(col("k") % 11 === 0)
+      .select((col("k") + 10000000L).as("k"), col("cents"), lit("I").as("op"))
+    val chg = upd.unionAll(ins)
+    val kept = base.join(chg.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("cents"), lit("B").as("op"))
+    chg.unionAll(kept).orderBy("k", "op")
+  }
+
+  /** q91: time-series gap-fill + forward-fill — per-user daily event
+    * totals resampled onto a dense per-user date spine (min..max observed
+    * day), gap days carrying the last observed day's value forward.
+    * Forward fill is the engine-portable "fill groups" rewrite: a running
+    * count of observed days assigns each gap row to the group of the
+    * observation it follows, then one `max` per (user, group) — two
+    * windows, both PARTITIONED BY user (never a global single-partition
+    * window), so at 100 TB every shuffle is keyed by user_id and the
+    * spine explode is per-row. Daily totals are exact integer cents. */
+  val q91_gapfill = QueryDef(
+    "q91_gapfill",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(MIN(day), MAX(day),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.cents
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day),
+      |f AS (
+      |  SELECT user_id, day, cents,
+      |    SUM(CASE WHEN cents IS NULL THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM j)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed,
+      |  CAST(MAX(cents) OVER (PARTITION BY user_id, grp) AS BIGINT)
+      |    AS filled_cents
+      |FROM f ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    gapFillDaily(daily)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("observed"), col("filled_cents"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Gap-fill + forward-fill core behind [[q91_gapfill]]: `daily` is
+    * (user_id, day: DATE, cents); returns one row per (user, day) over
+    * each user's dense min..max day spine with `observed` 0/1 and
+    * `filled_cents` carrying the last observed value forward. Both
+    * windows are keyed by user — no global window at any scale. */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wRun = Window.partitionBy("user_id").orderBy("day")
+    val wGrp = Window.partitionBy("user_id", "grp")
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("grp",
+        sum(when(col("cents").isNull, 0).otherwise(1)).over(wRun))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNull, 0L).otherwise(1L).as("observed"),
+        max("cents").over(wGrp).as("filled_cents"))
+  }
+
+  /** q92: edit-distance-1 fuzzy self-join over `c_name` — the string
+    * similarity join (record linkage / typo clustering). The oracle is
+    * the quadratic definition (every pair, `levenshtein ≤ 1`); the Spark
+    * plan is the SymSpell deletion-neighborhood blocking scheme: each
+    * name emits itself plus every single-character-deletion variant as
+    * candidate keys, pairs sharing a key are verified with one real
+    * `levenshtein` call. Completeness: lev ≤ 1 means substitution (both
+    * sides delete the edited position → equal key), insert/delete (the
+    * shorter string IS a deletion variant of the longer), or equality —
+    * so every true pair shares ≥ 1 key; false candidates (delete at
+    * different positions) are killed by the verify filter. At 100 TB
+    * this is an equi-join on short keys — len+1 keys per row, bounded
+    * bucket sizes — vs the oracle's O(n²) cross product; the registry
+    * contract bounds the oracle side (`c_custkey < 1000`), the blocking
+    * path has no such need. */
+  val q92_fuzzy_join = QueryDef(
+    "q92_fuzzy_join",
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey < 1000)
+      |SELECT a.id AS a, b.id AS b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |FROM c a JOIN c b
+      |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    fuzzyJoin(Tables.customer(s, d).where(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+      .orderBy("a", "b")
+  }
+
+  /** Edit-distance-1 self-join core behind [[q92_fuzzy_join]]: `rows` is
+    * (id: numeric, name: string); returns every pair (a < b, lev ≤ 1) via
+    * deletion-neighborhood blocking + levenshtein verification. */
+  def fuzzyJoin(rows: DataFrame): DataFrame = {
+    // name itself + every single-deletion variant, as blocking keys
+    val dels = transform(sequence(lit(0), length(col("name")) - 1),
+      i => concat(col("name").substr(lit(1), i),
+        col("name").substr(i + lit(2), length(col("name")) - i - 1)))
+    val keyed = rows.select(col("id"), col("name"),
+      explode(array_union(array(col("name")), dels)).as("k"))
+    val x = keyed.select(col("id").as("a"), col("name").as("an"), col("k"))
+    val y = keyed.select(col("id").as("b"), col("name").as("bn"), col("k"))
+    x.join(y, Seq("k")).where(col("a") < col("b"))
+      .select("a", "b", "an", "bn").distinct()
+      .withColumn("lev", levenshtein(col("an"), col("bn")).cast("long"))
+      .where(col("lev") <= 1)
+      .select("a", "b", "lev")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
-      q85_pivot, q86_unpivot, q89_zorder)
+      q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
+      q92_fuzzy_join)
 }

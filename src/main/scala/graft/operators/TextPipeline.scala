@@ -1028,6 +1028,20 @@ object TextPipeline {
     * train side's left join; the train side is one explode → per-doc
     * distinct → hash-agg, all with map-side partial aggregation. The
     * 100 TB cost is one scan of the corpus. */
+  /** (doc_id, source, sh): every word trigram of every doc — the shared
+    * shingle stream behind q59's exact decontamination and q93's
+    * bloom-prefiltered twin. */
+  private def triShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), wordsCol.as("words"))
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("words")) - 2),
+          i => concat_ws(" ",
+            element_at(col("words"), i),
+            element_at(col("words"), i + 1),
+            element_at(col("words"), i + 2)))).as("sh"))
+
   val q59_decontam = QueryDef(
     "q59_decontam",
     """WITH w AS (
@@ -1050,15 +1064,7 @@ object TextPipeline {
       |  CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.5
       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), wordsCol.as("words"))
-      .where(size(col("words")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("words")) - 2),
-          i => concat_ws(" ",
-            element_at(col("words"), i),
-            element_at(col("words"), i + 1),
-            element_at(col("words"), i + 2)))).as("sh"))
+    val sh = triShingles(s, d)
     val bench = sh.where(col("source") === "src0")
       .select("sh").distinct().withColumn("hit", lit(1L))
     val train = sh.where(col("source") =!= "src0")
@@ -1765,6 +1771,114 @@ object TextPipeline {
     cutSpans(Tables.documents(s, d), k = 8, minDocs = 2)
   }
 
+  /** q93: bloom-prefiltered decontamination — SAME answer as [[q59_decontam]]
+    * (the oracle text is identical), different 100 TB plan. q59 broadcasts
+    * the bench shingle set as a join hash table; here the bench set is
+    * first folded into a ~bits-sized Bloom filter (`DataFrameStatFunctions
+    * .bloomFilter`, a distributed `TypedImperativeAggregate` — only the
+    * final bitset reaches the driver), the corpus-side shingle stream is
+    * prefiltered by `mightContain` INSIDE the scan stage, and only the
+    * surviving candidates — no false negatives, by the Bloom contract —
+    * enter the verification join, whose strategy AQE picks by size. When
+    * the eval suite outgrows a broadcastable hash table (the realistic
+    * 100 TB regime: many benchmarks × many n-grams), the filter still fits
+    * in a few MB and the shuffled verify join moves candidates only, not
+    * the corpus. False positives are killed by the verify join, so the
+    * output is exact — hash-checked against q59's oracle. */
+  val q93_decontam_bloom = QueryDef(
+    "q93_decontam_bloom",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(words) - 1),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |bench AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+      |train AS (SELECT DISTINCT doc_id, sh FROM g WHERE source <> 'src0'),
+      |m AS (SELECT t.doc_id, CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END AS hit
+      |      FROM train t LEFT JOIN bench b ON t.sh = b.sh)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+      |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS contam_frac,
+      |  CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.5
+      |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = triShingles(s, d)
+    val bench = sh.where(col("source") === "src0").select("sh").distinct()
+    val bf = bench.stat.bloomFilter("sh", 1L << 17, 0.03)
+    val bfB = s.sparkContext.broadcast(bf)
+    val might = udf((x: String) => bfB.value.mightContainString(x))
+    val train = sh.where(col("source") =!= "src0")
+      .select("doc_id", "sh").distinct()
+    val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.where(might(col("sh")))
+      .join(bench, Seq("sh")) // verify: kills bloom false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("contam_frac"),
+        when(col("n_hit").cast("double") / col("n_shingles") >= 0.5, 1L)
+          .otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** q94: token-budget sequence packing — lay the corpus's token stream
+    * out in doc_id order and cut it into fixed 256-token packs (the
+    * pretraining batch-assembly step), reporting each doc's start offset,
+    * first pack, and pack span. The global running sum is NOT a global
+    * single-partition window (the naive plan, a 100 TB deathtrap): it is
+    * the classic two-level distributed prefix sum — docs fall into
+    * contiguous 1024-id shards, a per-shard window computes local
+    * prefixes in parallel, the per-shard TOTALS (one row per shard) get
+    * the only serial scan, and the shard base offsets join back keyed by
+    * shard (tiny side — AQE broadcasts). Equivalent to the oracle's flat
+    * `SUM OVER (ORDER BY doc_id)` by associativity of +. */
+  val q94_token_pack = QueryDef(
+    "q94_token_pack",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                         x -> length(x) > 0)) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_tok
+      |  FROM t)
+      |SELECT doc_id, n_tok, start_tok,
+      |  CAST(start_tok // 256 AS BIGINT) AS pack_id,
+      |  CAST(CASE WHEN n_tok = 0 THEN 0
+      |       ELSE (start_tok + n_tok - 1) // 256 - start_tok // 256 + 1
+      |  END AS BIGINT) AS n_packs
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(wordsCol).cast("long").as("n_tok"))
+      .withColumn("shard", expr("doc_id DIV 1024"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per shard; the serial prefix scan runs over THIS, not the data
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("shard").agg(sum("n_tok").as("tot"))
+      .withColumn("base", coalesce(sum("tot").over(wShard), lit(0L)))
+      .select("shard", "base")
+    t.withColumn("local", coalesce(sum("n_tok").over(wLocal), lit(0L)))
+      .join(offs, Seq("shard"))
+      .withColumn("start_tok", col("local") + col("base"))
+      .withColumn("pack_id", expr("start_tok DIV 256"))
+      .withColumn("n_packs", when(col("n_tok") === 0, 0L)
+        .otherwise(expr("(start_tok + n_tok - 1) DIV 256") - col("pack_id") + 1))
+      .select("doc_id", "n_tok", "start_tok", "pack_id", "n_packs")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1775,5 +1889,5 @@ object TextPipeline {
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
-    q84_span_cut)
+    q84_span_cut, q93_decontam_bloom, q94_token_pack)
 }

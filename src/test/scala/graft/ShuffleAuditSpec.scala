@@ -87,9 +87,28 @@ class ShuffleAuditSpec extends SparkSpec {
                           // re-rank agg, + the output orderBy
     "q88_ann_ivfpq" -> 3, // same three: the cell-pruned broadcast join
                           // adds no exchange
-    "q89_zorder" -> 1)    // scan → one codegen'd projection → the
+    "q89_zorder" -> 1,    // scan → one codegen'd projection → the
                           // total-order range exchange; the interleave
                           // itself shuffles nothing
+    "q90_merge_upsert" -> 3, // changes ∪ (base ▷ changes): the un-hinted
+                             // anti join broadcasts at test SFs (1 orderBy
+                             // exchange); budget leaves room for the
+                             // shuffled-anti shape AQE picks at scale
+                             // (both sides re-key on k)
+    "q91_gapfill" -> 3,   // daily agg keys (user_id, day); spine agg +
+                          // left join + BOTH windows re-key on user_id
+                          // and share ONE exchange (subset rule) + orderBy
+    "q92_fuzzy_join" -> 2, // deletion-key self-join (one exchange pair
+                           // collapses: both sides same frame) at test SF
+                           // broadcasts; candidate distinct + orderBy
+    "q93_decontam_bloom" -> 6, // bench distinct + bloom agg feed the
+                               // filter; train (doc_id, sh) dedup +
+                               // doc_id counts + candidate verify join +
+                               // n_hit agg + orderBy — the bloom prefilter
+                               // itself is scan-local (zero exchanges)
+    "q94_token_pack" -> 4) // ONE shard window exchange + shard totals agg
+                           // (the serial prefix scan is over #shards rows)
+                           // + offsets join back + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Date
+
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.Row
+
+import graft.operators.{Advanced, TextPipeline}
+
+/** Model checks for the round-7 session additions: the SymSpell-style
+  * fuzzy join (blocking completeness is the part that can silently rot),
+  * the gap-fill forward-fill semantics, and the bloom-prefiltered
+  * decontamination's exactness contract (q93 ≡ q59). */
+class UpsertFillFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyJoin == brute-force lev<=1 pairs on random small-alphabet strings") {
+    // tiny alphabet + short strings force dense near-miss neighborhoods,
+    // including the insert/delete (length-change) case the blocking must
+    // cover via the shorter-string-is-its-own-key rule
+    val genNames = Gen.listOfN(40,
+      Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    val names = Iterator.continually(genNames.sample).flatten.take(5).toSeq
+    names.foreach { ns =>
+      val rows = ns.distinct.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val got = Advanced.fuzzyJoin(rows.toDF("id", "name"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ai, an) <- rows.map(r => (r._1, r._2))
+        (bi, bn) <- rows.map(r => (r._1, r._2))
+        if ai < bi && lev(an, bn) <= 1
+      } yield (ai, bi, lev(an, bn).toLong)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} on $rows")
+    }
+  }
+
+  test("gapFillDaily: hand-computed spine, observed flags, carried values") {
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10L),
+      (1L, Date.valueOf("2024-01-04"), 40L),
+      (2L, Date.valueOf("2024-01-02"), 7L))
+      .toDF("user_id", "day", "cents")
+    val got = Advanced.gapFillDaily(daily)
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 1L, 10L),
+      (1L, "2024-01-02", 0L, 10L),
+      (1L, "2024-01-03", 0L, 10L),
+      (1L, "2024-01-04", 1L, 40L),
+      (2L, "2024-01-02", 1L, 7L)))
+  }
+
+  test("q93 (bloom prefilter) is row-identical to q59 (exact) on the fixture") {
+    def rows(name: String): Seq[Row] =
+      SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+    assert(rows("q93_decontam_bloom") == rows("q59_decontam"))
+  }
+}
