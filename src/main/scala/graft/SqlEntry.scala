@@ -1029,7 +1029,17 @@ object SqlEntry {
         |  CASE WHEN n_tok = 0 THEN 0
         |       ELSE (start_tok + n_tok - 1) DIV 256 - start_tok DIV 256 + 1
         |  END AS n_packs
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q95's moment aggregates share names across Spark and DuckDB — the
+    // oracle text IS valid Spark SQL, reused verbatim.
+    "q95_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

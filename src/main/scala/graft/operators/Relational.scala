@@ -584,6 +584,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q95: statistical aggregate family — per-group Pearson correlation,
+    * sample covariance/stddev, and least-squares regression slope/
+    * intercept of extendedprice on quantity. All are single-pass
+    * partial+final `DeclarativeAggregate`s (running moment sums merged
+    * associatively), so the 100 TB plan is the same as any sum: map-side
+    * partials, ONE exchange on the group key, no second pass. Rounded to
+    * 4 (the repo float-render rule); the group cardinalities are large
+    * enough (~15k rows/flag at sf0.01) that summation-order jitter sits
+    * ~8 digits below the rounding point. */
+  val q95_stats_agg = QueryDef(
+    "q95_stats_agg",
+    """SELECT l_returnflag,
+      |  ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+      |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("r"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 4).as("cov"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept"))
+        .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01_wordcount, q02_inverted_index, q03_grep, q04_topk_words,
     q05_token_stats, q06_source_freq, q07_lang_sources, q08_global_agg,
@@ -592,5 +623,5 @@ object Relational {
     q17_outer_join, q18_semi_anti, q19_theta_join, q20_rank_window,
     q21_frames_lag, q22_json_events, q23_set_ops, q24_exact_dedup,
     q63_rank_variants, q64_outer_variants, q67_scalar_sweep,
-    q69_window_nav)
+    q69_window_nav, q95_stats_agg)
 }

@@ -1812,10 +1812,12 @@ object TextPipeline {
     val bf = bench.stat.bloomFilter("sh", 1L << 17, 0.03)
     val bfB = s.sparkContext.broadcast(bf)
     val might = udf((x: String) => bfB.value.mightContainString(x))
-    val train = sh.where(col("source") =!= "src0")
-      .select("doc_id", "sh").distinct()
-    val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = train.where(might(col("sh")))
+    val trainRaw = sh.where(col("source") =!= "src0").select("doc_id", "sh")
+    val counts = trainRaw.distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // prefilter BELOW the distinct: the candidate branch's dedup exchange
+    // moves only bloom survivors, not the whole corpus shingle stream
+    val hits = trainRaw.where(might(col("sh"))).distinct()
       .join(bench, Seq("sh")) // verify: kills bloom false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     counts.join(hits, Seq("doc_id"), "left")

@@ -106,9 +106,12 @@ class ShuffleAuditSpec extends SparkSpec {
                                // doc_id counts + candidate verify join +
                                // n_hit agg + orderBy — the bloom prefilter
                                // itself is scan-local (zero exchanges)
-    "q94_token_pack" -> 4) // ONE shard window exchange + shard totals agg
+    "q94_token_pack" -> 4, // ONE shard window exchange + shard totals agg
                            // (the serial prefix scan is over #shards rows)
                            // + offsets join back + orderBy
+    "q95_stats_agg" -> 2)  // all five moments ride ONE partial+final hash
+                           // agg (single-pass DeclarativeAggregates)
+                           // + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
