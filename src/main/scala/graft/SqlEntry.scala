@@ -1039,7 +1039,32 @@ object SqlEntry {
         |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
         |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q96_cdc_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, cents + seq * 100 AS cents, seq,
+        |    CASE WHEN k % 15 = 0 AND seq = (k DIV 5) % 3 + 1
+        |         THEN 'D' ELSE 'U' END AS op
+        |  FROM (SELECT k, cents,
+        |          explode(sequence(CAST(1 AS BIGINT), (k DIV 5) % 3 + 1)) AS seq
+        |        FROM base WHERE k % 5 = 0) v),
+        |latest AS (
+        |  SELECT k, cents, seq, op,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM log),
+        |applied AS (
+        |  SELECT k, cents, seq AS last_seq FROM latest
+        |  WHERE rn = 1 AND op <> 'D'),
+        |kept AS (
+        |  SELECT b.k, b.cents, CAST(0 AS BIGINT) AS last_seq FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM log l WHERE l.k = b.k))
+        |SELECT k, cents, last_seq FROM applied
+        |UNION ALL SELECT k, cents, last_seq FROM kept
+        |ORDER BY k""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

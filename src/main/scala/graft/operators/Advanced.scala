@@ -881,11 +881,80 @@ object Advanced {
       .select("a", "b", "lev")
   }
 
+  /** CDC change-log compaction core behind [[q96_cdc_compact]]: `base`
+    * is the previous snapshot (k, cents); `log` is an out-of-order
+    * change log (k, cents, seq, op) with op ∈ {U, D} and seq a total
+    * version order per key. Latest-wins: one row_number window keyed by
+    * k picks each key's highest-seq change, a final 'D' deletes the key,
+    * anything else upserts it; untouched base rows pass through an
+    * anti join. Equivalent to replaying each key's log in seq order —
+    * the Hudi/Delta log-compaction contract — in ONE keyed window pass
+    * + one anti join, no per-version iteration. Output: (k, cents,
+    * last_seq) with last_seq = 0 for untouched base rows. */
+  def compactChangeLog(base: DataFrame, log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val latest = log.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val applied = latest.where(col("op") =!= "D")
+      .select(col("k"), col("cents"), col("seq").as("last_seq"))
+    val kept = base.join(log.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("cents"), lit(0L).as("last_seq"))
+    applied.unionAll(kept)
+  }
+
+  /** q96: CDC log compaction — apply a multi-version change log (updates
+    * AND deletes, deliberately emitted out of order) onto the orders
+    * snapshot, latest version per key winning. The log is derived
+    * deterministically from `orders` so both engines replay identical
+    * changes: every 5th key gets 1–3 versions (cents bumped per
+    * version), and keys divisible by 15 end in a delete. Scale posture:
+    * the window and the anti join are both keyed on k — one shuffle
+    * each side, no iteration over versions (the naive replay), and AQE
+    * picks the anti-join strategy by size. */
+  val q96_cdc_compact = QueryDef(
+    "q96_cdc_compact",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |log AS (
+      |  SELECT b.k, b.cents + 100 * s.seq AS cents, CAST(s.seq AS BIGINT) AS seq,
+      |    CASE WHEN b.k % 15 = 0 AND s.seq = (b.k // 5) % 3 + 1
+      |         THEN 'D' ELSE 'U' END AS op
+      |  FROM base b
+      |  JOIN (SELECT unnest(range(1, 4)) AS seq) s
+      |    ON s.seq <= (b.k // 5) % 3 + 1
+      |  WHERE b.k % 5 = 0),
+      |latest AS (
+      |  SELECT k, cents, seq, op,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log),
+      |applied AS (
+      |  SELECT k, cents, seq AS last_seq FROM latest
+      |  WHERE rn = 1 AND op <> 'D'),
+      |kept AS (
+      |  SELECT b.k, b.cents, CAST(0 AS BIGINT) AS last_seq FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM log l WHERE l.k = b.k))
+      |SELECT k, cents, last_seq FROM applied
+      |UNION ALL SELECT k, cents, last_seq FROM kept
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val nVer = (col("k") / 5).cast("long") % 3 + 1
+    val log = base.where(col("k") % 5 === 0)
+      .select(col("k"), col("cents"), explode(sequence(lit(1L), nVer)).as("seq"))
+      .select(col("k"), (col("cents") + col("seq") * 100).as("cents"),
+        col("seq"),
+        when(col("k") % 15 === 0 && col("seq") === nVer, "D")
+          .otherwise("U").as("op"))
+    compactChangeLog(base, log).orderBy("k")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
-      q92_fuzzy_join)
+      q92_fuzzy_join, q96_cdc_compact)
 }

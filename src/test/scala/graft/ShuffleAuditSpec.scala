@@ -109,9 +109,12 @@ class ShuffleAuditSpec extends SparkSpec {
     "q94_token_pack" -> 4, // ONE shard window exchange + shard totals agg
                            // (the serial prefix scan is over #shards rows)
                            // + offsets join back + orderBy
-    "q95_stats_agg" -> 2)  // all five moments ride ONE partial+final hash
+    "q95_stats_agg" -> 2,  // all five moments ride ONE partial+final hash
                            // agg (single-pass DeclarativeAggregates)
                            // + orderBy
+    "q96_cdc_compact" -> 4) // ONE k-keyed window exchange + orderBy at
+                            // test SFs (anti join broadcasts); headroom
+                            // for the shuffled-anti shape at scale
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

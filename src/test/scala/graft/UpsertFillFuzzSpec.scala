@@ -64,6 +64,40 @@ class UpsertFillFuzzSpec extends SparkSpec {
       (2L, "2024-01-02", 1L, 7L)))
   }
 
+  test("compactChangeLog == sequential per-key replay on random logs") {
+    val genCase = for {
+      baseKeys <- Gen.someOf(0L to 20L)
+      changes <- Gen.listOf(for {
+        k <- Gen.choose(0L, 25L) // includes inserts of keys not in base
+        c <- Gen.choose(0L, 999L)
+        del <- Gen.prob(0.3)
+      } yield (k, c, if (del) "D" else "U"))
+    } yield (baseKeys.toSeq, changes)
+    val cases = Iterator.continually(genCase.sample).flatten.take(30).toSeq
+    cases.foreach { case (baseKeys, changes) =>
+      val base = baseKeys.map(k => (k, k * 10))
+      // seq = position in the emitted log; shuffle rows so the DataFrame
+      // arrives out of order and only `seq` carries the version order
+      val log = scala.util.Random.shuffle(
+        changes.zipWithIndex.map { case ((k, c, op), i) =>
+          (k, c, i.toLong + 1, op)
+        })
+      val got = Advanced.compactChangeLog(
+        base.toDF("k", "cents"), log.toDF("k", "cents", "seq", "op"))
+        .as[(Long, Long, Long)].collect().toSet
+      // model: replay in seq order over a mutable map
+      val m = scala.collection.mutable.Map(base.map { case (k, c) =>
+        k -> (c, 0L)
+      }: _*)
+      log.sortBy(_._3).foreach { case (k, c, seq, op) =>
+        if (op == "D") m.remove(k) else m(k) = (c, seq)
+      }
+      val want = m.map { case (k, (c, seq)) => (k, c, seq) }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("q93 (bloom prefilter) is row-identical to q59 (exact) on the fixture") {
     def rows(name: String): Seq[Row] =
       SparkEntry.queries(name)(spark, sf0001).collect().toSeq
