@@ -1881,6 +1881,30 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q97: Count-Min-sketch heavy hitters — estimate the counts of the
+    * exact top-10 words from a CMS built over the full token stream
+    * (`DataFrameStatFunctions.countMinSketch`, a distributed merge of
+    * per-partition sketches; only the depth×width counter table reaches
+    * the driver). The sketch answers point queries for ANY word in a
+    * corpus whose exact per-word table would itself be shuffle-heavy —
+    * the 100 TB use is "counts for a watchlist of terms without a
+    * global groupBy". Engine-specific (no DuckDB CMS) → rows-only
+    * check; the CMS one-sided error contract (est ≥ exact, and
+    * est ≤ exact + ε·N with probability 1−δ) is spec-pinned with this
+    * fixed seed in UpsertFillFuzzSpec. */
+  val q97_cms_heavy_hitters = QueryDef.unchecked("q97_cms_heavy_hitters") {
+    (s, d) =>
+      val toks = tokens(s, d).select("word")
+      val cms = toks.stat.countMinSketch("word", 0.001, 0.99, 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val est = udf((w: String) => cmsB.value.estimateCount(w))
+      toks.groupBy("word").agg(count(lit(1)).as("exact_c"))
+        .orderBy(col("exact_c").desc, col("word")).limit(10)
+        .withColumn("est_c", est(col("word")))
+        .select("word", "exact_c", "est_c")
+        .orderBy(col("exact_c").desc, col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1891,5 +1915,5 @@ object TextPipeline {
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
-    q84_span_cut, q93_decontam_bloom, q94_token_pack)
+    q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters)
 }

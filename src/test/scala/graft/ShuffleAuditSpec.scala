@@ -112,9 +112,13 @@ class ShuffleAuditSpec extends SparkSpec {
     "q95_stats_agg" -> 2,  // all five moments ride ONE partial+final hash
                            // agg (single-pass DeclarativeAggregates)
                            // + orderBy
-    "q96_cdc_compact" -> 4) // ONE k-keyed window exchange + orderBy at
+    "q96_cdc_compact" -> 4, // ONE k-keyed window exchange + orderBy at
                             // test SFs (anti join broadcasts); headroom
                             // for the shuffled-anti shape at scale
+    "q97_cms_heavy_hitters" -> 2) // exact top-10 rides ONE word agg
+                                  // (top-k is TakeOrdered); the CMS build
+                                  // is a separate sketch-merge job with
+                                  // zero exchanges
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -1118,4 +1118,43 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CDC upsert: foreachBatch-folded snapshots equal the " +
+    "one-shot batch compaction of the whole change log") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Advanced
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents")
+    val batches = Seq(
+      Seq((1L, 11L, 1L, "U"), (4L, 40L, 2L, "U")),
+      Seq((2L, 0L, 3L, "D"), (1L, 12L, 4L, "U"), (5L, 50L, 5L, "U")),
+      Seq((5L, 0L, 6L, "D"), (6L, 60L, 7L, "U"), (4L, 41L, 8L, "U")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    base.select(col("k"), col("cents"), lit(0L).as("last_seq"))
+      .write.parquet(s"$tmp/v0")
+    @volatile var cur = s"$tmp/v0"
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = in.toDF().toDF("k", "cents", "seq", "op")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // log-structured upsert: fold each micro-batch onto the previous
+        // snapshot version; versioned dirs keep the write crash-safe
+        // (a torn write leaves `cur` pointing at the old version)
+        val snap = spark.read.parquet(cur).select("k", "cents")
+        val next = s"$tmp/v${id + 1}"
+        Advanced.compactChangeLog(snap, df).write.parquet(next)
+        cur = next
+      }
+      .start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(cur).select("k", "cents")
+      .as[(Long, Long)].collect().toSet
+    val oneShot = Advanced.compactChangeLog(base,
+        batches.flatten.toDF("k", "cents", "seq", "op"))
+      .select("k", "cents").as[(Long, Long)].collect().toSet
+    assert(got == oneShot && got ==
+      Set((1L, 12L), (3L, 30L), (4L, 41L), (6L, 60L)), s"got $got")
+  }
 }

@@ -98,6 +98,19 @@ class UpsertFillFuzzSpec extends SparkSpec {
     }
   }
 
+  test("q97 CMS estimates respect the one-sided error bound vs exact counts") {
+    val total = graft.functions.Text.tokens(
+      Tables.documents(spark, sf0001)).count()
+    val rows = SparkEntry.queries("q97_cms_heavy_hitters")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $w: $est < $exact")
+      assert(est <= exact + (0.001 * total).toLong + 1,
+        s"CMS overcounted $w beyond eps*N: $est vs $exact (N=$total)")
+    }
+  }
+
   test("q93 (bloom prefilter) is row-identical to q59 (exact) on the fixture") {
     def rows(name: String): Seq[Row] =
       SparkEntry.queries(name)(spark, sf0001).collect().toSeq
