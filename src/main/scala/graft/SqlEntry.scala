@@ -1064,7 +1064,29 @@ object SqlEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM log l WHERE l.k = b.k))
         |SELECT k, cents, last_seq FROM applied
         |UNION ALL SELECT k, cents, last_seq FROM kept
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+    // q98's SQL text is the DECLARATIVE theta form (BETWEEN join) — at
+    // fixture scale Catalyst broadcasts it; the builder's bucketize
+    // rewrite is the 100 TB path. Result-equal is the parity pin.
+    "q98_interval_join" ->
+      """WITH iv AS (
+        |  SELECT u.user_id, s.lo, s.lo + 5 AS hi
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT 1 + 4 * k AS lo
+        |              FROM (SELECT explode(sequence(0, 7)) AS k)) s),
+        |e AS (
+        |  SELECT user_id, CAST(date_part('DAY', ts) AS BIGINT) AS day,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT e.user_id, iv.lo, e.cents
+        |  FROM e JOIN iv ON e.user_id = iv.user_id
+        |              AND e.day BETWEEN iv.lo AND iv.hi)
+        |SELECT user_id, CAST(lo AS BIGINT) AS win_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM m GROUP BY user_id, lo
+        |ORDER BY user_id, win_start""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -950,11 +950,61 @@ object Advanced {
     compactChangeLog(base, log).orderBy("k")
   }
 
+  /** q98: interval join — points (events) against overlapping per-user
+    * time windows, the "which maintenance/campaign windows does this
+    * event fall in" shape. The oracle is the theta join (`day BETWEEN
+    * lo AND hi`, a nested-loop at scale); the Spark plan is the
+    * bucketize rewrite: every interval expands to its covered DAY keys
+    * (bounded by interval length — here 6), the points carry their one
+    * day key, and the match becomes a plain equi-join on (user, day)
+    * plus a residual verify filter for sub-day precision. At 100 TB
+    * this is one hash shuffle on (user, day) instead of a per-user
+    * cross product — the same bounded-expansion trick as the rank
+    * joins (q76) and the banded LSH buckets. Windows start every 4
+    * days and span 6, so points near window edges match 1–2 windows
+    * (the overlap is the point of the test). Exact integer cents. */
+  val q98_interval_join = QueryDef(
+    "q98_interval_join",
+    """WITH iv AS (
+      |  SELECT u.user_id, s.lo, s.lo + 5 AS hi
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (SELECT 1 + 4 * unnest(range(0, 8)) AS lo) s),
+      |e AS (
+      |  SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS day,
+      |         CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT e.user_id, iv.lo, e.cents
+      |  FROM e JOIN iv ON e.user_id = iv.user_id
+      |              AND e.day BETWEEN iv.lo AND iv.hi)
+      |SELECT user_id, CAST(lo AS BIGINT) AS win_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM m GROUP BY user_id, lo
+      |ORDER BY user_id, win_start""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val iv = ev.select("user_id").distinct()
+      .crossJoin(s.range(0, 8).select((lit(1L) + col("id") * 4).as("lo")))
+      .select(col("user_id"), col("lo"), (col("lo") + 5).as("hi"))
+    // bucketize: intervals fan out to their covered day keys (bounded
+    // expansion — 6 rows per window), points keep their single day key
+    val ivDays = iv.select(col("user_id"), col("lo"), col("hi"),
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    ev.join(ivDays, Seq("user_id", "day"))
+      .where(col("day") >= col("lo") && col("day") <= col("hi")) // residual
+      .groupBy(col("user_id"), col("lo").as("win_start"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .select(col("user_id"), col("win_start"), col("n"), col("cents"))
+      .orderBy("user_id", "win_start")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
-      q92_fuzzy_join, q96_cdc_compact)
+      q92_fuzzy_join, q96_cdc_compact, q98_interval_join)
 }

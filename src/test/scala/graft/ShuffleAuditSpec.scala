@@ -115,10 +115,15 @@ class ShuffleAuditSpec extends SparkSpec {
     "q96_cdc_compact" -> 4, // ONE k-keyed window exchange + orderBy at
                             // test SFs (anti join broadcasts); headroom
                             // for the shuffled-anti shape at scale
-    "q97_cms_heavy_hitters" -> 2) // exact top-10 rides ONE word agg
+    "q97_cms_heavy_hitters" -> 2, // exact top-10 rides ONE word agg
                                   // (top-k is TakeOrdered); the CMS build
                                   // is a separate sketch-merge job with
                                   // zero exchanges
+    "q98_interval_join" -> 4) // distinct-users agg + the bucketized
+                              // equi-join at test SFs broadcasts the
+                              // interval-days side (headroom for the
+                              // shuffled shape) + the (user, lo) agg
+                              // + orderBy; the day fan-out is scan-local
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
