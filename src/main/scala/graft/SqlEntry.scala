@@ -1086,7 +1086,14 @@ object SqlEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents
         |FROM m GROUP BY user_id, lo
-        |ORDER BY user_id, win_start""".stripMargin)
+        |ORDER BY user_id, win_start""".stripMargin,
+    // q99 through the SQL-registered native poly_hash (the DuckDB text
+    // spells the same fold as a list_reduce).
+    "q99_table_checksum" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(poly_hash(text, 41)) AS BIGINT) AS sum_ck,
+        |  CAST(BIT_XOR(poly_hash(text, 41)) AS BIGINT) AS xor_ck
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

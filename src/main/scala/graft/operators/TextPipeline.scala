@@ -1905,6 +1905,37 @@ object TextPipeline {
         .orderBy(col("exact_c").desc, col("word"))
   }
 
+  /** q99: order-independent table checksum — per-source row count plus
+    * two commutative folds (wrapping SUM and BIT_XOR) of a per-row
+    * content hash. The anti-entropy primitive: two replicas of a 100 TB
+    * corpus compare per-shard checksum rows (bytes moved: one row per
+    * shard) instead of data; a divergent shard re-syncs. Commutativity
+    * is the point — the fold is partition-order- and merge-order-free,
+    * so the map-side partial aggregation is exact on any partitioning.
+    * The row hash is the engine-portable polynomial hash (same formula
+    * both engines, q79's), summed into BIGINT with explicit wrap-around
+    * semantics avoided by the mod-p hash range (500k rows × p < 2⁶³). */
+  val q99_table_checksum = QueryDef(
+    "q99_table_checksum",
+    """WITH h AS (
+      |  SELECT source,
+      |    list_reduce(list_prepend(CAST(41 AS BIGINT),
+      |      list_transform(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(rh) AS BIGINT) AS sum_ck,
+      |  CAST(BIT_XOR(rh) AS BIGINT) AS xor_ck
+      |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), Text.polyHash(col("text"), 41L).as("rh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("rh").as("sum_ck"),
+        expr("bit_xor(rh)").as("xor_ck"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1915,5 +1946,6 @@ object TextPipeline {
     q65_incremental_dedup, q66_first_positions, q68_term_vectors,
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
-    q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters)
+    q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
+    q99_table_checksum)
 }

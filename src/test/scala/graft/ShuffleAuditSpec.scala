@@ -119,6 +119,9 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // (top-k is TakeOrdered); the CMS build
                                   // is a separate sketch-merge job with
                                   // zero exchanges
+    "q99_table_checksum" -> 2, // commutative folds ride ONE partial+final
+                               // source agg (map-side exact on any
+                               // partitioning — that's the point) + orderBy
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the
