@@ -1093,7 +1093,32 @@ object SqlEntry {
       """SELECT source, COUNT(*) AS n,
         |  CAST(SUM(poly_hash(text, 41)) AS BIGINT) AS sum_ck,
         |  CAST(BIT_XOR(poly_hash(text, 41)) AS BIGINT) AS xor_ck
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q100's SQL text is the DECLARATIVE shared-token join (the hot-token
+    // blowup shape); the builder's prefix filter is the lossless 100 TB
+    // rewrite — result equality is exactly the losslessness claim.
+    "q100_setsim_join" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    filter(split(lower(text), '[^a-z]+'), x -> length(x) > 0)
+        |      AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, explode(transform(sequence(1, size(words) - 2),
+        |      i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+        |                     element_at(words, i + 2)))) AS sh
+        |    FROM w WHERE size(words) >= 3) e),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS j
+        |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+        |ORDER BY a, b""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

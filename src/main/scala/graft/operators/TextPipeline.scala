@@ -1936,6 +1936,94 @@ object TextPipeline {
       .orderBy("source")
   }
 
+  /** q100: EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin family) — every doc pair whose word-TRIGRAM sets have
+    * Jaccard ≥ 0.6, with no approximation and no all-pairs stage. The
+    * naive exact plan joins docs on ANY shared token, which explodes on
+    * common tokens (every pair sharing a stock phrase becomes a
+    * candidate); LSH (q37) fixes that by sampling, losing exactness.
+    * Prefix filtering keeps exactness: order each doc's tokens
+    * rarest-first by GLOBAL frequency and keep only the first
+    * |d| − ⌈t·|d|⌉ + 1 — two sets with J ≥ t must share a token inside
+    * these prefixes (pigeonhole under a common total order) AND satisfy
+    * t·|A| ≤ |B| ≤ |A|/t (the length filter, also applied in the
+    * candidate join), so candidates come from the rarest slivers only
+    * and the verify join touches candidates only. Token choice is part
+    * of the scale design: this fixture's 31-word vocabulary makes word
+    * BIGRAMS so common that prefix buckets stay hot (measured 7.0M
+    * candidates at sf0.1); trigrams grow the token universe
+    * exponentially (same 256 true pairs from 0.3M candidates, hottest
+    * prefix bucket 10 docs). The frequency order is attached as a SORT
+    * KEY ((count, token) per row) — deliberately NOT a dense global
+    * rank, which would need a vocabulary-wide single-partition window;
+    * per-doc positions come from doc-keyed windows. Verified
+    * intersection count and one-division Jaccard are engine-exact
+    * (round 4). */
+  val q100_setsim_join = QueryDef(
+    "q100_setsim_join",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(words) - 1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, inter,
+      |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS j
+      |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val big = triShingles(s, d).select("doc_id", "sh").distinct()
+    setSimJoin(big, 0.6).orderBy("a", "b")
+  }
+
+  /** Prefix-filtered EXACT set-similarity self-join core behind
+    * [[q100_setsim_join]]. `sets` is a distinct (doc_id, sh) relation;
+    * returns every pair (a < b) with Jaccard(setₐ, set_b) ≥ `t` as
+    * (a, b, inter, j). Lossless: prefixes under a common rarest-first
+    * total order must overlap for any pair at or above the threshold. */
+  def setSimJoin(sets: DataFrame, t: Double): DataFrame = {
+    val big = sets
+    val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
+    val prefix = big.join(freq, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wPos))
+      .where(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select("doc_id", "sh", "n")
+    val cand = prefix.select(col("doc_id").as("a"), col("sh"), col("n").as("xn"))
+      .join(prefix.select(col("doc_id").as("b"), col("sh"), col("n").as("yn")),
+        Seq("sh"))
+      .where(col("a") < col("b") &&
+        // length filter: J >= t forces t|A| <= |B| <= |A|/t
+        col("yn") >= lit(t) * col("xn") && col("xn") >= lit(t) * col("yn"))
+      .select("a", "b").distinct()
+    val sz = big.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // expand candidates by A's tokens, then equi-join on (b, sh): the
+    // second join's key INCLUDES the token, so only true intersection
+    // rows materialize (never the |A|×|B| cross per pair)
+    val inter = cand
+      .join(big.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("j_raw",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("j_raw") >= t)
+      .select(col("a"), col("b"), col("inter"), round(col("j_raw"), 4).as("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -1947,5 +2035,5 @@ object TextPipeline {
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
-    q99_table_checksum)
+    q99_table_checksum, q100_setsim_join)
 }

@@ -22,7 +22,7 @@ class RegistrySpec extends SparkSpec {
 
   test("query names follow the qNN_ prefix convention, ordered") {
     SparkEntry.declared.foreach { q =>
-      assert(q.name.matches("q\\d{2}_[a-z0-9_]+"), s"bad name: ${q.name}")
+      assert(q.name.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad name: ${q.name}")
     }
   }
 }

@@ -122,6 +122,11 @@ class ShuffleAuditSpec extends SparkSpec {
     "q99_table_checksum" -> 2, // commutative folds ride ONE partial+final
                                // source agg (map-side exact on any
                                // partitioning — that's the point) + orderBy
+    "q100_setsim_join" -> 6, // bigram dedup + freq agg + ONE doc_id
+                             // exchange shared by both per-doc windows
+                             // + candidate distinct + intersection agg
+                             // + orderBy; the prefix/verify joins ride
+                             // existing partitionings or broadcast
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the

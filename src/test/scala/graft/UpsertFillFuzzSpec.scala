@@ -111,6 +111,29 @@ class UpsertFillFuzzSpec extends SparkSpec {
     }
   }
 
+  test("setSimJoin == brute-force Jaccard pairs on random token sets " +
+    "(prefix filter is lossless)") {
+    val genCase = Gen.listOfN(25, Gen.nonEmptyListOf(Gen.choose(0, 15))
+      .map(_.distinct.map(i => s"t$i")))
+    val cases = Iterator.continually(genCase.sample).flatten.take(8).toSeq
+    for (sets <- cases; t <- Seq(0.5, 0.8)) {
+      val rows = sets.zipWithIndex.flatMap { case (toks, i) =>
+        toks.map(s => (i.toLong, s))
+      }
+      val got = operators.TextPipeline.setSimJoin(rows.toDF("doc_id", "sh"), t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val byDoc = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val want = (for {
+        a <- byDoc.keys; b <- byDoc.keys if a < b
+        j = byDoc(a).intersect(byDoc(b)).size.toDouble /
+          byDoc(a).union(byDoc(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("q93 (bloom prefilter) is row-identical to q59 (exact) on the fixture") {
     def rows(name: String): Seq[Row] =
       SparkEntry.queries(name)(spark, sf0001).collect().toSeq
