@@ -5,6 +5,8 @@ import java.sql.Date
 import org.scalacheck.Gen
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Advanced, TextPipeline}
 
@@ -132,6 +134,33 @@ class UpsertFillFuzzSpec extends SparkSpec {
       assert(got == want,
         s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
+  }
+
+  test("token-pack prefix sums are exact across shard boundaries") {
+    // the sf0.01 fixture's 500 doc_ids all land in shard 0, so the
+    // two-level decomposition's cross-shard offsets are only exercised
+    // at derived sf1 — pin them here on ids straddling the 1024 width
+    val ids = Seq(1000L, 1020L, 1023L, 1024L, 1025L, 2047L, 2048L, 5000L)
+    val toks = Seq(5L, 0L, 7L, 3L, 11L, 2L, 9L, 4L)
+    val t = ids.zip(toks).toDF("doc_id", "n_tok")
+      .withColumn("shard", expr("doc_id DIV 1024"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("shard").agg(sum("n_tok").as("tot"))
+      .withColumn("base", coalesce(sum("tot").over(wShard), lit(0L)))
+      .select("shard", "base")
+    val got = t
+      .withColumn("local", coalesce(sum("n_tok").over(wLocal), lit(0L)))
+      .join(offs, Seq("shard"))
+      .select(col("doc_id"), (col("local") + col("base")).as("start"))
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // model: flat running sum in doc_id order
+    val want = ids.sorted.zip(
+      ids.zip(toks).sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).init)
+    assert(got == want, s"got $got want $want")
   }
 
   test("q93 (bloom prefilter) is row-identical to q59 (exact) on the fixture") {
