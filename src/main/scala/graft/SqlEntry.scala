@@ -1118,7 +1118,16 @@ object SqlEntry {
         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS j
         |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+    // q101's SQL text is the from-scratch recompute (the oracle text,
+    // valid Spark SQL verbatim); the builder maintains the aggregate
+    // incrementally — parity IS the maintenance-correctness claim.
+    "q101_incremental_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -1000,11 +1000,48 @@ object Advanced {
       .orderBy("user_id", "win_start")
   }
 
+  /** q101: incremental aggregate maintenance — a materialized per-type
+    * aggregate STATE (events through day 15) merged with the aggregate
+    * of a DELTA batch (day 16+), against an oracle that recomputes from
+    * scratch over everything. The point is the algebraic-merge property
+    * made operational: (count, sum) partials are themselves a TABLE, so
+    * refreshing the view costs agg(delta) + a key-wise merge of two
+    * aggregate relations — O(|delta| + |state|) — never a rescan of
+    * history; the derived mean is computed AFTER the merge from the
+    * merged partials (the classic avg-of-avgs trap, avoided by
+    * construction). Exactly how Spark's own partial/final HashAggregate
+    * pair works inside one query, lifted to cross-job persistence — and
+    * the maintenance loop a 100 TB rollup table actually runs. */
+  val q101_incremental_agg = QueryDef(
+    "q101_incremental_agg",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*), 4) AS avg_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        dayofmonth(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+      val state = partial(ev.where(col("day") < 16))  // the materialized view
+      val delta = partial(ev.where(col("day") >= 16)) // the new batch's agg
+      state.unionAll(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .select(col("event_type"), col("n"), col("cents"),
+          round(col("cents").cast("double") / col("n"), 4).as("avg_cents"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
       q52_grouping_sets, q62_funnel, q70_sliding_window, q73_approx_percentiles,
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
-      q92_fuzzy_join, q96_cdc_compact, q98_interval_join)
+      q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
+      q101_incremental_agg)
 }

@@ -127,6 +127,10 @@ class ShuffleAuditSpec extends SparkSpec {
                              // + candidate distinct + intersection agg
                              // + orderBy; the prefix/verify joins ride
                              // existing partitionings or broadcast
+    "q101_incremental_agg" -> 4, // state agg + delta agg exchanges (the
+                                 // split scans), the key-wise merge agg
+                                 // reuses their partitioning at test SF
+                                 // (headroom for a re-key) + orderBy
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the
