@@ -1127,7 +1127,55 @@ object SqlEntry {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
         |        / COUNT(*), 4) AS avg_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q102_chunk_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    filter(split(lower(text), '[^a-z]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |nz AS (SELECT doc_id, toks, size(toks) AS n FROM w WHERE size(toks) > 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id,
+        |  CAST(least(20, n - start) AS BIGINT) AS n_tok,
+        |  concat_ws(' ', slice(toks, start + 1, 20)) AS chunk
+        |FROM nz LATERAL VIEW posexplode(sequence(0, n - 1, 10)) p AS pos, start
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q103_kl_divergence" ->
+      """WITH stok AS (
+        |  SELECT source, word FROM (
+        |    SELECT source, explode(split(lower(text), '[^a-z]+')) AS word
+        |    FROM documents) t WHERE length(word) > 0),
+        |sc AS (SELECT source, word, COUNT(*) AS c FROM stok GROUP BY source, word),
+        |st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+        |g AS (SELECT word, SUM(c) AS gc FROM sc GROUP BY word),
+        |t AS (SELECT SUM(c) AS tn FROM sc)
+        |SELECT sc.source, CAST(st.n AS BIGINT) AS n_tok,
+        |  ROUND(SUM((CAST(sc.c AS DOUBLE) / st.n) *
+        |            ln((CAST(sc.c AS DOUBLE) / st.n) /
+        |               (CAST(g.gc AS DOUBLE) / t.tn))), 4) AS kl
+        |FROM sc JOIN st ON sc.source = st.source
+        |        JOIN g ON sc.word = g.word CROSS JOIN t
+        |GROUP BY sc.source, st.n ORDER BY sc.source""".stripMargin,
+    "q104_fuzzy_join_lev2" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name
+        |  FROM customer WHERE c_custkey < 1000),
+        |d1 AS (
+        |  SELECT id, name, array_union(array(name),
+        |    transform(sequence(0, length(name) - 1),
+        |      i -> concat(substring(name, 1, i), substring(name, i + 2)))) AS vs
+        |  FROM c),
+        |keyed AS (
+        |  SELECT id, name, explode(array_distinct(concat(vs,
+        |    flatten(transform(vs, v ->
+        |      transform(sequence(0, length(v) - 1),
+        |        i -> concat(substring(v, 1, i), substring(v, i + 2)))))))) AS k
+        |  FROM d1),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, x.name AS an, y.id AS b, y.name AS bn
+        |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.id < y.id)
+        |SELECT a, b, CAST(levenshtein(an, bn) AS BIGINT) AS lev
+        |FROM cand WHERE levenshtein(an, bn) <= 2
+        |ORDER BY a, b""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

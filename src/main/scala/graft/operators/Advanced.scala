@@ -881,6 +881,77 @@ object Advanced {
       .select("a", "b", "lev")
   }
 
+  /** q104: edit-distance ≤ 2 fuzzy self-join — q92's record-linkage
+    * join widened one rung: the blocking keys are the full TWO-deletion
+    * neighborhood (SymSpell depth 2: if lev(a,b) ≤ 2 a common
+    * subsequence reachable by ≤ 2 deletions from each side exists, so
+    * the neighborhoods intersect), candidates are verified with one real
+    * `levenshtein` call, so the result is EXACT. Key count is O(len²)
+    * per row (~170 for these names) — the honest cost of depth 2, and
+    * why [[fuzzyJoin2]] carries the q50-style opt-in hot-bucket cap for
+    * corpora where a shared long prefix would melt a bucket; the
+    * registry contract runs exact (cap 0). Oracle = the quadratic
+    * definition, bounded to c_custkey < 1000 like q92; the blocking
+    * plan never materializes the cross product. */
+  val q104_fuzzy_join_lev2 = QueryDef(
+    "q104_fuzzy_join_lev2",
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey < 1000)
+      |SELECT a.id AS a, b.id AS b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |FROM c a JOIN c b
+      |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 2
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    fuzzyJoin2(Tables.customer(s, d).where(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name")))
+      .orderBy("a", "b")
+  }
+
+  /** Edit-distance ≤ 2 self-join core behind [[q104_fuzzy_join_lev2]]:
+    * `rows` is (id: numeric, name: string); returns every pair
+    * (a < b, lev ≤ 2) via depth-2 deletion-neighborhood blocking +
+    * levenshtein verification. `maxBucket > 0` drops blocking keys whose
+    * bucket exceeds the cap (the q50 hot-bucket guard — documented
+    * recall loss on pairs ONLY reachable through melted buckets; 0 =
+    * exact, the default and the registry contract). */
+  def fuzzyJoin2(rows: DataFrame, maxBucket: Int = 0): DataFrame = {
+    // single-deletion variants of an arbitrary string column
+    def dels(v: Column): Column =
+      transform(sequence(lit(0), length(v) - 1),
+        i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v) - i - 1)))
+    // depth-0 ∪ depth-1 ∪ depth-2 = the name, its deletions, and the
+    // deletions of the deletions (array_distinct: two deletion orders
+    // reaching the same string must key once)
+    val d1 = array_union(array(col("name")), dels(col("name")))
+    val d2 = array_distinct(concat(d1, flatten(transform(d1, v => dels(v)))))
+    // 8-byte hashed keys: the join/shuffle moves longs, not ~len-char
+    // strings; a hash collision only mints a false candidate, which the
+    // levenshtein verify kills — exactness is unaffected
+    val keyed = rows.select(col("id"), col("name"),
+      explode(transform(d2, v => xxhash64(v))).as("k"))
+    val capped =
+      if (maxBucket <= 0) keyed
+      else {
+        val wk = Window.partitionBy("k")
+        keyed.withColumn("bs", count(lit(1)).over(wk))
+          .where(col("bs") <= maxBucket).drop("bs")
+      }
+    // the candidate join and distinct move (a, b) id pairs ONLY — the
+    // fan-out stage stays 16 bytes/row; names re-attach afterwards from
+    // the original (un-exploded) relation for the verify
+    val x = capped.select(col("id").as("a"), col("k"))
+    val y = capped.select(col("id").as("b"), col("k"))
+    val cand = x.join(y, Seq("k")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(rows.select(col("id").as("a"), col("name").as("an")), Seq("a"))
+      .join(rows.select(col("id").as("b"), col("name").as("bn")), Seq("b"))
+      .withColumn("lev", levenshtein(col("an"), col("bn")).cast("long"))
+      .where(col("lev") <= 2)
+      .select("a", "b", "lev")
+  }
+
   /** CDC change-log compaction core behind [[q96_cdc_compact]]: `base`
     * is the previous snapshot (k, cents); `log` is an out-of-order
     * change log (k, cents, seq, op) with op ∈ {U, D} and seq a total
@@ -1043,5 +1114,5 @@ object Advanced {
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
-      q101_incremental_agg)
+      q101_incremental_agg, q104_fuzzy_join_lev2)
 }

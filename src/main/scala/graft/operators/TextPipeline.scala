@@ -2024,6 +2024,90 @@ object TextPipeline {
       .select(col("a"), col("b"), col("inter"), round(col("j_raw"), 4).as("j"))
   }
 
+  /** q102: token-window chunking with overlap — the context-window prep
+    * step of every RAG / LLM-training pipeline: split each document into
+    * fixed-size token chunks (20 tokens) on a fixed stride (10 → 50 %
+    * overlap), keeping per-chunk provenance (doc_id, chunk_id) and the
+    * short-tail length. Scale posture: the whole operator is a scan-local
+    * generative flatten — tokenize, `sequence` of starts, `posexplode`,
+    * `slice` — all codegen built-ins, ZERO data shuffles (the only
+    * exchange is the output ORDER BY); at 100 TB it's a map-only stage
+    * whose output partitioning is inherited from the scan. */
+  val q102_chunk_overlap = QueryDef(
+    "q102_chunk_overlap",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |nz AS (SELECT doc_id, toks, len(toks) AS n FROM w WHERE len(toks) > 0),
+      |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 10)) AS start FROM nz)
+      |SELECT doc_id, CAST(start // 10 AS BIGINT) AS chunk_id,
+      |  CAST(least(20, n - start) AS BIGINT) AS n_tok,
+      |  array_to_string(list_slice(toks, start + 1, start + 20), ' ') AS chunk
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val W = 20
+    val S = 10
+    val nz = Tables.documents(s, d)
+      .select(col("doc_id"), Text.wordsOf(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+    nz.select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(S)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(W), col("n") - col("start")).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W))).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q103: per-source KL divergence vs the corpus unigram distribution —
+    * the domain-shift diagnostic of training-data mixing: for each
+    * source s, KL(P_s ‖ Q) = Σ_w P_s(w)·ln(P_s(w)/Q(w)) with P_s the
+    * source's unigram distribution and Q the whole-corpus one. Every
+    * source word appears in the corpus by construction, so no
+    * zero-denominator smoothing is needed. Scale posture: the corpus is
+    * touched ONCE (the (source, word) count aggregate); everything else
+    * rides a LINEAR chain of re-keys on that compacted frame — word
+    * totals via a word-keyed window, then the per-source fold using the
+    * expansion KL_s = (Σ_w c·(ln c − ln gc))/n + ln(tn/n), so the
+    * corpus total tn attaches via a window over the #sources-row result
+    * (the only single-partition stage touches tens of rows). No branch
+    * re-reads the aggregate, so the plan never depends on exchange
+    * reuse — 5 exchanges flat, vs 7 for the naive three-way
+    * broadcast-join formulation. */
+  val q103_kl_divergence = QueryDef(
+    "q103_kl_divergence",
+    """WITH stok AS (
+      |  SELECT source, w AS word FROM (
+      |    SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) WHERE length(w) > 0),
+      |sc AS (SELECT source, word, COUNT(*) AS c FROM stok GROUP BY source, word),
+      |st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+      |g AS (SELECT word, SUM(c) AS gc FROM sc GROUP BY word),
+      |t AS (SELECT SUM(c) AS tn FROM sc)
+      |SELECT sc.source, CAST(st.n AS BIGINT) AS n_tok,
+      |  ROUND(SUM((CAST(sc.c AS DOUBLE) / st.n) *
+      |            ln((CAST(sc.c AS DOUBLE) / st.n) /
+      |               (CAST(g.gc AS DOUBLE) / t.tn))), 4) AS kl
+      |FROM sc JOIN st ON sc.source = st.source
+      |        JOIN g ON sc.word = g.word CROSS JOIN t
+      |GROUP BY sc.source, st.n ORDER BY sc.source""".stripMargin) { (s, d) =>
+    val sc = Text.tokens(Tables.documents(s, d), "source")
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val withGc = sc.withColumn("gc",
+      sum("c").over(Window.partitionBy("word")))
+    val per = withGc.groupBy("source").agg(
+      sum("c").as("n"),
+      sum(col("c").cast("double") *
+        (log(col("c").cast("double")) - log(col("gc").cast("double")))).as("a"))
+    per.withColumn("tn", sum("n").over(Window.partitionBy()))
+      .select(col("source"), col("n").cast("long").as("n_tok"),
+        round(col("a") / col("n") +
+          log(col("tn").cast("double") / col("n")), 4).as("kl"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2035,5 +2119,6 @@ object TextPipeline {
     q71_dedup_corpus, q72_dedup_corpus_lsh, q79_corpus_shuffle,
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
-    q99_table_checksum, q100_setsim_join)
+    q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
+    q103_kl_divergence)
 }

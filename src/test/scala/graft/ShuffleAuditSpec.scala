@@ -131,6 +131,19 @@ class ShuffleAuditSpec extends SparkSpec {
                                  // split scans), the key-wise merge agg
                                  // reuses their partitioning at test SF
                                  // (headroom for a re-key) + orderBy
+    "q102_chunk_overlap" -> 1, // the chunk flatten (tokenize → sequence
+                               // → posexplode → slice) is entirely
+                               // scan-local; orderBy only
+    "q103_kl_divergence" -> 4, // linear chain: ONE data-sized
+                               // (source, word) agg + the word-keyed
+                               // window re-key + the per-source fold;
+                               // the corpus-total window + orderBy ride
+                               // the #sources-row tail (single tiny
+                               // exchange) — no branch re-reads the
+                               // aggregate, so no exchange-reuse bet
+    "q104_fuzzy_join_lev2" -> 2, // q92's shape at depth 2: the key
+                                 // self-join collapses/broadcasts at
+                                 // test SF; candidate distinct + orderBy
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the

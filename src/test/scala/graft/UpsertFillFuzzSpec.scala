@@ -48,6 +48,68 @@ class UpsertFillFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoin2 == brute-force lev<=2 pairs on random small-alphabet strings") {
+    // depth-2 blocking must cover every edit composition: sub+sub,
+    // sub+indel, indel+indel (incl. length-change-by-2) — the tiny
+    // alphabet makes all of them dense
+    val genNames = Gen.listOfN(30,
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    val names = Iterator.continually(genNames.sample).flatten.take(5).toSeq
+    names.foreach { ns =>
+      val rows = ns.distinct.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val got = Advanced.fuzzyJoin2(rows.toDF("id", "name"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ai, an) <- rows.map(r => (r._1, r._2))
+        (bi, bn) <- rows.map(r => (r._1, r._2))
+        if ai < bi && lev(an, bn) <= 2
+      } yield (ai, bi, lev(an, bn).toLong)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} on $rows")
+    }
+  }
+
+  test("fuzzyJoin2 hot-bucket cap: capped result is a subset of exact, " +
+    "verified pairs only") {
+    val rows = Seq("aa", "ab", "ba", "bb", "a", "b", "abab", "baba")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val exact = Advanced.fuzzyJoin2(rows).as[(Long, Long, Long)].collect().toSet
+    val capped = Advanced.fuzzyJoin2(rows, maxBucket = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), s"capped emitted non-exact pairs: ${capped -- exact}")
+    assert(capped.forall(_._3 <= 2))
+  }
+
+  test("q102 chunks: 50% overlap invariant on the fixture corpus") {
+    // consecutive full chunks of one doc must share their 10-token
+    // half-window: last 10 tokens of chunk c == first 10 of chunk c+1
+    val rows = SparkEntry.queries("q102_chunk_overlap")(spark, sf0001)
+      .select("doc_id", "chunk_id", "n_tok", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).foreach { case (c0, c1) =>
+        assert(c1._2 == c0._2 + 1, s"chunk_id gap in doc ${c0._1}")
+        if (c0._3 == 20) {
+          val t0 = c0._4.split(" ")
+          val t1 = c1._4.split(" ")
+          assert(t0.drop(10).sameElements(t1.take(t0.length - 10)),
+            s"overlap broken at doc ${c0._1} chunk ${c0._2}")
+        }
+      }
+    }
+  }
+
+  test("q103 KL divergence: non-negative per source (Gibbs), zero total") {
+    val kls = SparkEntry.queries("q103_kl_divergence")(spark, sf0001)
+      .select("kl").as[Double].collect()
+    assert(kls.nonEmpty)
+    // KL(P||Q) >= 0 up to the 1e-4 output rounding
+    kls.foreach(kl => assert(kl >= -1e-4, s"negative KL $kl"))
+  }
+
   test("gapFillDaily: hand-computed spine, observed flags, carried values") {
     val daily = Seq(
       (1L, Date.valueOf("2024-01-01"), 10L),
