@@ -1031,7 +1031,7 @@ object TextPipeline {
   /** (doc_id, source, sh): every word trigram of every doc — the shared
     * shingle stream behind q59's exact decontamination and q93's
     * bloom-prefiltered twin. */
-  private def triShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def triShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), wordsCol.as("words"))
       .where(size(col("words")) >= 3)
@@ -1065,19 +1065,33 @@ object TextPipeline {
       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val sh = triShingles(s, d)
-    val bench = sh.where(col("source") === "src0")
-      .select("sh").distinct().withColumn("hit", lit(1L))
-    val train = sh.where(col("source") =!= "src0")
-      .select("doc_id", "sh").distinct()
-    train.join(broadcast(bench), Seq("sh"), "left")
+    decontamBroadcast(sh.where(col("source") =!= "src0"),
+      sh.where(col("source") === "src0"))
+  }
+
+  /** Decontamination scoring tail shared by the broadcast and bloom
+    * paths: (doc_id, n_shingles, n_hit) → contamination fraction and
+    * the ≥0.5 flag, totally ordered. */
+  private def contamOut(counts: DataFrame): DataFrame =
+    counts.select(col("doc_id"), col("n_shingles"), col("n_hit"),
+      round(col("n_hit").cast("double") / col("n_shingles"), 4).as("contam_frac"),
+      when(col("n_hit").cast("double") / col("n_shingles") >= 0.5, 1L)
+        .otherwise(0L).as("flagged"))
+      .orderBy("doc_id")
+
+  /** Broadcast-join decontamination core behind [[q59_decontam]]:
+    * `train` is a (doc_id, sh) shingle relation, `bench` a (sh) one
+    * (neither need be distinct). The bench set rides a forced broadcast
+    * — the right plan while the eval suite fits a hash table; see
+    * [[decontamBloom]] for the regime where it doesn't
+    * (graft.BloomCrossoverBench measures the crossover). */
+  def decontamBroadcast(train: DataFrame, bench: DataFrame): DataFrame = {
+    val b = bench.select("sh").distinct().withColumn("hit", lit(1L))
+    contamOut(train.select("doc_id", "sh").distinct()
+      .join(broadcast(b), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        coalesce(sum("hit"), lit(0L)).as("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("contam_frac"),
-        when(col("n_hit").cast("double") / col("n_shingles") >= 0.5, 1L)
-          .otherwise(0L).as("flagged"))
-      .orderBy("doc_id")
+        coalesce(sum("hit"), lit(0L)).as("n_hit")))
   }
 
   /** q60: BM25 relevance scoring of the corpus against a fixed query
@@ -1808,26 +1822,34 @@ object TextPipeline {
       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val sh = triShingles(s, d)
-    val bench = sh.where(col("source") === "src0").select("sh").distinct()
-    val bf = bench.stat.bloomFilter("sh", 1L << 17, 0.03)
+    decontamBloom(sh.where(col("source") =!= "src0"),
+      sh.where(col("source") === "src0"))
+  }
+
+  /** Bloom-prefilter decontamination core behind [[q93_decontam_bloom]]:
+    * same relations as [[decontamBroadcast]], same output — different
+    * 100 TB plan (bits-sized filter broadcast, scan-stage prefilter,
+    * candidates-only un-hinted verify join). `expectedItems`/`fpp` size
+    * the filter; the registry query keeps the fixture-tuned default. */
+  def decontamBloom(train: DataFrame, bench: DataFrame,
+                    expectedItems: Long = 1L << 17,
+                    fpp: Double = 0.03): DataFrame = {
+    val s = train.sparkSession
+    val b = bench.select("sh").distinct()
+    val bf = b.stat.bloomFilter("sh", expectedItems, fpp)
     val bfB = s.sparkContext.broadcast(bf)
     val might = udf((x: String) => bfB.value.mightContainString(x))
-    val trainRaw = sh.where(col("source") =!= "src0").select("doc_id", "sh")
+    val trainRaw = train.select("doc_id", "sh")
     val counts = trainRaw.distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // prefilter BELOW the distinct: the candidate branch's dedup exchange
     // moves only bloom survivors, not the whole corpus shingle stream
     val hits = trainRaw.where(might(col("sh"))).distinct()
-      .join(bench, Seq("sh")) // verify: kills bloom false positives
+      .join(b, Seq("sh")) // verify: kills bloom false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    counts.join(hits, Seq("doc_id"), "left")
+    contamOut(counts.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
-      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("contam_frac"),
-        when(col("n_hit").cast("double") / col("n_shingles") >= 0.5, 1L)
-          .otherwise(0L).as("flagged"))
-      .orderBy("doc_id")
+        coalesce(col("n_hit"), lit(0L)).as("n_hit")))
   }
 
   /** q94: token-budget sequence packing — lay the corpus's token stream
