@@ -1175,7 +1175,103 @@ object SqlEntry {
         |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.id < y.id)
         |SELECT a, b, CAST(levenshtein(an, bn) AS BIGINT) AS lev
         |FROM cand WHERE levenshtein(an, bn) <= 2
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+    // q105: the multi-column COUNT(DISTINCT) statement verbatim —
+    // Catalyst's Expand rewrite keeps it at 2 exchanges however many
+    // columns are profiled.
+    "q105_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_returnflag' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT l_returnflag) AS ndv,
+        |    CAST(MIN(l_returnflag) AS STRING) AS min_val,
+        |    CAST(MAX(l_returnflag) AS STRING) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+        |    COUNT(DISTINCT l_linestatus),
+        |    CAST(MIN(l_linestatus) AS STRING), CAST(MAX(l_linestatus) AS STRING)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+        |    COUNT(DISTINCT l_quantity),
+        |    CAST(CAST(MIN(l_quantity) AS BIGINT) AS STRING),
+        |    CAST(CAST(MAX(l_quantity) AS BIGINT) AS STRING)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+        |    COUNT(DISTINCT l_partkey),
+        |    CAST(MIN(l_partkey) AS STRING), CAST(MAX(l_partkey) AS STRING)
+        |  FROM lineitem)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
+    // NOTE: the SQL text reads lineitem four times; the builder's
+    // single-scan wide-agg + explode form is the declared plan. Result
+    // equality is the parity pin.
+    "q106_retention" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 97 = 0),
+        |wk AS (SELECT DISTINCT user_id,
+        |         to_date(date_trunc('week', ts)) AS wk FROM ev),
+        |c AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id)
+        |SELECT date_format(c.cohort, 'yyyy-MM-dd') AS cohort,
+        |  CAST(datediff(w.wk, c.cohort) / 7 AS BIGINT) AS week_no,
+        |  COUNT(*) AS n_users
+        |FROM wk w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q107_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |t AS (SELECT src, event_type AS dst, COUNT(*) AS n
+        |      FROM seq WHERE src IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 4) AS p,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY src
+        |                          ORDER BY n DESC, dst) AS BIGINT) AS rk
+        |FROM t ORDER BY src, rk""".stripMargin,
+    "q108_ohlc" ->
+      """WITH e AS (SELECT user_id, to_date(ts) AS day, ts, event_id,
+        |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+        |  min_by(cents, struct(ts, event_id)) AS open,
+        |  MAX(cents) AS high, MIN(cents) AS low,
+        |  max_by(cents, struct(ts, event_id)) AS close,
+        |  COUNT(*) AS n, SUM(cents) AS volume
+        |FROM e GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+    // q109 through the SQL-registered native poly_hash (as q99).
+    "q109_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z]+', '') AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id, i, poly_hash(substring(s, i, 8), 7) AS h
+        |      FROM (SELECT doc_id, s, explode(sequence(1, length(s) - 7)) AS i
+        |            FROM t WHERE length(s) >= 8)),
+        |w AS (SELECT doc_id, i,
+        |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        |      FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= ng - 3)
+        |SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor,
+        |  MIN(fp) AS fp_min, MAX(fp) AS fp_max
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q110_bpe_pairs" ->
+      """WITH w0 AS (
+        |  SELECT word FROM (
+        |    SELECT explode(filter(split(lower(text), '[^a-z]+'),
+        |                          x -> length(x) > 0)) AS word
+        |    FROM documents)
+        |  WHERE length(word) >= 2),
+        |p AS (SELECT substring(word, i, 2) AS pair
+        |      FROM (SELECT word, explode(sequence(1, length(word) - 1)) AS i
+        |            FROM w0))
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 100""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -1107,6 +1107,184 @@ object Advanced {
         .orderBy("event_type")
   }
 
+  /** q105: table profiler — the ANALYZE/stats-collection surface every
+    * engine needs before it can cost a plan: per-column row count, null
+    * count, EXACT distinct count, and min/max, in ONE scan. Multiple
+    * `COUNT(DISTINCT col)` over different columns is the showcase for
+    * Spark's Expand-based rewrite: the scan is read once, Expand emits
+    * one row per (gid, column-value) group, and two aggregate pairs
+    * (dedup, then count) finish the job — 2 shuffles total regardless
+    * of how many columns are profiled. At 100 TB the same statement
+    * with `approx_count_distinct` (q43's HLL path) is the sketch twin;
+    * exact NDV is what you run when the answer feeds an optimizer
+    * histogram. Numeric min/max are cast to BIGINT before stringifying
+    * so both engines render them identically. */
+  val q105_profile = QueryDef(
+    "q105_profile",
+    """SELECT 'l_returnflag' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_null,
+      |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv,
+      |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_val,
+      |  CAST(MAX(l_returnflag) AS VARCHAR) AS max_val
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+      |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+      |  CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+      |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+      |  CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR),
+      |  CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+      |  CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("l_returnflag").as("nl_rf"), countDistinct(col("l_returnflag")).as("ndv_rf"),
+      min("l_returnflag").cast("string").as("mn_rf"), max("l_returnflag").cast("string").as("mx_rf"),
+      nulls("l_linestatus").as("nl_ls"), countDistinct(col("l_linestatus")).as("ndv_ls"),
+      min("l_linestatus").cast("string").as("mn_ls"), max("l_linestatus").cast("string").as("mx_ls"),
+      nulls("l_quantity").as("nl_qt"), countDistinct(col("l_quantity")).as("ndv_qt"),
+      min("l_quantity").cast("long").cast("string").as("mn_qt"),
+      max("l_quantity").cast("long").cast("string").as("mx_qt"),
+      nulls("l_partkey").as("nl_pk"), countDistinct(col("l_partkey")).as("ndv_pk"),
+      min("l_partkey").cast("string").as("mn_pk"), max("l_partkey").cast("string").as("mx_pk"))
+    def row(name: String, sfx: String) = struct(
+      lit(name).as("col_name"), col("n_rows"),
+      col(s"nl_$sfx").as("n_null"), col(s"ndv_$sfx").as("ndv"),
+      col(s"mn_$sfx").as("min_val"), col(s"mx_$sfx").as("max_val"))
+    wide.select(explode(array(
+        row("l_returnflag", "rf"), row("l_linestatus", "ls"),
+        row("l_quantity", "qt"), row("l_partkey", "pk"))).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
+  /** q106: cohort retention — the activation/retention triangle every
+    * product-analytics engine ships: users cohorted by their first
+    * active week, then distinct-user counts per (cohort, week offset).
+    * The scalable shape is join-free: ONE shuffle keyed by user builds
+    * each user's distinct active-week set (`collect_set`, partially
+    * aggregated map-side, bounded by the calendar — a year of history
+    * is ≤ 53 elements per user, so state never grows with event
+    * volume), the cohort is `array_min` of that set (scan-local), and
+    * the triangle is one more small agg keyed by (cohort, week).
+    * Compare the naive formulation — distinct, min-agg, then a
+    * re-keyed join of two event-sized relations — which shuffles the
+    * data three times. Events are sparsified by a deterministic
+    * `event_id % 97` sample so the fixture actually produces multiple
+    * cohorts (it is dense enough that every user is otherwise active
+    * in week one — the sample is part of the declared query, applied
+    * identically in both engines). */
+  val q106_retention = QueryDef(
+    "q106_retention",
+    """WITH ev AS (SELECT * FROM events WHERE event_id % 97 = 0),
+      |wk AS (SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev),
+      |c AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id)
+      |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+      |  CAST(date_diff('day', c.cohort, w.wk) // 7 AS BIGINT) AS week_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM wk w JOIN c ON w.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val wk = Tables.events(s, d)
+      .where(col("event_id") % 97 === 0)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    wk.groupBy("user_id").agg(collect_set("wk").as("wks"))
+      .select(array_min(col("wks")).as("cohort"), explode(col("wks")).as("wk"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_no"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "week_no")
+  }
+
+  /** q107: Markov transition matrix — per-user event streams folded
+    * into (src → dst) transition counts with per-source probabilities
+    * and a next-event rank: the session-path / next-action model a
+    * behavioural pipeline trains. ONE shuffle keyed by user orders each
+    * stream (lag over (ts, event_id) — the unique id breaks timestamp
+    * ties deterministically), and everything after operates on the
+    * transition MATRIX, which is |event types|² rows — at 100 TB the
+    * data-sized work is exactly one exchange, and the matrix-sized aggs
+    * and windows move a few hundred rows no matter how many events fed
+    * them. */
+  val q107_transitions = QueryDef(
+    "q107_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |t AS (SELECT src, event_type AS dst, COUNT(*) AS n
+      |      FROM seq WHERE src IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 4) AS p,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY src
+      |                          ORDER BY n DESC, dst) AS BIGINT) AS rk
+      |FROM t ORDER BY src, rk""".stripMargin) { (s, d) =>
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wSrc = Window.partitionBy("src")
+    val wRk = Window.partitionBy("src").orderBy(col("n").desc, col("dst"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(wSeq).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wSrc), 4).as("p"),
+        row_number().over(wRk).cast("long").as("rk"))
+      .orderBy("src", "rk")
+  }
+
+  /** q108: OHLC downsample — per (user, day) open/high/low/close plus
+    * count and volume, the canonical time-series resample. Open/close
+    * are `min_by`/`max_by` over the composite (ts, event_id) ordering
+    * key — order statistics INSIDE a hash aggregate, so the whole query
+    * is one keyed shuffle with full partial aggregation and no window,
+    * no per-group sort, at any scale. (The window formulation —
+    * row_number ASC/DESC then filter — pays a per-partition sort and
+    * carries every event row through the exchange; min_by carries one
+    * running pair per group per partition.) Exact integer cents. */
+  val q108_ohlc = QueryDef(
+    "q108_ohlc",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |      CAST(ROUND(value * 100) AS BIGINT) AS cents, ts, event_id
+      |      FROM events)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(FIRST(cents ORDER BY ts, event_id) AS BIGINT) AS open,
+      |  CAST(MAX(cents) AS BIGINT) AS high,
+      |  CAST(MIN(cents) AS BIGINT) AS low,
+      |  CAST(LAST(cents ORDER BY ts, event_id) AS BIGINT) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS volume
+      |FROM e GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min_by(col("cents"), ord).as("open"), max("cents").as("high"),
+        min("cents").as("low"), max_by(col("cents"), ord).as("close"),
+        count(lit(1)).as("n"), sum("cents").as("volume"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("open"), col("high"), col("low"), col("close"), col("n"),
+        col("volume"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1114,5 +1292,6 @@ object Advanced {
       q76_theta_rank_join, q77_theta_agg_join, q78_theta_band_join,
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
-      q101_incremental_agg, q104_fuzzy_join_lev2)
+      q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
+      q106_retention, q107_transitions, q108_ohlc)
 }

@@ -2130,6 +2130,98 @@ object TextPipeline {
       .orderBy("source")
   }
 
+  /** q109: winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03
+    * — the MOSS local fingerprinting scheme): normalize to the letters-
+    * only stream, hash every k-gram (k=8, the q30 PolyHash fold so the
+    * DuckDB twin can replay it), slide a w=4 window over the hash
+    * sequence and keep each window's minimum — guaranteeing any shared
+    * substring of length ≥ k+w−1 contributes a shared fingerprint,
+    * which positional n-gram sampling cannot promise. Output is the
+    * per-doc fingerprint-set digest (count / xor / min / max — set
+    * equality evidence without shipping the ~0.4·n-row set itself).
+    * Scale posture: gram explode + hashing are scan-local; ONE shuffle
+    * keyed by doc_id serves the sliding-window min AND (subset-key
+    * rule) the distinct and the final digest agg — window w is rows-
+    * bounded so state is w hashes regardless of doc length. */
+  val q109_winnow = QueryDef(
+    "q109_winnow",
+    """WITH t AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z]+', '', 'g') AS s
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, s, unnest(range(1, length(s) - 6)) AS i
+      |       FROM t WHERE length(s) >= 8),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(list_filter(
+      |        regexp_split_to_array(substr(s, CAST(i AS INT), 8), ''),
+      |        c -> length(c) > 0),
+      |      c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM g0),
+      |w AS (
+      |  SELECT doc_id, i,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      |  FROM g),
+      |f AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= ng - 3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+      |  CAST(BIT_XOR(fp) AS BIGINT) AS fp_xor,
+      |  CAST(MIN(fp) AS BIGINT) AS fp_min, CAST(MAX(fp) AS BIGINT) AS fp_max
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val K = 8
+    val W = 4
+    val wMin = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, W - 1)
+    val wCnt = Window.partitionBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
+      .where(length(col("s")) >= K)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - (K - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        Text.polyHash(col("s").substr(col("i"), lit(K)), 7L).as("h"))
+      .select(col("doc_id"), col("i"),
+        min("h").over(wMin).as("fp"), count(lit(1)).over(wCnt).as("ng"))
+      .where(col("i") <= col("ng") - (W - 1))
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
+        min("fp").as("fp_min"), max("fp").as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  /** q110: BPE pair statistics — the corpus-wide adjacent-symbol-pair
+    * frequency table that drives one byte-pair-encoding merge step
+    * (Sennrich et al., ACL'16): within every word, count all adjacent
+    * character bigrams, rank globally, keep the top 100. The tokenizer-
+    * induction workload a training-data engine runs before anything
+    * else. Scale posture: word explode and pair explode are scan-local;
+    * the pair keyspace is ≤ 26² so map-side partial aggregation
+    * collapses each partition to a few hundred rows before the ONE
+    * exchange, and the top-100 is TakeOrdered — no global sort. */
+  val q110_bpe_pairs = QueryDef(
+    "q110_bpe_pairs",
+    """WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |            FROM documents),
+      |p AS (SELECT substr(word, CAST(unnest(range(1, length(word))) AS INT), 2) AS pair
+      |      FROM w0)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.wordsOf(col("text"))).as("word"))
+        .where(length(col("word")) >= 2)
+        .select(col("word"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+        .select(col("word").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2142,5 +2234,5 @@ object TextPipeline {
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
-    q103_kl_divergence)
+    q103_kl_divergence, q109_winnow, q110_bpe_pairs)
 }

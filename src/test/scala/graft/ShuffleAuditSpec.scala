@@ -144,6 +144,25 @@ class ShuffleAuditSpec extends SparkSpec {
     "q104_fuzzy_join_lev2" -> 2, // q92's shape at depth 2: the key
                                  // self-join collapses/broadcasts at
                                  // test SF; candidate distinct + orderBy
+    "q105_profile" -> 2,   // Expand rewrite: 4 exact NDVs in one scan,
+                           // dedup agg + count agg — 2 exchanges no
+                           // matter how many columns are profiled
+    "q106_retention" -> 3, // ONE user-keyed collect_set exchange (the
+                           // only data-sized one), the matrix-sized
+                           // (cohort, week) agg + orderBy
+    "q107_transitions" -> 4, // user-keyed lag window (the only
+                             // data-sized exchange) + (src, dst) agg;
+                             // the src-keyed prob/rank windows + orderBy
+                             // move |event types|^2 rows only
+    "q108_ohlc" -> 2,      // min_by/max_by keep OHLC inside ONE hash
+                           // agg exchange (no window sort) + orderBy
+    "q109_winnow" -> 2,    // gram explode + hash are scan-local; ONE
+                           // doc_id exchange serves window-min,
+                           // distinct, and digest agg (subset keys);
+                           // + orderBy
+    "q110_bpe_pairs" -> 1, // pair keyspace <= 26^2: map-side partials
+                           // collapse before ONE exchange; top-100 is
+                           // TakeOrdered, no sort shuffle
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the
