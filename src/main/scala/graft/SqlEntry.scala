@@ -1271,7 +1271,49 @@ object SqlEntry {
         |      FROM (SELECT word, explode(sequence(1, length(word) - 1)) AS i
         |            FROM w0))
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
-        |ORDER BY n DESC, pair LIMIT 100""".stripMargin)
+        |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+    "q111_histogram" ->
+      """WITH e AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |k AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+        |        CAST(CEIL((MAX(cents) - MIN(cents) + 1) / 20.0) AS BIGINT)
+        |          AS width
+        |      FROM e),
+        |h AS (SELECT CAST(FLOOR((cents - mn) / width) AS BIGINT) AS bucket,
+        |             mn, width
+        |      FROM e CROSS JOIN k)
+        |SELECT bucket, mn + bucket * width AS lo,
+        |  mn + (bucket + 1) * width - 1 AS hi, COUNT(*) AS n
+        |FROM h GROUP BY bucket, mn, width
+        |ORDER BY bucket""".stripMargin,
+    "q112_ewma" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id,
+        |        transform(array_sort(collect_list(struct(ts, event_id, cents))),
+        |                  r -> CAST(r.cents AS DOUBLE)) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(size(vs) AS BIGINT) AS n,
+        |  ROUND(aggregate(slice(vs, 2, size(vs)), element_at(vs, 1),
+        |                  (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin,
+    "q113_char_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z]+', '') AS s
+        |  FROM documents),
+        |nz AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS n
+        |       FROM t WHERE length(s) > 0),
+        |cs AS (SELECT doc_id, n,
+        |    filter(transform(sequence(0, 25),
+        |        i -> length(s) - length(replace(s, char(97 + i), ''))),
+        |      x -> x > 0) AS counts
+        |  FROM nz)
+        |SELECT doc_id, n AS n_char,
+        |  ROUND(-aggregate(
+        |      transform(counts,
+        |        c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+        |      CAST(0 AS DOUBLE), (acc, x) -> acc + x), 4) AS entropy
+        |FROM cs ORDER BY doc_id""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -1285,6 +1285,89 @@ object Advanced {
       .orderBy("user_id", "day")
   }
 
+  /** q111: equi-width histogram — the other half of the ANALYZE surface
+    * (q105 profiles NDV/min/max; this bins the distribution an optimizer
+    * or data-quality report actually plots). Two scans by design: a
+    * 1-row min/max agg fixes the bounds, broadcast back (explicitly
+    * bounded — ONE row), then bucketing is scan-local integer math and
+    * the histogram agg moves ≤ 20 rows. Exact integer cents end-to-end:
+    * bucket boundaries are integers, so no float-boundary drift between
+    * engines — `floor(ints / int)` is exact in doubles far below 2^53.
+    * At 100 TB the bounds pass is a near-free column-statistics read
+    * (parquet footers could answer it); the histogram pass is one
+    * map-side-combined agg with a ≤ #buckets keyspace. */
+  val q111_histogram = QueryDef(
+    "q111_histogram",
+    """WITH e AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |k AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+      |        CAST(CEIL((MAX(cents) - MIN(cents) + 1) / 20.0) AS BIGINT)
+      |          AS width
+      |      FROM e),
+      |h AS (SELECT CAST(FLOOR((cents - mn) / width) AS BIGINT) AS bucket,
+      |             mn, width
+      |      FROM e CROSS JOIN k)
+      |SELECT bucket, CAST(mn + bucket * width AS BIGINT) AS lo,
+      |  CAST(mn + (bucket + 1) * width - 1 AS BIGINT) AS hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM h GROUP BY bucket, mn, width
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val cents = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = cents
+      .agg(min("cents").as("mn"), max("cents").as("mx"))
+      .select(col("mn"), col("mx"),
+        ceil((col("mx") - col("mn") + 1) / lit(20.0)).cast("long").as("width"))
+    cents.crossJoin(broadcast(bounds))
+      .select(floor((col("cents") - col("mn")) / col("width"))
+          .cast("long").as("bucket"),
+        col("mn"), col("width"))
+      .groupBy("bucket", "mn", "width")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (col("mn") + col("bucket") * col("width")).as("lo"),
+        (col("mn") + (col("bucket") + 1) * col("width") - 1).as("hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  /** q112: per-user EWMA (α = 0.3) over the time-ordered event stream —
+    * the smoothing fold behind rate limiting, anomaly baselines, and
+    * metric dashboards. An EWMA is inherently sequential, so the honest
+    * distributed shape is q62's: ONE shuffle keyed by user collects the
+    * ordered value array (struct-sorted on (ts, event_id) — the unique
+    * id breaks timestamp ties deterministically), and the fold runs as
+    * a codegen'd `aggregate` HOF, scan-local. Both engines fold the
+    * SAME value sequence left-to-right with the same IEEE double ops
+    * (first element as seed — ewma₁ = v₁), so results match bit-for-bit
+    * before the display rounding. Per-user state is the user's history;
+    * for unbounded streams the incremental form is one multiply-add per
+    * arrival (the T6 mapGroupsWithState shape). */
+  val q112_ewma = QueryDef(
+    "q112_ewma",
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+      |l AS (SELECT user_id,
+      |        list(CAST(cents AS DOUBLE) ORDER BY ts, event_id) AS vs
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(length(vs) AS BIGINT) AS n,
+      |  ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+      |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("cents")))).as("rows"))
+      .select(col("user_id"),
+        transform(col("rows"), r => r.getField("cents").cast("double"))
+          .as("vs"))
+      .select(col("user_id"), size(col("vs")).cast("long").as("n"),
+        round(aggregate(
+          slice(col("vs"), lit(2), size(col("vs"))), element_at(col("vs"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 4).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1293,5 +1376,6 @@ object Advanced {
       q85_pivot, q86_unpivot, q89_zorder, q90_merge_upsert, q91_gapfill,
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
       q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
-      q106_retention, q107_transitions, q108_ohlc)
+      q106_retention, q107_transitions, q108_ohlc, q111_histogram,
+      q112_ewma)
 }

@@ -2170,27 +2170,37 @@ object TextPipeline {
       |  CAST(BIT_XOR(fp) AS BIGINT) AS fp_xor,
       |  CAST(MIN(fp) AS BIGINT) AS fp_min, CAST(MAX(fp) AS BIGINT) AS fp_max
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val K = 8
-    val W = 4
-    val wMin = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, W - 1)
-    val wCnt = Window.partitionBy("doc_id")
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
-      .where(length(col("s")) >= K)
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - (K - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        Text.polyHash(col("s").substr(col("i"), lit(K)), 7L).as("h"))
-      .select(col("doc_id"), col("i"),
-        min("h").over(wMin).as("fp"), count(lit(1)).over(wCnt).as("ng"))
-      .where(col("i") <= col("ng") - (W - 1))
-      .select("doc_id", "fp").distinct()
+    winnowFingerprints(Tables.documents(s, d), k = 8, w = 4)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
         min("fp").as("fp_min"), max("fp").as("fp_max"))
       .orderBy("doc_id")
+  }
+
+  /** Winnowing core behind q109: the distinct (doc_id, fp) fingerprint
+    * set per document. GUARANTEE (the scheme's theorem, asserted as a
+    * property in TextPipelineSpec): two documents whose letters-only
+    * streams share any substring of length ≥ k + w − 1 share at least
+    * one fingerprint — because the shared region contains a full window
+    * of w consecutive k-gram hashes, identical in both documents, and
+    * each window contributes its minimum. Docs whose normalized stream
+    * is shorter than k produce no fingerprints (nothing to hash). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val wMin = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wCnt = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
+      .where(length(col("s")) >= k)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        Text.polyHash(col("s").substr(col("i"), lit(k)), 7L).as("h"))
+      .select(col("doc_id"), col("i"),
+        min("h").over(wMin).as("fp"), count(lit(1)).over(wCnt).as("ng"))
+      .where(col("i") <= col("ng") - (w - 1))
+      .select("doc_id", "fp").distinct()
   }
 
   /** q110: BPE pair statistics — the corpus-wide adjacent-symbol-pair
@@ -2222,6 +2232,52 @@ object TextPipeline {
         .limit(100)
   }
 
+  /** q113: per-document character-entropy — the gibberish/degenerate-
+    * text quality signal (encrypted blobs and base64 runs score near
+    * log 26 ≈ 3.258 nats; single-char floods score near 0; natural
+    * English sits ≈ 2.8–3.0). Shape: NO explode — the 26 letter counts
+    * come from `transform` over a literal alphabet with
+    * `length(s) − length(replace(s, ch))`, a codegen scan-local pass
+    * (O(26·len) per row), and the entropy fold is an `aggregate` HOF
+    * over the filtered count list. ZERO data shuffles beyond the output
+    * sort — the per-char explode formulation would shuffle n·len rows.
+    * Both engines fold identical doubles in identical (a→z) order. */
+  val q113_char_entropy = QueryDef(
+    "q113_char_entropy",
+    """WITH t AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z]+', '', 'g') AS s
+      |  FROM documents),
+      |nz AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS n
+      |       FROM t WHERE length(s) > 0),
+      |cs AS (SELECT doc_id, n,
+      |    list_filter(list_transform(range(0, 26),
+      |        i -> length(s) - length(replace(s, chr(97 + CAST(i AS INT)), ''))),
+      |      x -> x > 0) AS counts
+      |  FROM nz)
+      |SELECT doc_id, n AS n_char,
+      |  ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(counts,
+      |        c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))),
+      |    (acc, x) -> acc + x), 4) AS entropy
+      |FROM cs ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val letters = array(('a' to 'z').map(ch => lit(ch.toString)): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
+      .where(length(col("s")) > 0)
+      .select(col("doc_id"), length(col("s")).cast("long").as("n"),
+        filter(
+          transform(letters, ch =>
+            length(col("s")) - length(replace(col("s"), ch, lit("")))),
+          x => x > 0).as("counts"))
+      .select(col("doc_id"), col("n").as("n_char"),
+        round(-aggregate(
+          transform(col("counts"), c =>
+            (c.cast("double") / col("n")) * log(c.cast("double") / col("n"))),
+          lit(0.0), (acc, x) => acc + x), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2234,5 +2290,5 @@ object TextPipeline {
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
-    q103_kl_divergence, q109_winnow, q110_bpe_pairs)
+    q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy)
 }

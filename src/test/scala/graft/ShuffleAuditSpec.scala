@@ -163,6 +163,15 @@ class ShuffleAuditSpec extends SparkSpec {
     "q110_bpe_pairs" -> 1, // pair keyspace <= 26^2: map-side partials
                            // collapse before ONE exchange; top-100 is
                            // TakeOrdered, no sort shuffle
+    "q111_histogram" -> 3, // 1-row bounds agg (broadcast back) + the
+                           // <=20-key histogram agg + orderBy; bucket
+                           // math is scan-local integer arithmetic
+    "q112_ewma" -> 2,      // ONE user-keyed collect exchange; the EWMA
+                           // fold is a codegen aggregate HOF, scan-local
+                           // (+ orderBy)
+    "q113_char_entropy" -> 1, // no explode, no agg: 26 replace-counts +
+                              // the entropy fold are all scan-local HOFs
+                              // — orderBy is the only exchange
     "q98_interval_join" -> 4) // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the

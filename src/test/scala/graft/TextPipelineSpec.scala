@@ -215,4 +215,41 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashed == exact)
   }
+
+  test("winnowing guarantee: shared substring ≥ k+w−1 ⇒ shared fingerprint") {
+    import spark.implicits._
+    // The SWA theorem q109 rides: a shared region of k+w−1 letters spans
+    // one full window of w identical k-gram hashes in BOTH docs, and
+    // every window emits its min. 20 random pairs, shared core of
+    // EXACTLY k+w−1 letters (the tight case), independent random
+    // flanks — every pair must intersect on ≥ 1 fingerprint.
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(42)
+    def letters(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = (0 until 20).map { c =>
+      val core = letters(k + w - 1)
+      (c.toLong,
+        letters(5 + rnd.nextInt(30)) + core + letters(5 + rnd.nextInt(30)),
+        letters(5 + rnd.nextInt(30)) + core + letters(5 + rnd.nextInt(30)))
+    }
+    val docs = cases.flatMap { case (c, a, b) =>
+      Seq((2 * c, a), (2 * c + 1, b)) }.toDF("doc_id", "text")
+    val byDoc = TextPipeline.winnowFingerprints(docs, k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    cases.foreach { case (c, a, b) =>
+      val shared = byDoc.getOrElse(2 * c, Set.empty[Long])
+        .intersect(byDoc.getOrElse(2 * c + 1, Set.empty[Long]))
+      assert(shared.nonEmpty, s"pair $c shares no fingerprint ($a | $b)")
+    }
+    // Density floor: one hash can be the min of at most w consecutive
+    // windows, so a doc with nw windows keeps ≥ ⌈nw/w⌉ distinct fps.
+    cases.foreach { case (c, a, _) =>
+      val nw = a.length - k + 1 - (w - 1)
+      val got = byDoc.getOrElse(2 * c, Set.empty[Long]).size
+      assert(got >= (nw + w - 1) / w,
+        s"doc ${2 * c}: $got fps < floor ${(nw + w - 1) / w}")
+    }
+  }
 }
