@@ -1313,7 +1313,47 @@ object SqlEntry {
         |      transform(counts,
         |        c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
         |      CAST(0 AS DOUBLE), (acc, x) -> acc + x), 4) AS entropy
-        |FROM cs ORDER BY doc_id""".stripMargin)
+        |FROM cs ORDER BY doc_id""".stripMargin,
+    // q114's SQL text is the DECLARATIVE shared-token containment join
+    // (the hot-token blowup shape, as q100); the builder's one-sided
+    // prefix filter is the lossless scale rewrite — result equality is
+    // exactly the losslessness claim.
+    "q114_contain_join" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    filter(split(lower(text), '[^a-z]+'), x -> length(x) > 0)
+        |      AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, explode(transform(sequence(1, size(words) - 2),
+        |      i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1),
+        |                     element_at(words, i + 2)))) AS sh
+        |    FROM w WHERE size(words) >= 3) e),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter, ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS c
+        |FROM inter JOIN sz sa ON a = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "q115_rolling_median" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT user_id, event_id,
+        |        sort_array(collect_list(cents) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |      FROM e)
+        |SELECT user_id, event_id, CAST(size(arr) AS BIGINT) AS n_win,
+        |  CASE WHEN size(arr) % 2 = 1
+        |    THEN CAST(element_at(arr, CAST((size(arr) + 1) / 2 AS INT)) AS DOUBLE)
+        |    ELSE CAST(element_at(arr, CAST(size(arr) / 2 AS INT)) +
+        |              element_at(arr, CAST(size(arr) / 2 + 1 AS INT)) AS DOUBLE) / 2
+        |  END AS med
+        |FROM a ORDER BY user_id, event_id""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

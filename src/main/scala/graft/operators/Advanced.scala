@@ -1368,6 +1368,45 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  /** q115: rolling median — the robust (outlier-proof) smoother a
+    * monitoring/quality pipeline runs where q112's EWMA is too
+    * outlier-sensitive: per user, the median of the trailing 7 values
+    * in (ts, event_id) order. A median is holistic — no built-in Spark
+    * window form — so the declared shape keeps the holistic state
+    * FRAME-BOUNDED: `collect_list` over the ROWS frame holds ≤ 7
+    * values per row (constant state however long the user's history),
+    * sorted and mid-picked scan-locally after the ONE user-keyed
+    * window exchange. Midpoint of an even frame is averaged exactly in
+    * integer-cents doubles, matching DuckDB's MEDIAN interpolation. */
+  val q115_rolling_median = QueryDef(
+    "q115_rolling_median",
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
+      |  CAST(MEDIAN(cents) OVER win AS DOUBLE) AS med
+      |FROM e
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val wFrame = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    val nArr = size(col("arr"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(wFrame)))
+      .select(col("user_id"), col("event_id"),
+        nArr.cast("long").as("n_win"),
+        when(nArr % 2 === 1,
+          element_at(col("arr"), ((nArr + 1) / 2).cast("int")).cast("double"))
+          .otherwise(
+            (element_at(col("arr"), (nArr / 2).cast("int")) +
+              element_at(col("arr"), (nArr / 2 + 1).cast("int")))
+              .cast("double") / 2).as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1377,5 +1416,5 @@ object Advanced {
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
       q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
       q106_retention, q107_transitions, q108_ohlc, q111_histogram,
-      q112_ewma)
+      q112_ewma, q115_rolling_median)
 }

@@ -2011,23 +2011,34 @@ object TextPipeline {
     * [[q100_setsim_join]]. `sets` is a distinct (doc_id, sh) relation;
     * returns every pair (a < b) with Jaccard(setₐ, set_b) ≥ `t` as
     * (a, b, inter, j). Lossless: prefixes under a common rarest-first
-    * total order must overlap for any pair at or above the threshold. */
+    * total order must overlap for any pair at or above the threshold.
+    *
+    * Candidate-stage bounds use FLOOR, not the tight ceil: `t * n` in
+    * doubles can land a hair ABOVE an exact integer product (0.8·5 →
+    * 4.000…0002, so `ceil` returns 5 where the true bound is 4), which
+    * would shorten the prefix / tighten the length filter and silently
+    * drop exact-boundary pairs (|A|=5, |B|=4, B⊂A at t=0.8 — pinned in
+    * UpsertFillFuzzSpec). `floor(t·n)` can never exceed the true
+    * ⌈t·n⌉, so the bounds stay conservative (at most one extra prefix
+    * token / a few extra candidates) and the verify stage — the same
+    * double compare the oracle runs — decides final membership. */
   def setSimJoin(sets: DataFrame, t: Double): DataFrame = {
     val big = sets
+    def oFloor(n: Column): Column = floor(lit(t) * n)
     val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
     val wDoc = Window.partitionBy("doc_id")
     val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
     val prefix = big.join(freq, Seq("sh"))
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("pos", row_number().over(wPos))
-      .where(col("pos") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .where(col("pos") <= col("n") - oFloor(col("n")) + 1)
       .select("doc_id", "sh", "n")
     val cand = prefix.select(col("doc_id").as("a"), col("sh"), col("n").as("xn"))
       .join(prefix.select(col("doc_id").as("b"), col("sh"), col("n").as("yn")),
         Seq("sh"))
       .where(col("a") < col("b") &&
         // length filter: J >= t forces t|A| <= |B| <= |A|/t
-        col("yn") >= lit(t) * col("xn") && col("xn") >= lit(t) * col("yn"))
+        col("yn") >= oFloor(col("xn")) && col("xn") >= oFloor(col("yn")))
       .select("a", "b").distinct()
     val sz = big.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // expand candidates by A's tokens, then equi-join on (b, sh): the
@@ -2044,6 +2055,89 @@ object TextPipeline {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("j_raw") >= t)
       .select(col("a"), col("b"), col("inter"), round(col("j_raw"), 4).as("j"))
+  }
+
+  /** q114: EXACT containment join — the ASYMMETRIC twin of q100:
+    * every ordered doc pair (a, b) with C(a→b) = |Aₐ∩A_b| / |Aₐ| ≥ 0.8
+    * over word-trigram sets. Jaccard misses subsumption (a short quote
+    * fully inside a long doc scores low J but C ≈ 1), and quote/
+    * boilerplate inclusion is exactly what corpus-dedup audits chase.
+    * The prefix filter adapts losslessly: C(a→b) ≥ t forces an
+    * intersection of o = ⌈t·|Aₐ|⌉ tokens, so under the global
+    * rarest-first order a and b must share a token among a's first
+    * |Aₐ| − o + 1 — only the PROBE side prunes (the containing side may
+    * hold the match anywhere — the honest asymmetric cost), plus the
+    * one-sided length filter |A_b| ≥ o. Verification touches candidates
+    * only, via the token-keyed join that materializes intersection rows
+    * and never the |A|×|B| cross. */
+  val q114_contain_join = QueryDef(
+    "q114_contain_join",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(words) - 1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w WHERE len(words) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, inter,
+      |  ROUND(CAST(inter AS DOUBLE) / sa.n, 4) AS c
+      |FROM inter JOIN sz sa ON a = sa.doc_id
+      |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val big = triShingles(s, d).select("doc_id", "sh").distinct()
+    containJoin(big, 4, 5).orderBy("a", "b")
+  }
+
+  /** Prefix-filtered EXACT containment self-join core behind
+    * [[q114_contain_join]]: ordered pairs (a, b), a ≠ b, with
+    * |Aₐ∩A_b| / |Aₐ| ≥ `tNum`/`tDen`, as (a, b, inter, c). Lossless by
+    * the same pigeonhole as [[setSimJoin]], applied one-sided. The
+    * threshold is a RATIONAL on purpose: the required overlap
+    * o = ⌈t·n⌉ must be exact, and `ceil(0.8 * n)` in doubles rounds UP
+    * past true integer products (0.8·10 → 8.000…0004 → ⌈⌉ = 9), which
+    * would silently shorten the prefix and break losslessness —
+    * ⌊(tNum·n + tDen − 1) / tDen⌋ is exact (integer quotients are
+    * representable, so the double division is correctly rounded). */
+  def containJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val big = sets
+    val t = tNum.toDouble / tDen
+    def o(n: Column): Column =
+      floor((n * lit(tNum) + lit(tDen - 1)) / lit(tDen)).cast("long")
+    val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
+    // required overlap o = ceil(t·n); probe prefix = first n − o + 1
+    val keyed = big.join(freq, Seq("sh"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wPos))
+    val prefix = keyed
+      .where(col("pos") <= col("n") - o(col("n")) + 1)
+      .select(col("doc_id").as("a"), col("sh"), col("n").as("na"))
+    val sz = big.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = prefix
+      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b", "na").distinct()
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .where(col("nb") >= o(col("na")))
+      .select("a", "b", "na")
+    val inter = cand
+      .join(big.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"),
+        first("na").as("na"))
+    inter
+      .withColumn("c_raw", col("inter").cast("double") / col("na"))
+      .where(col("c_raw") >= t)
+      .select(col("a"), col("b"), col("inter"), round(col("c_raw"), 4).as("c"))
   }
 
   /** q102: token-window chunking with overlap — the context-window prep
@@ -2290,5 +2384,6 @@ object TextPipeline {
     q80_weighted_mix, q81_pii_scrub, q82_url_extract, q83_dup_spans,
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
-    q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy)
+    q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
+    q114_contain_join)
 }

@@ -163,6 +163,13 @@ class ShuffleAuditSpec extends SparkSpec {
     "q110_bpe_pairs" -> 1, // pair keyspace <= 26^2: map-side partials
                            // collapse before ONE exchange; top-100 is
                            // TakeOrdered, no sort shuffle
+    "q114_contain_join" -> 6, // q100's frame one-sided: shingle dedup +
+                              // freq agg + doc_id window + candidate
+                              // distinct + intersection agg + orderBy
+                              // (sizes/prefix joins broadcast at test SF)
+    "q115_rolling_median" -> 2, // ONE user-keyed window exchange; the
+                                // <=7-element frame collect + mid-pick
+                                // are scan-local (+ orderBy)
     "q111_histogram" -> 3, // 1-row bounds agg (broadcast back) + the
                            // <=20-key histogram agg + orderBy; bucket
                            // math is scan-local integer arithmetic

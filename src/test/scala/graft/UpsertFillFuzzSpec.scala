@@ -198,6 +198,42 @@ class UpsertFillFuzzSpec extends SparkSpec {
     }
   }
 
+  test("setSimJoin keeps the exact-boundary pair ceil(t*n) FP overshoot " +
+    "used to drop") {
+    // |A|=5, |B|=4, B ⊂ A: J = 4/5 = t exactly. 0.8*5 in doubles is
+    // 4.000…0002, so a ceil()-based length filter demands |B| >= 5 and
+    // silently drops this pair — the floor-based bounds must keep it.
+    val rows = (0 to 4).map(i => (0L, s"t$i")) ++
+      (0 to 3).map(i => (1L, s"t$i"))
+    val got = operators.TextPipeline.setSimJoin(rows.toDF("doc_id", "sh"), 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("containJoin == brute-force containment pairs on random token sets " +
+    "(one-sided prefix filter is lossless)") {
+    val genCase = Gen.listOfN(25, Gen.nonEmptyListOf(Gen.choose(0, 15))
+      .map(_.distinct.map(i => s"t$i")))
+    val cases = Iterator.continually(genCase.sample).flatten.take(8).toSeq
+    for (sets <- cases; (tn, td) <- Seq((1, 2), (4, 5))) {
+      val rows = sets.zipWithIndex.flatMap { case (toks, i) =>
+        toks.map(s => (i.toLong, s))
+      }
+      val got = operators.TextPipeline
+        .containJoin(rows.toDF("doc_id", "sh"), tn, td)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val byDoc = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val t = tn.toDouble / td
+      val want = (for {
+        a <- byDoc.keys; b <- byDoc.keys if a != b
+        c = byDoc(a).intersect(byDoc(b)).size.toDouble / byDoc(a).size
+        if c >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"t=$tn/$td missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("token-pack prefix sums are exact across shard boundaries") {
     // the sf0.01 fixture's 500 doc_ids all land in shard 0, so the
     // two-level decomposition's cross-shard offsets are only exercised
