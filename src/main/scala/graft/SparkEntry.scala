@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Multimodal, Relational, Similarity, TextPipeline}
+import graft.operators.{Advanced, Graph, Multimodal, Relational, Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   /** All declared queries, in SURVEY.md §2.12 order. */
   val declared: Seq[QueryDef] =
     Relational.all ++ TextPipeline.all ++ Similarity.all ++ Multimodal.all ++
-      Advanced.all
+      Advanced.all ++ Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Word count — the reference's own flagship workload (MIT 6.824 Lab 1
