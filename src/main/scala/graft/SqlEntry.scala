@@ -1353,7 +1353,37 @@ object SqlEntry {
         |    ELSE CAST(element_at(arr, CAST(size(arr) / 2 AS INT)) +
         |              element_at(arr, CAST(size(arr) / 2 + 1 AS INT)) AS DOUBLE) / 2
         |  END AS med
-        |FROM a ORDER BY user_id, event_id""".stripMargin)
+        |FROM a ORDER BY user_id, event_id""".stripMargin,
+    // q117's TEXT is the naive id-ordered 3-way self-join — the
+    // SQL-expressible semantics; the builder's degree-oriented plan is
+    // the skew-proof scale path (Graph.triangleCounts), result-equal.
+    "q117_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT explode(array(x, y, z)) AS node FROM t)
+        |SELECT CAST(node AS BIGINT) AS p_partkey, COUNT(*) AS triangles
+        |FROM n GROUP BY node
+        |ORDER BY triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "q118_twap" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT user_id, cents,
+        |        unix_millis(LEAD(ts) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id))
+        |          - unix_millis(ts) AS dur
+        |      FROM e)
+        |SELECT user_id,
+        |  CAST(COUNT(1) AS BIGINT) AS n_spans,
+        |  CAST(SUM(dur) AS BIGINT) AS total_ms,
+        |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100, 4) AS twap
+        |FROM w WHERE dur IS NOT NULL AND dur > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -1407,6 +1407,47 @@ object Advanced {
       .orderBy("user_id", "event_id")
   }
 
+  /** q118: time-weighted average (TWAP) — the telemetry/finance mean for
+    * IRREGULARLY sampled series, where q112's EWMA assumes arrival-count
+    * decay: each observation is weighted by how long it was "in force"
+    * (milliseconds until the user's next event; the open-ended last
+    * observation carries no weight). One user-keyed exchange serves both
+    * the `lead` window and the final per-user aggregate (subset rule),
+    * plus the output sort. Determinism across engines: values become
+    * integer cents and durations integer milliseconds BEFORE any
+    * arithmetic, so numerator and denominator are exact integer sums in
+    * any order — the only float op is the final division, identical
+    * bit-for-bit in both engines. */
+  val q118_twap = QueryDef(
+    "q118_twap",
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id, cents,
+      |        epoch_ms(LEAD(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id))
+      |          - epoch_ms(ts) AS dur
+      |      FROM e)
+      |SELECT user_id,
+      |  CAST(COUNT(dur) AS BIGINT) AS n_spans,
+      |  CAST(SUM(dur) AS BIGINT) AS total_ms,
+      |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100, 4) AS twap
+      |FROM w WHERE dur IS NOT NULL AND dur > 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dur",
+        unix_millis(lead("ts", 1).over(w)) - unix_millis(col("ts")))
+      .where(col("dur").isNotNull && col("dur") > 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("dur").as("total_ms"),
+        round(sum(col("cents") * col("dur")).cast("double") /
+          sum(col("dur")) / 100, 4).as("twap"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1416,5 +1457,5 @@ object Advanced {
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
       q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
       q106_retention, q107_transitions, q108_ohlc, q111_histogram,
-      q112_ewma, q115_rolling_median)
+      q112_ewma, q115_rolling_median, q118_twap)
 }

@@ -99,5 +99,101 @@ object Graph {
       .orderBy(col("rank").desc, col("word")).limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q116_pagerank)
+  /** Per-node triangle participation counts over an undirected edge list
+    * `(a, b)` (duplicates/self-loops tolerated — canonicalized and
+    * deduplicated up front). Output: `(node, triangles)` for every node
+    * in ≥ 1 triangle.
+    *
+    * Algorithm: degree orientation (the MapReduce triangle-counting
+    * design of Suri & Vassilvitskii, WWW'11). Every edge is directed
+    * from its lower endpoint to its higher endpoint under the total
+    * order ≺ = (degree, id); for a triangle {x ≺ y ≺ z} exactly the
+    * edges x→y, x→z, y→z exist, so enumerating each node's out-wedges
+    * and closing them against the oriented edge set finds each triangle
+    * EXACTLY once — same count as the naive id-ordered 3-way self-join
+    * (the DuckDB oracle), orientation-independent.
+    *
+    * Why orientation matters at 100 TB: wedges come from the LOW-order
+    * endpoint, and under degree orientation every out-degree is
+    * O(√m) — a celebrity node with 10⁸ neighbors contributes zero
+    * wedges from its own bucket (all its edges point INTO it), instead
+    * of the deg²/2 ≈ 5·10¹⁵ wedge rows the naive id-ordering can emit.
+    * Total wedge volume is bounded by Σ outDeg² = O(m^1.5) regardless
+    * of skew. The oriented edge table is `localCheckpoint`ed because it
+    * is scanned three times (both wedge sides + the closing probe) —
+    * materialize once, same discipline as [[TextPipeline.connectedComponents]]'s
+    * edge table. Both joins and the final count are plain hash
+    * shuffles on edge keys; nothing is ever collected to the driver. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orient u↔v by (deg, id); carry the head's degree so the wedge
+    // self-join can order the two out-neighbors without a re-join
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("o"))
+      .select(col("o.src"), col("o.dst"), col("o.dd"))
+      .localCheckpoint()
+    // out-wedges (x; y, z) with y ≺ z, then close against oriented y→z
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val triangles = wedges.join(oriented.as("e3"),
+        col("y") === col("e3.src") && col("z") === col("e3.dst"))
+      .select(col("x"), col("y"), col("z"))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** q117: co-purchase triangles — parts that co-occur in an order form
+    * a clique; the 20 parts participating in the most triangles are the
+    * densest-connected items in the co-purchase graph (the classic
+    * "market-basket community core" signal). Exact: the DuckDB oracle
+    * runs the naive id-ordered 3-way self-join; the Spark path is the
+    * degree-oriented enumeration in [[triangleCounts]] — same triangles,
+    * different (skew-proof) plan. Per-order pair fan-out is bounded by
+    * the order's item count (≤ 7 in the fixture's TPC-H shape). */
+  val q117_triangles = QueryDef(
+    "q117_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT unnest([x, y, z]) AS node FROM t)
+      |SELECT CAST(node AS BIGINT) AS p_partkey,
+      |  COUNT(*) AS triangles
+      |FROM n GROUP BY node
+      |ORDER BY triangles DESC, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    triangleCounts(edges)
+      .select(col("node").cast("long").as("p_partkey"), col("triangles"))
+      .orderBy(col("triangles").desc, col("p_partkey")).limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q116_pagerank, q117_triangles)
 }

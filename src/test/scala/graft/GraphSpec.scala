@@ -57,6 +57,42 @@ class GraphSpec extends SparkSpec {
     m.foreach { case (k, v) => assert(math.abs(v - seqM(k)) < 1e-9) }
   }
 
+  /** Brute-force per-node triangle membership on a hand graph. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if e((x, y)) && e((x, z)) && e((y, z))
+    } yield Seq(x, y, z)
+    tris.flatten.groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+  }
+
+  test("triangleCounts matches brute force (skew hub, dup/self edges)") {
+    import spark.implicits._
+    // hub 0 touches everyone (degree skew); one clean triangle {1,2,3};
+    // a chord 4-5 making {0,4,5}; dup edge and a self-loop must be inert
+    val edges = Seq[(Long, Long)](
+      0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 0L -> 5L, 0L -> 6L,
+      1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 4L -> 5L, 6L -> 6L)
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refTriangles(edges), s"got $got")
+    // triangle-free graph (star): empty result, not an error
+    val star = Seq[(Long, Long)](0L -> 1L, 0L -> 2L, 0L -> 3L)
+    assert(Graph.triangleCounts(star.toDF("a", "b")).count() == 0)
+  }
+
+  test("q117 on the fixture: rows exist and ordering contract holds") {
+    val rows = SparkEntry.queries("q117_triangles")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "not sorted desc")
+  }
+
   test("q116 on the fixture: 20 rows, mass-weighted head is deterministic") {
     val got = SparkEntry.queries("q116_pagerank")(spark, sf0001)
     val rows = got.collect()
