@@ -117,13 +117,13 @@ object Graph {
     * endpoint, and under degree orientation every out-degree is
     * O(√m) — a celebrity node with 10⁸ neighbors contributes zero
     * wedges from its own bucket (all its edges point INTO it), instead
-    * of the deg²/2 ≈ 5·10¹⁵ wedge rows the naive id-ordering can emit.
-    * Total wedge volume is bounded by Σ outDeg² = O(m^1.5) regardless
-    * of skew. The oriented edge table is `localCheckpoint`ed because it
-    * is scanned three times (both wedge sides + the closing probe) —
-    * materialize once, same discipline as [[TextPipeline.connectedComponents]]'s
-    * edge table. Both joins and the final count are plain hash
-    * shuffles on edge keys; nothing is ever collected to the driver. */
+    * of the deg²/2 ≈ 5·10¹⁵ wedge rows the naive id-ordering can emit;
+    * total intersection work is bounded by O(m^1.5) regardless of skew.
+    * The oriented edge table is `localCheckpoint`ed because it is
+    * scanned twice (adjacency build + probe side) — materialize once,
+    * same discipline as [[TextPipeline.connectedComponents]]'s edge
+    * table. Everything is node- or edge-sized hash shuffles with
+    * bounded array payloads; nothing is collected to the driver. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("a"), col("b")).as("u"),
@@ -132,32 +132,43 @@ object Graph {
       .distinct()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    // orient u↔v by (deg, id); carry the head's degree so the wedge
-    // self-join can order the two out-neighbors without a re-join
+    // orient u↔v by (deg, id): low endpoint → high endpoint
     val oriented = e
       .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
       .select(
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
-          .otherwise(
-            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
           .as("o"))
-      .select(col("o.src"), col("o.dst"), col("o.dd"))
+      .select(col("o.src"), col("o.dst"))
       .localCheckpoint()
-    // out-wedges (x; y, z) with y ≺ z, then close against oriented y→z
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.dd") < col("e2.dd") ||
-            (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-        col("e2.dst").as("z"))
-    val triangles = wedges.join(oriented.as("e3"),
-        col("y") === col("e3.src") && col("z") === col("e3.dst"))
-      .select(col("x"), col("y"), col("z"))
-    triangles
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    // Edge-iterator closing: for oriented x→y, every w ∈ N⁺(x) ∩ N⁺(y)
+    // closes the uniquely-oriented triangle (x→y, x→w, y→w) — so attach
+    // both endpoints' out-neighbor ARRAYS (node-keyed, each O(√m) long
+    // under the orientation) and intersect scan-locally. The wedge set
+    // (Σ outdeg² rows — the quadratic blow-up) is never materialized or
+    // shuffled: only edge-sized tables with bounded array payloads move,
+    // and the sole data-sized explode emits 1 row per ACTUAL triangle
+    // (the w-attribution), ≪ wedge count on any real graph. */
+    val adj = oriented.groupBy(col("src").as("n"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("n").as("src"), col("nbrs").as("nu")), "src")
+      // dst may have no out-edges (orientation sinks): left + empty array
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        // slice(nu, 1, 0) = a typed empty array whatever the node type
+        array_intersect(col("nu"),
+          coalesce(col("nv"), slice(col("nu"), 1, 0))).as("w"))
+      .where(size(col("w")) > 0)
+    closed
+      .select(explode(concat(
+        // x and y each join size(w) triangles; each w joins one
+        transform(col("w"), _ => col("src")),
+        transform(col("w"), _ => col("dst")),
+        col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
