@@ -181,4 +181,56 @@ object Layout {
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Outcome of a [[compactFiles]] rewrite. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int,
+                                bytesBefore: Long)
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * ingest table needs: streaming/epoch appends leave thousands of
+    * KB-sized parquet files whose per-file open/footer/task overhead
+    * eventually dominates scans. Rewrites `path` into
+    * ceil(bytes/targetBytes) files.
+    *
+    * Shape: with no `sortBy` the rewrite is `coalesce` — NO shuffle,
+    * each output task concatenates input splits, the cheapest possible
+    * rewrite (row order within merged files is whatever concatenation
+    * yields; output file sizes can skew with input layout). With
+    * `sortBy` it is `repartitionByRange + sortWithinPartitions` — one
+    * range shuffle that also CLUSTERS the data, so per-file min/max
+    * stats on the sort columns become tight and post-compaction scans
+    * row-group-prune (the zorderWrite story for the 1-D case).
+    *
+    * Durability contract: the rewrite goes to `path + "__compact_tmp"`
+    * first and only then swaps directories, so a crash mid-WRITE leaves
+    * the original table untouched; the swap itself (delete + rename) is
+    * NOT atomic on a plain filesystem — a production deployment runs
+    * this under a table-format transaction (the same caveat documented
+    * on [[appendEpochBucketed]]'s replay contract). Readers racing the
+    * swap see the old or the new listing, both complete snapshots of
+    * identical rows. */
+  def compactFiles(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L << 20,
+                   sortBy: Seq[String] = Nil): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.coalesce(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    val after = fs.listStatus(hPath).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactStats(files.size, after, bytes)
+  }
 }

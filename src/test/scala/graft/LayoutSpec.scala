@@ -528,6 +528,45 @@ class LayoutSpec extends SparkSpec {
       assert(math.abs(saltedS(k) - v) <= 1e-6 * math.abs(v)) }
   }
 
+  test("compactFiles merges a sprayed table losslessly; sortBy clusters " +
+      "for row-group pruning; crash-window tmp never pollutes reads") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // spray into many tiny files — the streaming-append pathology
+    li.repartition(64).write.parquet(dir)
+    val before = li.collect().map(_.toString).sorted.toSeq
+    val stats = Layout.compactFiles(spark, dir, targetBytes = 1L << 20)
+    assert(stats.filesBefore == 64, s"$stats")
+    assert(stats.filesAfter < stats.filesBefore, s"$stats")
+    assert(stats.filesAfter ==
+      math.max(1, (stats.bytesBefore + (1 << 20) - 1) / (1 << 20)), s"$stats")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed the data")
+    // no tmp dir left behind
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__compact_tmp")))
+
+    // clustered rewrite: per-file l_orderkey ranges must be (near-)
+    // disjoint — each file's span is a fraction of the key domain,
+    // which is what lets min/max row-group stats prune
+    val stats2 = Layout.compactFiles(spark, dir, targetBytes = 8L << 10,
+      sortBy = Seq("l_orderkey"))
+    assert(stats2.filesAfter > 1, s"$stats2")
+    val again = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(again == before, "clustered compaction changed the data")
+    val spans = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq.map { f =>
+        val one = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey")).head()
+        (one.getLong(0), one.getLong(1))
+      }.sortBy(_._1)
+    assert(spans.size > 1)
+    spans.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file key ranges overlap: $spans")
+    case _ => ()
+    }
+  }
+
   test("salted join matches plain join row-for-row") {
     val orders = Tables.orders(spark, sf0001).select("o_custkey", "o_orderkey")
     val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")
