@@ -151,7 +151,7 @@ object Graph {
     // (Σ outdeg² rows — the quadratic blow-up) is never materialized or
     // shuffled: only edge-sized tables with bounded array payloads move,
     // and the sole data-sized explode emits 1 row per ACTUAL triangle
-    // (the w-attribution), ≪ wedge count on any real graph. */
+    // (the w-attribution), ≪ wedge count on any real graph.
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(collect_list(col("dst")).as("nbrs"))
     val closed = oriented
