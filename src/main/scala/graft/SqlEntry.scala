@@ -1383,7 +1383,68 @@ object SqlEntry {
         |  CAST(SUM(dur) AS BIGINT) AS total_ms,
         |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100, 4) AS twap
         |FROM w WHERE dur IS NOT NULL AND dur > 0
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q119_pmi_collocations" ->
+      """WITH t AS (SELECT filter(split(lower(text), '[^a-z]+'),
+        |                        x -> length(x) > 0) AS ws
+        |           FROM documents),
+        |p AS (SELECT e.a, e.b
+        |      FROM (SELECT explode(transform(sequence(1, size(ws) - 1),
+        |              i -> struct(element_at(ws, i) AS a,
+        |                          element_at(ws, CAST(i + 1 AS INT)) AS b))) AS e
+        |            FROM t WHERE size(ws) >= 2)),
+        |c AS (SELECT a, b, COUNT(1) AS n FROM p GROUP BY a, b),
+        |w AS (SELECT a, b, n,
+        |        SUM(n) OVER (PARTITION BY a) AS ca,
+        |        SUM(n) OVER (PARTITION BY b) AS cb,
+        |        SUM(n) OVER () AS nn
+        |      FROM c)
+        |SELECT a, b, CAST(n AS BIGINT) AS n,
+        |  ROUND(ln((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
+        |           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 4) AS pmi
+        |FROM w WHERE n >= 5 ORDER BY a, b""".stripMargin,
+    "q120_vocab_coverage" ->
+      """WITH tok AS (SELECT explode(filter(split(lower(text), '[^a-z]+'),
+        |                                   x -> length(x) > 0)) AS word
+        |             FROM documents),
+        |u AS (SELECT word, COUNT(1) AS n FROM tok GROUP BY word)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+        |  word, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, word
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / SUM(n) OVER (), 6) AS cum_share
+        |FROM u ORDER BY rank""".stripMargin,
+    "q121_mad_outliers" ->
+      """WITH m AS (SELECT source, percentile(n_chars, 0.5) AS med
+        |           FROM documents GROUP BY source),
+        |d2 AS (SELECT doc_id, d.source, n_chars, med,
+        |         ABS(n_chars - med) AS dev
+        |       FROM documents d JOIN m ON d.source = m.source),
+        |md AS (SELECT source, percentile(dev, 0.5) AS mad
+        |       FROM d2 GROUP BY source)
+        |SELECT doc_id, d2.source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  ROUND(d2.med, 2) AS med, ROUND(mad, 2) AS mad,
+        |  CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT) AS outlier
+        |FROM d2 JOIN md ON d2.source = md.source ORDER BY doc_id""".stripMargin,
+    "q122_neardup_matrix" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |        explode(filter(split(lower(text), '[^a-z]+'),
+        |                       x -> length(x) > 0)) AS word
+        |      FROM documents),
+        |t AS (SELECT DISTINCT doc_id, source, word FROM tok WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, COUNT(1) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |            x.source AS sa, y.source AS sb, COUNT(1) AS i
+        |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id, x.source, y.source),
+        |pairs AS (SELECT sa, sb FROM inter
+        |          JOIN sz za ON za.doc_id = inter.a
+        |          JOIN sz zb ON zb.doc_id = inter.b
+        |          WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        |  CAST(COUNT(1) AS BIGINT) AS dup_pairs
+        |FROM pairs GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

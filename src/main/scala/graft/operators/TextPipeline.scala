@@ -2372,6 +2372,177 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** q119: collocation extraction by pointwise mutual information —
+    * the phrase-mining signal a tokenizer/vocab pipeline computes to
+    * decide which adjacent word pairs deserve a merged token (Church &
+    * Hanks, CL'90). PMI(a,b) = ln(c(a,b)·N / (cₗ(a)·cᵣ(b))) over the
+    * corpus's adjacent-pair stream, reported for pairs seen ≥ 5 times.
+    *
+    * Scale posture: the pair stream is a scan-local flatten (same
+    * sequence/element_at shape as q110 — never a positions self-join),
+    * and everything after the FIRST pair exchange runs on vocab²-bounded
+    * rows. The marginals and the grand total are WINDOW sums over the
+    * compacted pair table — not re-aggregation branches joined back,
+    * which (the q103 exchange-reuse lesson) re-runs the corpus-sized
+    * pair aggregate once per branch when reuse misses: the naive
+    * 3-branch join form measured 8 shuffles, this linear chain runs 5,
+    * every post-pair exchange moving ≤ vocab² rows. */
+  val q119_pmi_collocations = QueryDef(
+    "q119_pmi_collocations",
+    """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                             w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |p AS (SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT) + 1] AS b
+      |      FROM t, unnest(range(1, len(ws))) AS r(i)
+      |      WHERE len(ws) >= 2),
+      |c AS (SELECT a, b, COUNT(*) AS n FROM p GROUP BY a, b),
+      |w AS (SELECT a, b, n,
+      |        SUM(n) OVER (PARTITION BY a) AS ca,
+      |        SUM(n) OVER (PARTITION BY b) AS cb,
+      |        SUM(n) OVER () AS nn
+      |      FROM c)
+      |SELECT a, b, CAST(n AS BIGINT) AS n,
+      |  ROUND(ln((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
+      |           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 4) AS pmi
+      |FROM w WHERE n >= 5 ORDER BY a, b""".stripMargin) { (s, d) =>
+    val pairs = Tables.documents(s, d)
+      .select(Text.wordsOf(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), (i + 1).cast("int")).as("b")))).as("p"))
+      .select(col("p.a"), col("p.b"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .select(col("a"), col("b"), col("n"),
+        sum("n").over(Window.partitionBy("a")).as("ca"),
+        sum("n").over(Window.partitionBy("b")).as("cb"),
+        sum("n").over(Window.partitionBy()).as("nn"))
+      .where(col("n") >= 5)
+      .select(col("a"), col("b"), col("n").cast("long").as("n"),
+        round(log((col("n").cast("double") * col("nn").cast("double"))
+          / (col("ca").cast("double") * col("cb").cast("double"))), 4).as("pmi"))
+      .orderBy("a", "b")
+  }
+
+  /** q120: vocabulary coverage curve — for every word, ranked by corpus
+    * frequency, the cumulative share of all token occurrences a vocab
+    * truncated at that rank would cover. THE sizing curve for tokenizer
+    * vocabulary selection ("how big must V be for 99% coverage?").
+    *
+    * Scale posture: the corpus collapses to the vocab-sized unigram
+    * table in ONE exchange (map-side partials over a bounded keyspace);
+    * the rank/cumsum window is a single partition BY DESIGN — it sorts
+    * the VOCABULARY (≤ a few million rows for any real tokenizer
+    * corpus), never the corpus, so the WindowExec single-partition
+    * warning is about dimension-sized data. */
+  val q120_vocab_coverage = QueryDef(
+    "q120_vocab_coverage",
+    s"""WITH $TokensCte,
+      |u AS (SELECT word, COUNT(*) AS n FROM tokens GROUP BY word)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+      |  word, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, word) AS DOUBLE)
+      |        / SUM(n) OVER (), 6) AS cum_share
+      |FROM u ORDER BY rank""".stripMargin) { (s, d) =>
+    val byFreq = Window.orderBy(col("n").desc, col("word"))
+    val whole = Window.partitionBy()
+    tokens(s, d).groupBy("word").agg(count(lit(1)).as("n"))
+      .select(
+        row_number().over(byFreq).cast("long").as("rank"),
+        col("word"), col("n").cast("long").as("n"),
+        round(sum("n").over(byFreq.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double")
+          / sum("n").over(whole), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** q121: robust length outliers by median absolute deviation — the
+    * MAD twin of q61's percentile bands: per source, med = median of
+    * n_chars and MAD = median(|n_chars − med|); a doc is an outlier
+    * when its absolute deviation exceeds 3·MAD. MAD survives up to 50%
+    * contamination (breakdown point), where q61's p05/p95 band moves
+    * with as little as 5% — the robust-statistics ladder a quality
+    * pipeline actually climbs.
+    *
+    * Scale posture: two corpus scans, each collapsing to the
+    * #sources-row statistic table in one exact-percentile hash agg; the
+    * stat joins are hinted broadcast because their size is the SOURCE
+    * dimension (tens of rows at any corpus scale), never the corpus. */
+  val q121_mad_outliers = QueryDef(
+    "q121_mad_outliers",
+    """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |           FROM documents GROUP BY source),
+      |d2 AS (SELECT doc_id, d.source, n_chars, med,
+      |         ABS(n_chars - med) AS dev
+      |       FROM documents d JOIN m USING (source)),
+      |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+      |       FROM d2 GROUP BY source)
+      |SELECT doc_id, d2.source, CAST(n_chars AS BIGINT) AS n_chars,
+      |  ROUND(d2.med, 2) AS med, ROUND(mad, 2) AS mad,
+      |  CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT) AS outlier
+      |FROM d2 JOIN md USING (source) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val m = docs.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val d2 = docs.join(broadcast(m), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+        abs(col("n_chars") - col("med")).as("dev"))
+    val md = d2.groupBy("source").agg(expr("percentile(dev, 0.5)").as("mad"))
+    d2.join(broadcast(md), "source")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+        when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L).as("outlier"))
+      .orderBy("doc_id")
+  }
+
+  /** q122: near-duplication provenance matrix — for every near-dup pair
+    * (q26's exact-Jaccard ≥ 0.8 contract, doc_id < 100), count pairs per
+    * unordered (source, source) combination: the "who copies from whom"
+    * audit a corpus-curation pipeline runs before deciding which source
+    * to drop. Diagonal cells are intra-source duplication; off-diagonal
+    * cells are cross-source mirroring.
+    *
+    * Scale posture: source provenance RIDES the pair pipeline — each
+    * side of the word self-join carries its source column, so the pair
+    * aggregate's key gains two functionally-dependent columns and the
+    * plan needs NO doc→source join after pair generation (a corpus-sized
+    * dimension join, the r6 broadcast-losers lesson). The matrix
+    * aggregate then re-keys pair-sized rows into ≤ |sources|² cells. */
+  val q122_neardup_matrix = QueryDef(
+    "q122_neardup_matrix",
+    s"""WITH $TokensCte,
+      |t AS (SELECT DISTINCT t0.doc_id, d0.source, word
+      |      FROM tokens t0 JOIN documents d0 ON d0.doc_id = t0.doc_id
+      |      WHERE t0.doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+      |            x.source AS sa, y.source AS sb, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id, x.source, y.source),
+      |pairs AS (SELECT sa, sb FROM inter
+      |          JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8)
+      |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS dup_pairs
+      |FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) {
+    (s, d) =>
+      val t = Text.tokens(Tables.documents(s, d), "source")
+        .where(col("doc_id") < 100)
+        .select("doc_id", "source", "word").distinct()
+      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = t.select(col("doc_id").as("a"), col("source").as("sa"), col("word").as("w"))
+      val y = t.select(col("doc_id").as("b"), col("source").as("sb"), col("word").as("w2"))
+      val inter = x.join(y, col("w") === col("w2") && col("a") < col("b"))
+        .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.8)
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2385,5 +2556,6 @@ object TextPipeline {
     q84_span_cut, q93_decontam_bloom, q94_token_pack, q97_cms_heavy_hitters,
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
     q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
-    q114_contain_join)
+    q114_contain_join, q119_pmi_collocations, q120_vocab_coverage,
+    q121_mad_outliers, q122_neardup_matrix)
 }

@@ -179,11 +179,26 @@ class ShuffleAuditSpec extends SparkSpec {
     "q113_char_entropy" -> 1, // no explode, no agg: 26 replace-counts +
                               // the entropy fold are all scan-local HOFs
                               // — orderBy is the only exchange
-    "q98_interval_join" -> 4) // distinct-users agg + the bucketized
+    "q98_interval_join" -> 4, // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the
                               // shuffled shape) + the (user, lo) agg
                               // + orderBy; the day fan-out is scan-local
+    "q119_pmi_collocations" -> 2, // pair flatten is scan-local; ONE
+                                  // vocab²-keyed pair agg, then the
+                                  // marginal/total WINDOW sums ride one
+                                  // vocab²-sized exchange (the 3-branch
+                                  // re-agg join form measured 8)
+    "q120_vocab_coverage" -> 2,   // unigram agg + the vocab-sized
+                                  // single-partition rank/cumsum window
+                                  // (dimension-sized by design)
+    "q121_mad_outliers" -> 3,     // two #sources-row percentile aggs
+                                  // (med, then MAD) + orderBy; both stat
+                                  // joins broadcast the source dimension
+    "q122_neardup_matrix" -> 5)   // q26's pair pipeline with source
+                                  // RIDING the keys (no doc→source join
+                                  // after pair generation) + the
+                                  // ≤|sources|² matrix agg + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
