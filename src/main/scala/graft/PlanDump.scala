@@ -47,7 +47,9 @@ object PlanDump {
       "q102_chunk_overlap" -> "token-window chunking: tokenize -> sequence -> posexplode -> slice, ONE codegen generate stage over the scan — zero data shuffles, the only exchange is the output sort",
       "q103_kl_divergence" -> "KL domain shift as a LINEAR re-key chain: one corpus-sized (source, word) agg, word-window, per-source fold, corpus total via a #sources-row window — no branch re-reads the aggregate, no exchange-reuse bet",
       "q104_fuzzy_join_lev2" -> "depth-2 SymSpell blocking: the candidate join/distinct move 16-byte (a, b) id pairs only; names re-attach after the fan-out stage for the levenshtein verify",
-      "q117_triangles" -> "degree-oriented triangle closing: edge-sized joins attach O(sqrt m) adjacency arrays, array_intersect runs inside the scan stage — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle")
+      "q117_triangles" -> "degree-oriented triangle closing: edge-sized joins attach O(sqrt m) adjacency arrays, array_intersect runs inside the scan stage — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle",
+      "q119_pmi_collocations" -> "PMI marginals as WINDOW sums over the one compacted pair aggregate — the 3-branch re-agg join form re-ran the corpus-sized pair agg per branch (8 shuffles measured); this chain runs 2, everything post-agg vocab²-sized",
+      "q122_neardup_matrix" -> "source provenance RIDES the pair pipeline keys (functionally-dependent groupBy columns) — no corpus-sized doc→source dimension join after pair generation, the r6 broadcast-losers lesson applied to metadata attachment")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"

@@ -1444,7 +1444,75 @@ object SqlEntry {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         |  CAST(COUNT(1) AS BIGINT) AS dup_pairs
         |FROM pairs GROUP BY source_a, source_b
-        |ORDER BY source_a, source_b""".stripMargin)
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q123_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |old AS (SELECT * FROM base WHERE k % 7 <> 0),
+        |nw AS (SELECT k,
+        |         CASE WHEN k % 3 = 0 THEN cents + 999 ELSE cents END AS cents,
+        |         status
+        |       FROM base WHERE k % 5 <> 0),
+        |d AS (SELECT COALESCE(o.k, n.k) AS k,
+        |        o.cents AS old_cents, n.cents AS new_cents,
+        |        CASE WHEN o.k IS NULL THEN 'added'
+        |             WHEN n.k IS NULL THEN 'removed'
+        |             WHEN o.cents IS DISTINCT FROM n.cents
+        |                  OR o.status IS DISTINCT FROM n.status THEN 'changed'
+        |             ELSE 'same' END AS change
+        |      FROM old o FULL JOIN nw n ON o.k = n.k)
+        |SELECT k, change, old_cents, new_cents
+        |FROM d WHERE change <> 'same' ORDER BY k""".stripMargin,
+    "q124_skyline" ->
+      """WITH base AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderdate AS d
+        |  FROM orders),
+        |pts AS (SELECT cents, d, COUNT(1) AS n_orders
+        |        FROM base GROUP BY cents, d),
+        |w AS (SELECT cents, d, n_orders,
+        |        MAX(d) OVER (ORDER BY cents DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hmax,
+        |        MAX(d) OVER (ORDER BY cents DESC
+        |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS smax
+        |      FROM pts)
+        |SELECT cents, d, n_orders FROM w
+        |WHERE (hmax IS NULL OR d > hmax) AND d = smax
+        |ORDER BY cents DESC""".stripMargin,
+    "q125_quantile_binning" ->
+      """WITH e AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |k AS (SELECT percentile(cents,
+        |        array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)) AS cuts
+        |      FROM e),
+        |b AS (SELECT CAST(size(filter(cuts, c -> cents > c)) AS BIGINT) AS bin,
+        |             cents
+        |      FROM e CROSS JOIN k)
+        |SELECT bin, COUNT(1) AS n, MIN(cents) AS lo, MAX(cents) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q126_threshold_curve" ->
+      """WITH tok AS (SELECT doc_id,
+        |        explode(filter(split(lower(text), '[^a-z]+'),
+        |                       x -> length(x) > 0)) AS word
+        |      FROM documents),
+        |t AS (SELECT DISTINCT doc_id, word FROM tok WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, COUNT(1) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(1) AS i
+        |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+        |          GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (SELECT ROUND(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS jac
+        |          FROM inter
+        |          JOIN sz za ON za.doc_id = inter.a
+        |          JOIN sz zb ON zb.doc_id = inter.b
+        |          WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5),
+        |th AS (SELECT explode(array(50, 55, 60, 65, 70, 75, 80, 85, 90, 95))
+        |                AS t)
+        |SELECT CAST(t AS BIGINT) AS threshold, COUNT(1) AS n_pairs
+        |FROM pairs CROSS JOIN th WHERE jac >= t / 100.0
+        |GROUP BY t ORDER BY threshold""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -1021,6 +1021,69 @@ object Advanced {
     compactChangeLog(base, log).orderBy("k")
   }
 
+  /** q123: snapshot diff / table reconciliation — the row-level repair
+    * companion to q99's anti-entropy checksum: q99 says WHETHER two
+    * replicas/snapshots diverged (cheap, commutative folds), q123 says
+    * exactly WHICH rows to ship — `added` (new only), `removed` (old
+    * only), `changed` (both, any compared column IS DISTINCT FROM).
+    * Both snapshots derive deterministically from `orders` so the two
+    * engines diff identical tables: old drops keys ≡ 0 (mod 7), new
+    * drops keys ≡ 0 (mod 5) and bumps cents on keys ≡ 0 (mod 3) — the
+    * untouched status column exercises the no-change side of the
+    * multi-column comparison.
+    *
+    * Scale posture: ONE key-keyed full-outer join (both sides hash by
+    * the key — the minimal movement any diff needs), classification and
+    * the distinct-from comparison scan-local, unchanged rows dropped
+    * before the output sort so the result is change-sized, not
+    * table-sized. No sort-merge of full snapshots on a single node, no
+    * driver materialization — at 100 TB the diff is exactly one
+    * co-partitioned join. */
+  val q123_snapshot_diff = QueryDef(
+    "q123_snapshot_diff",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderstatus AS status
+      |  FROM orders),
+      |old AS (SELECT * FROM base WHERE k % 7 <> 0),
+      |new AS (SELECT k,
+      |          CASE WHEN k % 3 = 0 THEN cents + 999 ELSE cents END AS cents,
+      |          status
+      |        FROM base WHERE k % 5 <> 0),
+      |d AS (SELECT COALESCE(o.k, n.k) AS k,
+      |        o.cents AS old_cents, n.cents AS new_cents,
+      |        CASE WHEN o.k IS NULL THEN 'added'
+      |             WHEN n.k IS NULL THEN 'removed'
+      |             WHEN o.cents IS DISTINCT FROM n.cents
+      |                  OR o.status IS DISTINCT FROM n.status THEN 'changed'
+      |             ELSE 'same' END AS change
+      |      FROM old o FULL JOIN new n ON o.k = n.k)
+      |SELECT k, change, old_cents, new_cents
+      |FROM d WHERE change <> 'same' ORDER BY k""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("status"))
+    val old = base.where(col("k") % 7 =!= 0)
+      .select(col("k").as("ok"), col("cents").as("old_cents"),
+        col("status").as("old_status"))
+    val nw = base.where(col("k") % 5 =!= 0)
+      .select(col("k").as("nk"),
+        when(col("k") % 3 === 0, col("cents") + 999).otherwise(col("cents"))
+          .as("new_cents"),
+        col("status").as("new_status"))
+    old.join(nw, col("ok") === col("nk"), "full")
+      .select(coalesce(col("ok"), col("nk")).as("k"),
+        when(col("ok").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .when(!(col("old_cents") <=> col("new_cents")) ||
+                !(col("old_status") <=> col("new_status")), "changed")
+          .otherwise("same").as("change"),
+        col("old_cents"), col("new_cents"))
+      .where(col("change") =!= "same")
+      .orderBy("k")
+  }
+
   /** q98: interval join — points (events) against overlapping per-user
     * time windows, the "which maintenance/campaign windows does this
     * event fall in" shape. The oracle is the theta join (`day BETWEEN
@@ -1330,6 +1393,95 @@ object Advanced {
       .orderBy("bucket")
   }
 
+  /** q124: Pareto skyline (maximize price AND recency) — the
+    * non-dominated frontier over (cents, order date): an order is on
+    * the skyline iff no other order is ≥ in both dimensions and > in at
+    * least one. The data-selection primitive behind quality-vs-length /
+    * cost-vs-freshness tradeoff curves in corpus curation.
+    *
+    * Scale posture: rows collapse to DISTINCT (cents, date) points with
+    * counts in one exchange; dominance then needs only two window
+    * aggregates that share ONE sort — over integer cents, a descending
+    * RANGE frame ending at −1 is exactly "strictly higher cents" (max
+    * date among all better-priced points), and the (currentRow,
+    * currentRow) range frame is exactly the tie group (max date among
+    * same-priced points). Point p survives iff its date beats every
+    * higher-priced date and is its own price-class max. The single-
+    * partition window runs over the DISTINCT-point table, not the
+    * corpus; if even that outgrows one task, q94's two-level prefix
+    * decomposition applies verbatim (per-shard frames + #shards-row
+    * prefix). The naive formulation — the oracle's NOT EXISTS dominance
+    * self-join — is O(n²) and never runs here. */
+  val q124_skyline = QueryDef(
+    "q124_skyline",
+    """WITH base AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderdate AS d
+      |  FROM orders),
+      |pts AS (SELECT cents, d, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |        FROM base GROUP BY cents, d)
+      |SELECT cents, d, n_orders FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.cents >= p.cents AND q.d >= p.d
+      |    AND (q.cents > p.cents OR q.d > p.d))
+      |ORDER BY cents DESC""".stripMargin) { (s, d) =>
+    val pts = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").as("d"))
+      .groupBy("cents", "d").agg(count(lit(1)).as("n_orders"))
+    val byCents = Window.orderBy(col("cents").desc)
+    val higher = byCents.rangeBetween(Window.unboundedPreceding, -1)
+    val ties = byCents.rangeBetween(Window.currentRow, Window.currentRow)
+    pts
+      .select(col("cents"), col("d"), col("n_orders"),
+        max("d").over(higher).as("hmax"), max("d").over(ties).as("smax"))
+      .where((col("hmax").isNull || col("d") > col("hmax")) &&
+        col("d") === col("smax"))
+      .select(col("cents"), col("d"), col("n_orders"))
+      .orderBy(col("cents").desc)
+  }
+
+  /** q125: equal-frequency (decile) feature binning — q111's histogram
+    * is equal-WIDTH; ML feature quantization wants equal-COUNT bins:
+    * exact decile cuts over cents, each row assigned the number of cuts
+    * strictly below it, per-bin count/lo/hi reported. The bin-boundary
+    * table a feature store ships with a quantized column.
+    *
+    * Scale posture: the cut computation is ONE exact-percentile global
+    * aggregate (1 row, broadcast back — same shape as q111's bounds
+    * pass); assignment is a scan-local filter-count over the 9-element
+    * cuts array; the stats agg has a ≤ 10-key keyspace so map-side
+    * partials collapse everything before the exchange. Integer cents
+    * against the interpolated double cuts compare identically in both
+    * engines. */
+  val q125_quantile_binning = QueryDef(
+    "q125_quantile_binning",
+    """WITH e AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |k AS (SELECT quantile_cont(cents,
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+      |      FROM e),
+      |b AS (SELECT CAST(len(list_filter(cuts, c -> cents > c)) AS BIGINT)
+      |               AS bin,
+      |             cents
+      |      FROM e CROSS JOIN k)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(cents) AS lo, MAX(cents) AS hi
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val cents = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cuts = cents.agg(
+      expr("percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+        .as("cuts"))
+    cents.crossJoin(broadcast(cuts))
+      .select(size(filter(col("cuts"), c => col("cents") > c))
+        .cast("long").as("bin"), col("cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+      .orderBy("bin")
+  }
+
   /** q112: per-user EWMA (α = 0.3) over the time-ordered event stream —
     * the smoothing fold behind rate limiting, anomaly baselines, and
     * metric dashboards. An EWMA is inherently sequential, so the honest
@@ -1457,5 +1609,6 @@ object Advanced {
       q92_fuzzy_join, q96_cdc_compact, q98_interval_join,
       q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
       q106_retention, q107_transitions, q108_ohlc, q111_histogram,
-      q112_ewma, q115_rolling_median, q118_twap)
+      q112_ewma, q115_rolling_median, q118_twap, q123_snapshot_diff,
+      q124_skyline, q125_quantile_binning)
 }

@@ -2543,6 +2543,46 @@ object TextPipeline {
         .orderBy("source_a", "source_b")
   }
 
+  /** q126: dedup threshold sensitivity curve — pair counts at every
+    * candidate Jaccard threshold from 0.50 to 0.95 in one pass: the
+    * tuning artifact behind "which τ do we dedup at", showing how fast
+    * the pair set grows as the bar drops. Same bounded contract as q26
+    * (doc_id < 100).
+    *
+    * Scale posture: pairs are computed ONCE at the loosest threshold
+    * (τ = 0.5) by [[exactJaccardPairs]]; the curve is then a scan-local
+    * fan-out (each pair emits the thresholds it clears — ≤ 10 literals)
+    * into a ≤ 10-key aggregate, so the sweep costs one pair pipeline,
+    * not ten. Both engines compare the SAME 4-decimal-rounded Jaccard
+    * against the same double literals. */
+  val q126_threshold_curve = QueryDef(
+    "q126_threshold_curve",
+    s"""WITH $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT ROUND(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS jac
+      |          FROM inter
+      |          JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5),
+      |th AS (SELECT unnest([50, 55, 60, 65, 70, 75, 80, 85, 90, 95]) AS t)
+      |SELECT CAST(t AS BIGINT) AS threshold,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pairs CROSS JOIN th WHERE jac >= t / 100.0
+      |GROUP BY t ORDER BY threshold""".stripMargin) { (s, d) =>
+    val thresholds = array((50 to 95 by 5).map(t => lit(t)): _*)
+    exactJaccardPairs(
+      tokens(s, d).where(col("doc_id") < 100).select("doc_id", "word").distinct(),
+      0.5)
+      .select(explode(filter(thresholds,
+        t => col("jac") >= t.cast("double") / 100.0)).as("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      .select(col("threshold").cast("long").as("threshold"), col("n_pairs"))
+      .orderBy("threshold")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2557,5 +2597,5 @@ object TextPipeline {
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
     q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
     q114_contain_join, q119_pmi_collocations, q120_vocab_coverage,
-    q121_mad_outliers, q122_neardup_matrix)
+    q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve)
 }

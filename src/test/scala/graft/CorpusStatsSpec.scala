@@ -89,6 +89,54 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q124: skyline equals brute-force dominance over the distinct points") {
+    // o_orderdate reads as TIMESTAMP_NTZ since the r7 fixture regeneration
+    val pts = Tables.orders(spark, sf0001)
+      .selectExpr("CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderdate AS d")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pts.filter { case ((c, d), _) =>
+      !pts.keys.exists { case (c2, d2) =>
+        c2 >= c && !d2.isBefore(d) && (c2 > c || d2.isAfter(d))
+      }
+    }.toSeq.map { case ((c, d), n) => (c, d, n) }.sortBy(-_._1)
+    val got = SparkEntry.queries("q124_skyline")(spark, sf0001)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q125: decile bins nest, cover all rows, and are frequency-balanced") {
+    val rows = SparkEntry.queries("q125_quantile_binning")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_._1).toSeq == (0L to 9L), "exactly bins 0..9")
+    assert(rows.map(_._2).sum == total, "bins must cover every row")
+    // ordered, non-overlapping value ranges
+    rows.sliding(2).foreach { case Array((_, _, _, hi), (_, _, lo2, _)) =>
+      assert(hi < lo2, "bin ranges must be disjoint and increasing")
+    }
+    // equal-frequency up to interpolation ties: each bin within ±20% of n/10
+    val ideal = total / 10.0
+    rows.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - ideal) <= ideal * 0.2, s"bin $b badly unbalanced: $n")
+    }
+  }
+
+  test("q126: curve is non-increasing and agrees with q26 at its threshold") {
+    val rows = SparkEntry.queries("q126_threshold_curve")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == (50L to 95L by 5L))
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a >= b, "pair count must not grow as the threshold rises")
+    }
+    val q26n = SparkEntry.queries("q26_neardup_jaccard")(spark, sf0001).count()
+    assert(rows.toMap.apply(80L) == q26n, "t=0.80 must equal q26's pair count")
+  }
+
   test("q122: matrix cells partition q26's pairs by their source pair") {
     val srcOf = docs.map(d => d._1 -> d._2).toMap
     val q26 = SparkEntry.queries("q26_neardup_jaccard")(spark, sf0001)

@@ -195,10 +195,26 @@ class ShuffleAuditSpec extends SparkSpec {
     "q121_mad_outliers" -> 3,     // two #sources-row percentile aggs
                                   // (med, then MAD) + orderBy; both stat
                                   // joins broadcast the source dimension
-    "q122_neardup_matrix" -> 5)   // q26's pair pipeline with source
+    "q122_neardup_matrix" -> 5,   // q26's pair pipeline with source
                                   // RIDING the keys (no doc→source join
                                   // after pair generation) + the
                                   // ≤|sources|² matrix agg + orderBy
+    "q123_snapshot_diff" -> 3,    // ONE key-keyed full-outer join (each
+                                  // snapshot hashes once — the minimal
+                                  // movement any diff needs) + orderBy;
+                                  // classify/compare are scan-local
+    "q124_skyline" -> 2,          // distinct-point agg + ONE sort shared
+                                  // by both dominance range frames (the
+                                  // NOT EXISTS oracle form is O(n²) and
+                                  // never runs here)
+    "q125_quantile_binning" -> 3, // 1-row decile agg broadcast back +
+                                  // the ≤10-key bin stats agg + orderBy;
+                                  // assignment is a scan-local array
+                                  // filter-count
+    "q126_threshold_curve" -> 5)  // ONE τ=0.5 pair pipeline; the sweep
+                                  // is a scan-local ≤10-literal fan-out
+                                  // into a ≤10-key agg — ten thresholds
+                                  // never cost ten pair joins
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -266,4 +266,32 @@ class UpsertFillFuzzSpec extends SparkSpec {
       SparkEntry.queries(name)(spark, sf0001).collect().toSeq
     assert(rows("q93_decontam_bloom") == rows("q59_decontam"))
   }
+
+  test("q123 snapshot diff equals the set-algebra model of the two snapshots") {
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val old = base.filter { case (k, _) => k % 7 != 0 }
+    val nw = base.filter { case (k, _) => k % 5 != 0 }
+      .map { case (k, c) => k -> (if (k % 3 == 0) c + 999 else c) }
+    val expected = (old.keySet ++ nw.keySet).flatMap { k =>
+      (old.get(k), nw.get(k)) match {
+        case (None, Some(c))              => Some((k, "added", None, Some(c)))
+        case (Some(c), None)              => Some((k, "removed", Some(c), None))
+        case (Some(a), Some(b)) if a != b => Some((k, "changed", Some(a), Some(b)))
+        case _                            => None
+      }
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q123_snapshot_diff")(spark, sf0001)
+      .collect().toSeq.map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      }
+    assert(got == expected)
+    // the diff applied to old must reproduce new exactly (repair-set law)
+    val repaired = (old -- got.filter(_._2 == "removed").map(_._1)) ++
+      got.collect { case (k, ("added" | "changed"), _, Some(c)) => k -> c }
+    assert(repaired == nw, "applying the diff to old must yield new")
+  }
 }
