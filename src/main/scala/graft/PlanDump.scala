@@ -49,7 +49,8 @@ object PlanDump {
       "q104_fuzzy_join_lev2" -> "depth-2 SymSpell blocking: the candidate join/distinct move 16-byte (a, b) id pairs only; names re-attach after the fan-out stage for the levenshtein verify",
       "q117_triangles" -> "degree-oriented triangle closing: edge-sized joins attach O(sqrt m) adjacency arrays, array_intersect runs inside the scan stage — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle",
       "q119_pmi_collocations" -> "PMI marginals as WINDOW sums over the one compacted pair aggregate — the 3-branch re-agg join form re-ran the corpus-sized pair agg per branch (8 shuffles measured); this chain runs 2, everything post-agg vocab²-sized",
-      "q122_neardup_matrix" -> "source provenance RIDES the pair pipeline keys (functionally-dependent groupBy columns) — no corpus-sized doc→source dimension join after pair generation, the r6 broadcast-losers lesson applied to metadata attachment")
+      "q122_neardup_matrix" -> "source provenance RIDES the pair pipeline keys (functionally-dependent groupBy columns) — no corpus-sized doc→source dimension join after pair generation, the r6 broadcast-losers lesson applied to metadata attachment",
+      "q124_skyline" -> "Pareto dominance via TWO range frames sharing ONE sort: desc integer RANGE to -1 = strictly-better prices, (currentRow,currentRow) = the tie group — the O(n²) NOT EXISTS self-join the oracle runs never appears in the plan")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"
