@@ -1512,7 +1512,21 @@ object SqlEntry {
         |                AS t)
         |SELECT CAST(t AS BIGINT) AS threshold, COUNT(1) AS n_pairs
         |FROM pairs CROSS JOIN th WHERE jac >= t / 100.0
-        |GROUP BY t ORDER BY threshold""".stripMargin)
+        |GROUP BY t ORDER BY threshold""".stripMargin,
+    // q127 has no SQL text: like q48/q58/q71 it rides the iterative
+    // pointer-jump components, which has no fixed-point SQL form here.
+    "q128_embed_cov" ->
+      """WITH x AS (SELECT vec_id, p + 1 AS i, CAST(e AS DOUBLE) AS v
+        |           FROM embeddings LATERAL VIEW posexplode(embedding) AS p, e),
+        |n AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n FROM embeddings),
+        |m AS (SELECT i, SUM(v) AS s FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sp
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  ROUND(sp / n.n - (mi.s / n.n) * (mj.s / n.n), 4) + 0.0 AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
+        |ORDER BY i, j""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

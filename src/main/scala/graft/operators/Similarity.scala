@@ -803,8 +803,62 @@ object Similarity {
       .select("vec_id").orderBy("vec_id")
   }
 
+  /** q128: embedding covariance matrix — the vector-column statistic
+    * behind whitening, PCA preprocessing, and anisotropy diagnostics
+    * ("is this embedding space collapsing?"): cov(i,j) = E[xᵢxⱼ] −
+    * E[xᵢ]E[xⱼ] for every dimension pair i ≤ j, reported 1-indexed.
+    *
+    * Scale posture: two scan-local explodes feed two bounded-key
+    * aggregates — the d(d+1)/2-key product sums and the d-key means —
+    * so partial aggregation collapses every partition to ≤ 2 144 rows
+    * (d = 64) before its exchange; the corpus itself is never
+    * re-keyed, and the mean/count attachment broadcasts d-row /
+    * 1-row tables that are DIMENSION-sized at any corpus scale. The
+    * d² work per row is the irreducible cost of an exact covariance;
+    * cross-engine determinism comes from rounding after the final
+    * division (both engines sum doubles, order-insensitive to 4 dp). */
+  val q128_embed_cov = QueryDef(
+    "q128_embed_cov",
+    """WITH x AS (SELECT vec_id, i, CAST(e AS DOUBLE) AS v
+      |           FROM (SELECT vec_id, unnest(embedding) AS e,
+      |                   generate_subscripts(embedding, 1) AS i
+      |                 FROM embeddings)),
+      |n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |m AS (SELECT i, SUM(v) AS s FROM x GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sp
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY a.i, b.i)
+      |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+      |  ROUND(sp / n.n - (mi.s / n.n) * (mj.s / n.n), 4) + 0.0 AS cov
+      |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val n = emb.agg(count(lit(1)).cast("double").as("n"))
+    val m = emb
+      .select(posexplode(col("embedding")).as(Seq("p", "e")))
+      .groupBy((col("p") + 1).as("i"))
+      .agg(sum(col("e").cast("double")).as("s"))
+    val dims = sequence(lit(0), size(col("embedding")) - 1)
+    val p = emb
+      .select(explode(flatten(transform(dims, i =>
+        transform(sequence(i, size(col("embedding")) - 1), j =>
+          struct((i + 1).as("i"), (j + 1).as("j"),
+            (element_at(col("embedding"), (i + 1).cast("int")).cast("double") *
+              element_at(col("embedding"), (j + 1).cast("int")).cast("double"))
+              .as("v")))))).as("t"))
+      .groupBy(col("t.i"), col("t.j")).agg(sum("t.v").as("sp"))
+    p.join(broadcast(m.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        // + 0.0 folds IEEE −0.0 to +0.0 so both engines render "0.0"
+        (round(col("sp") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")),
+          4) + lit(0.0)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup,
       q74_dedup_embeddings, q75_dedup_embeddings_lsh, q87_ann_pq,
-      q88_ann_ivfpq)
+      q88_ann_ivfpq, q128_embed_cov)
 }

@@ -2583,6 +2583,52 @@ object TextPipeline {
       .orderBy("threshold")
   }
 
+  /** q127: duplicate-cluster size distribution — dedup observability:
+    * how big do near-dup clusters get before election? The histogram
+    * (cluster_size → n_clusters) over q48's connected components is
+    * what a curation team reads to pick between "drop all but one" and
+    * "cap per cluster", and a heavy tail here is the early warning for
+    * boilerplate floods. Same bounded contract as q26/q48
+    * (doc_id < 100); singleton documents (no pair) are by definition
+    * absent — sizes start at 2.
+    *
+    * Scale posture: rides the q48 pipeline (guarded pairs → pointer-
+    * jumped components, node-sized label state); the two histogram
+    * aggregates move component-count-sized then size-count-sized rows
+    * — nothing data-sized after the pair stage. */
+  val q127_cluster_sizes = QueryDef(
+    "q127_cluster_sizes",
+    s"""WITH RECURSIVE $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |          FROM comp GROUP BY rep)
+      |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+    (s, d) =>
+      val pairs = exactJaccardPairs(
+        tokens(s, d).where(col("doc_id") < 100)
+          .select("doc_id", "word").distinct(),
+        0.8).select("a", "b")
+      connectedComponents(pairs)
+        .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2597,5 +2643,6 @@ object TextPipeline {
     q99_table_checksum, q100_setsim_join, q102_chunk_overlap,
     q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
     q114_contain_join, q119_pmi_collocations, q120_vocab_coverage,
-    q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve)
+    q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve,
+    q127_cluster_sizes)
 }

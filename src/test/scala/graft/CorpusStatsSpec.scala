@@ -137,6 +137,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.toMap.apply(80L) == q26n, "t=0.80 must equal q26's pair count")
   }
 
+  test("q127: size histogram equals the fold of q48's cluster assignment") {
+    val reps = SparkEntry.queries("q48_dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(1))
+    val expected = reps.groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q127_cluster_sizes")(spark, sf0001)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == expected)
+    assert(got.forall(_._1 >= 2), "components never contain singletons")
+  }
+
+  test("q128: covariance entries equal the plain-Scala two-pass computation") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val got = SparkEntry.queries("q128_embed_cov")(spark, sf0001)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    for (i <- 0 until dim; j <- i until dim) {
+      val cov = vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      assert(math.abs(got((i + 1, j + 1)) - cov) < 5e-5,
+        s"cov(${i + 1},${j + 1}) diverges: ${got((i + 1, j + 1))} vs $cov")
+    }
+    // diagonal entries are variances: non-negative
+    (1 to dim).foreach(i => assert(got((i, i)) >= 0.0))
+  }
+
   test("q122: matrix cells partition q26's pairs by their source pair") {
     val srcOf = docs.map(d => d._1 -> d._2).toMap
     val q26 = SparkEntry.queries("q26_neardup_jaccard")(spark, sf0001)

@@ -211,10 +211,20 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // the ≤10-key bin stats agg + orderBy;
                                   // assignment is a scan-local array
                                   // filter-count
-    "q126_threshold_curve" -> 5)  // ONE τ=0.5 pair pipeline; the sweep
+    "q126_threshold_curve" -> 5,  // ONE τ=0.5 pair pipeline; the sweep
                                   // is a scan-local ≤10-literal fan-out
                                   // into a ≤10-key agg — ten thresholds
                                   // never cost ten pair joins
+    "q127_cluster_sizes" -> 3,    // post-checkpoint plan: the two
+                                  // histogram aggs (component- then
+                                  // size-count-sized) + orderBy; the
+                                  // pair/components stages are cut by
+                                  // localCheckpoint like q48
+    "q128_embed_cov" -> 4)        // d-key means + d(d+1)/2-key product
+                                  // sums + 1-row count (all map-side
+                                  // collapsed to ≤2144 rows/partition)
+                                  // + orderBy; mean/count joins
+                                  // broadcast dimension-sized tables
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
