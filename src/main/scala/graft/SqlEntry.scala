@@ -1526,7 +1526,92 @@ object SqlEntry {
         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
         |  ROUND(sp / n.n - (mi.s / n.n) * (mj.s / n.n), 4) + 0.0 AS cov
         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
-        |ORDER BY i, j""".stripMargin)
+        |ORDER BY i, j""".stripMargin,
+    "q129_fk_audit" ->
+      """WITH fk AS (SELECT CASE WHEN o_orderkey % 37 = 0
+        |                        THEN o_custkey - 1000000
+        |                        ELSE o_custkey END AS k FROM orders),
+        |fc AS (SELECT k, COUNT(*) AS cnt FROM fk GROUP BY k),
+        |r1 AS (SELECT 'fk_orders_custkey' AS check_name,
+        |         CAST(SUM(cnt) AS BIGINT) AS checked,
+        |         CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+        |                                THEN cnt END), 0) AS BIGINT)
+        |           AS violations
+        |       FROM fc LEFT JOIN customer c ON fc.k = c.c_custkey),
+        |u AS (SELECT c_custkey AS k FROM customer
+        |      UNION ALL
+        |      SELECT c_custkey FROM customer WHERE c_custkey % 41 = 0),
+        |uc AS (SELECT k, COUNT(*) AS cnt FROM u GROUP BY k),
+        |r2 AS (SELECT 'unique_customer_custkey' AS check_name,
+        |         CAST(SUM(cnt) AS BIGINT) AS checked,
+        |         CAST(SUM(cnt - 1) AS BIGINT) AS violations FROM uc),
+        |r3 AS (SELECT 'notnull_documents_text' AS check_name,
+        |         CAST(COUNT(*) AS BIGINT) AS checked,
+        |         CAST(SUM(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS violations
+        |       FROM documents)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+        |SELECT * FROM r3 ORDER BY check_name""".stripMargin,
+    "q130_acf" ->
+      """WITH dc AS (SELECT CAST(ts AS DATE) AS d,
+        |             CAST(COUNT(*) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM dc),
+        |mu AS (SELECT AVG(x) AS mu FROM s),
+        |den AS (SELECT SUM((x - mu) * (x - mu)) AS d2
+        |        FROM s CROSS JOIN mu),
+        |k AS (SELECT explode(sequence(1, 7)) AS lag),
+        |num AS (SELECT k.lag, SUM((a.x - mu) * (b.x - mu)) AS nm
+        |        FROM k JOIN s a ON a.i > k.lag
+        |               JOIN s b ON b.i = a.i - k.lag CROSS JOIN mu
+        |        GROUP BY k.lag)
+        |SELECT CAST(num.lag AS BIGINT) AS lag, ROUND(nm / d2, 4) AS acf
+        |FROM num CROSS JOIN den ORDER BY lag""".stripMargin,
+    "q131_cooccur_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu
+        |        FROM ut),
+        |mg AS (SELECT event_type, COUNT(*) AS m FROM ut GROUP BY 1),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b,
+        |        COUNT(*) AS n_users
+        |      FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |                        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b, CAST(p.n_users AS BIGINT) AS n_users,
+        |  ROUND(CAST(p.n_users AS DOUBLE) * nu / (ma.m * mb.m), 4)
+        |    AS lift,
+        |  ROUND(CAST(p.n_users AS DOUBLE) / (ma.m + mb.m - p.n_users), 4)
+        |    AS jaccard
+        |FROM p JOIN mg ma ON ma.event_type = p.a
+        |       JOIN mg mb ON mb.event_type = p.b CROSS JOIN tot
+        |ORDER BY a, b""".stripMargin,
+    // q132 has no SQL text: like q48/q127 it rides the iterative
+    // pointer-jump components, which has no fixed-point SQL form here.
+    "q133_psi_drift" ->
+      """WITH e AS (SELECT source, n_chars AS v FROM documents),
+        |k AS (SELECT percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5,
+        |                                 0.6, 0.7, 0.8, 0.9)) AS cuts
+        |      FROM e),
+        |b AS (SELECT source,
+        |        CAST(size(filter(cuts, c -> v > c)) AS BIGINT) AS bin
+        |      FROM e CROSS JOIN k),
+        |sb AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |srcs AS (SELECT source, SUM(c) AS ns FROM sb GROUP BY source),
+        |bins AS (SELECT explode(sequence(0, 9)) AS bin),
+        |cb AS (SELECT bin, SUM(c) AS cnt_b FROM sb GROUP BY bin),
+        |tot AS (SELECT SUM(c) AS n FROM sb),
+        |grid AS (SELECT s.source, s.ns, bb.bin
+        |         FROM srcs s CROSS JOIN bins bb),
+        |f AS (SELECT g.source, g.ns, g.bin,
+        |        COALESCE(sb.c, 0) AS cs, COALESCE(cb.cnt_b, 0) AS cnt_b
+        |      FROM grid g
+        |      LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+        |      LEFT JOIN cb ON cb.bin = g.bin)
+        |SELECT source, ROUND(SUM(
+        |    ((cs + 1.0) / (ns + 10.0) - (cnt_b + 1.0) / (n + 10.0)) *
+        |    ln(((cs + 1.0) / (ns + 10.0)) /
+        |       ((cnt_b + 1.0) / (n + 10.0)))), 4) AS psi
+        |FROM f CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

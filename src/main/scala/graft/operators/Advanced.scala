@@ -1600,6 +1600,200 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  /** q129: constraint audit — the data-quality gate a pipeline runs
+    * before promoting a batch: referential integrity (every staged
+    * order points at a real customer), key uniqueness, and a not-null
+    * contract, reported as one (check, checked, violations) table. The
+    * fixture is clean by construction, so — the q81 PII precedent —
+    * each check audits a STAGED view carrying deterministic corruption
+    * synthesized from existing columns (identical in both engines):
+    * every 37th order's FK is shifted out of range, every 41st
+    * customer key is re-inserted, every 29th document's text is
+    * nulled. Both the pass and the violation paths are exercised.
+    *
+    * Scale posture: the FK check never ships fact rows to the join —
+    * the staged FK column collapses to (key, cnt) via a map-side-
+    * combined aggregate, the key-sized frame left-joins the dimension
+    * key set (AQE picks broadcast vs shuffle — the round-7 lesson:
+    * never hint), and violations are a SUM over unmatched keys.
+    * Uniqueness folds to sum(cnt−1) over the same-shaped key agg;
+    * the not-null check is a scan-local conditional aggregate. Each
+    * check ends 1 row; the report union moves 3 rows. */
+  val q129_fk_audit = QueryDef(
+    "q129_fk_audit",
+    """WITH fk AS (SELECT CASE WHEN o_orderkey % 37 = 0
+      |                        THEN o_custkey - 1000000
+      |                        ELSE o_custkey END AS k FROM orders),
+      |fc AS (SELECT k, COUNT(*) AS cnt FROM fk GROUP BY k),
+      |r1 AS (SELECT 'fk_orders_custkey' AS check_name,
+      |         CAST(SUM(cnt) AS BIGINT) AS checked,
+      |         CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+      |                                THEN cnt END), 0) AS BIGINT)
+      |           AS violations
+      |       FROM fc LEFT JOIN customer c ON fc.k = c.c_custkey),
+      |u AS (SELECT c_custkey AS k FROM customer
+      |      UNION ALL
+      |      SELECT c_custkey FROM customer WHERE c_custkey % 41 = 0),
+      |uc AS (SELECT k, COUNT(*) AS cnt FROM u GROUP BY k),
+      |r2 AS (SELECT 'unique_customer_custkey' AS check_name,
+      |         CAST(SUM(cnt) AS BIGINT) AS checked,
+      |         CAST(SUM(cnt - 1) AS BIGINT) AS violations FROM uc),
+      |r3 AS (SELECT 'notnull_documents_text' AS check_name,
+      |         CAST(COUNT(*) AS BIGINT) AS checked,
+      |         CAST(SUM(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS violations
+      |       FROM documents)
+      |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+      |SELECT * FROM r3 ORDER BY check_name""".stripMargin) { (s, d) =>
+    val fc = Tables.orders(s, d)
+      .select(when(col("o_orderkey") % 37 === 0, col("o_custkey") - 1000000L)
+        .otherwise(col("o_custkey")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val r1 = fc
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("k") === col("c_custkey"), "left")
+      .agg(sum("cnt").cast("long").as("checked"),
+        coalesce(sum(when(col("c_custkey").isNull, col("cnt"))), lit(0L))
+          .cast("long").as("violations"))
+      .select(lit("fk_orders_custkey").as("check_name"),
+        col("checked"), col("violations"))
+    val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    val r2 = cust.union(cust.where(col("k") % 41 === 0))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").cast("long").as("checked"),
+        sum(col("cnt") - 1).cast("long").as("violations"))
+      .select(lit("unique_customer_custkey").as("check_name"),
+        col("checked"), col("violations"))
+    val r3 = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("long").as("checked"),
+        sum(when(col("doc_id") % 29 === 0, 1L).otherwise(0L))
+          .cast("long").as("violations"))
+      .select(lit("notnull_documents_text").as("check_name"),
+        col("checked"), col("violations"))
+    r1.unionByName(r2).unionByName(r3).orderBy("check_name")
+  }
+
+  /** q130: autocorrelation function of the daily event-count series at
+    * lags 1..7 — the seasonality diagnostic (a weekly cycle shows as a
+    * lag-7 peak) behind capacity planning and anomaly baselines:
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x−x̄)² over the row-indexed
+    * observed-day series.
+    *
+    * Scale posture: the corpus-sized work is exactly ONE map-side-
+    * combined date aggregate; the series itself is DAYS-sized (bounded
+    * by the calendar — thousands of rows at any event volume), so it
+    * folds to a single ordered array in one global two-stage agg, and
+    * all seven lags compute scan-locally on that one row via slice +
+    * zip_with — seven lags never cost seven self-joins. The SQL parity
+    * text IS the seven-way indexed self-join, so the oracle proves the
+    * array decomposition. */
+  val q130_acf = QueryDef(
+    "q130_acf",
+    """WITH dc AS (SELECT CAST(ts AS DATE) AS d,
+      |             CAST(COUNT(*) AS DOUBLE) AS x
+      |           FROM events GROUP BY 1),
+      |s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM dc),
+      |mu AS (SELECT AVG(x) AS mu FROM s),
+      |den AS (SELECT SUM((x - mu) * (x - mu)) AS d2 FROM s CROSS JOIN mu),
+      |k AS (SELECT unnest(range(1, 8)) AS lag),
+      |num AS (SELECT k.lag, SUM((a.x - mu) * (b.x - mu)) AS nm
+      |        FROM k JOIN s a ON a.i > k.lag
+      |               JOIN s b ON b.i = a.i - k.lag CROSS JOIN mu
+      |        GROUP BY k.lag)
+      |SELECT CAST(num.lag AS BIGINT) AS lag, ROUND(nm / d2, 4) AS acf
+      |FROM num CROSS JOIN den ORDER BY lag""".stripMargin) { (s, d) =>
+    val series = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .agg(array_sort(collect_list(struct(col("d"), col("x")))).as("rows"))
+      .select(transform(col("rows"), r => r.getField("x")).as("vs"))
+      .withColumn("n", size(col("vs")))
+      .withColumn("mu",
+        aggregate(col("vs"), lit(0.0d), (acc, x) => acc + x) / col("n"))
+      .withColumn("d2",
+        aggregate(col("vs"), lit(0.0d),
+          (acc, x) => acc + (x - col("mu")) * (x - col("mu"))))
+    series
+      .select(col("vs"), col("n"), col("mu"), col("d2"),
+        explode(sequence(lit(1), lit(7))).as("lag"))
+      .select(col("lag").cast("long").as("lag"),
+        round(
+          aggregate(
+            zip_with(
+              slice(col("vs"), col("lag") + 1, col("n") - col("lag")),
+              slice(col("vs"), lit(1), col("n") - col("lag")),
+              (a, b) => (a - col("mu")) * (b - col("mu"))),
+            lit(0.0d), (acc, x) => acc + x) / col("d2"), 4).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** q131: event co-occurrence lift — the market-basket association
+    * matrix over user behaviour: for every pair of event types, how
+    * many users did BOTH, against independence (lift = n·|a∩b| /
+    * (|a|·|b|)) and overlap (Jaccard). The "users who view also
+    * purchase?" question behind recommendation and funnel design.
+    *
+    * Scale posture: ONE user-keyed exchange builds each user's
+    * DISTINCT type set (collect_set dedups in the partial agg);
+    * pair fan-out happens scan-locally AFTER that dedup, over sorted
+    * sets bounded by |event types| — never over raw events — and the
+    * pair aggregate's keyspace is |types|², so map-side partials
+    * collapse every partition to ≤ k² rows before its exchange. The
+    * type marginals reuse the same per-user frame (types-sized agg),
+    * and attach by broadcast — dimension-sized at any corpus scale. */
+  val q131_cooccur_lift = QueryDef(
+    "q131_cooccur_lift",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu
+      |        FROM ut),
+      |mg AS (SELECT event_type, COUNT(*) AS m FROM ut GROUP BY 1),
+      |p AS (SELECT x.event_type AS a, y.event_type AS b,
+      |        COUNT(*) AS n_users
+      |      FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |                        AND x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.a, p.b, CAST(p.n_users AS BIGINT) AS n_users,
+      |  ROUND(CAST(p.n_users AS DOUBLE) * nu / (ma.m * mb.m), 4) AS lift,
+      |  ROUND(CAST(p.n_users AS DOUBLE) / (ma.m + mb.m - p.n_users), 4)
+      |    AS jaccard
+      |FROM p JOIN mg ma ON ma.event_type = p.a
+      |       JOIN mg mb ON mb.event_type = p.b CROSS JOIN tot
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    // the per-user set frame feeds three consumers (pairs, marginals,
+    // user count) — localCheckpoint materializes the user-sized frame
+    // once so the corpus is scanned and user-shuffled ONCE, not thrice
+    val sets = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+      .localCheckpoint()
+    val nu = sets.agg(count(lit(1)).cast("double").as("nu"))
+    val mg = sets.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("m"))
+    // diagonal-inclusive index fan-out (sequence(i, n-1) never runs
+    // start > stop, which Spark would generate DESCENDING) + an a<b
+    // filter after the explode — distinct sorted sets make a<b ⇔ i<j
+    val idx = sequence(lit(0), size(col("ts")) - 1)
+    val pairs = sets
+      .select(explode(flatten(transform(idx, i =>
+        transform(sequence(i, size(col("ts")) - 1), j =>
+          struct(element_at(col("ts"), (i + 1).cast("int")).as("a"),
+            element_at(col("ts"), (j + 1).cast("int")).as("b"))))))
+        .as("p"))
+      .where(col("p.a") < col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(mg.select(col("t").as("a"), col("m").as("ma"))), "a")
+      .join(broadcast(mg.select(col("t").as("b"), col("m").as("mb"))), "b")
+      .crossJoin(broadcast(nu))
+      .select(col("a"), col("b"), col("n_users").cast("long").as("n_users"),
+        round(col("n_users").cast("double") * col("nu") /
+          (col("ma") * col("mb")), 4).as("lift"),
+        round(col("n_users").cast("double") /
+          (col("ma") + col("mb") - col("n_users")), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1610,5 +1804,6 @@ object Advanced {
       q101_incremental_agg, q104_fuzzy_join_lev2, q105_profile,
       q106_retention, q107_transitions, q108_ohlc, q111_histogram,
       q112_ewma, q115_rolling_median, q118_twap, q123_snapshot_diff,
-      q124_skyline, q125_quantile_binning)
+      q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
+      q131_cooccur_lift)
 }

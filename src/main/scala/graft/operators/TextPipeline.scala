@@ -2629,6 +2629,132 @@ object TextPipeline {
         .orderBy("cluster_size")
   }
 
+  /** q132: leakage-safe train/test split — the assignment step a
+    * training pipeline runs AFTER near-dup detection: the split is a
+    * deterministic function of the near-dup CLUSTER representative,
+    * never the document, so two near-duplicate documents can never
+    * straddle train and test (the classic eval-contamination bug that
+    * per-doc hashing causes). Singletons are their own representative;
+    * rep % 5 = 4 → test (a 20% holdout that re-runs and engines agree
+    * on bit-for-bit — no rand()). Same bounded contract as q48
+    * (doc_id < 100).
+    *
+    * Scale posture: rides the q48 pair pipeline (guarded pairs →
+    * pointer-jumped components, node-sized label state); the label
+    * attach is ONE doc-keyed left join against the node-sized label
+    * table, and the split itself is a scan-local expression — no
+    * corpus-sized work beyond the pair stage and one join. */
+  val q132_leakage_split = QueryDef(
+    "q132_leakage_split",
+    s"""WITH RECURSIVE $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+      |SELECT d.doc_id, COALESCE(comp.rep, d.doc_id) AS cluster_rep,
+      |  CASE WHEN COALESCE(comp.rep, d.doc_id) % 5 = 4 THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+      |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pairs = exactJaccardPairs(
+      tokens(s, d).where(col("doc_id") < 100)
+        .select("doc_id", "word").distinct(),
+      0.8).select("a", "b")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+    Tables.documents(s, d).where(col("doc_id") < 100).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split",
+        when(col("cluster_rep") % 5 === 4, lit("test")).otherwise(lit("train")))
+      .orderBy("doc_id")
+  }
+
+  /** q133: population stability index per source — the distribution-
+    * drift gate a pipeline runs when a new source lands: bin the
+    * document-length distribution by the CORPUS deciles (the q125
+    * interpolated cuts), then score each source's shape against the
+    * corpus with PSI = Σ_b (p_b − q_b)·ln(p_b/q_b). The industry rule
+    * of thumb (PSI < 0.1 stable, > 0.25 shifted) is what this feeds.
+    * Laplace smoothing (+1 per bin, +10 per total) keeps empty
+    * source-bins finite — identical integer arithmetic in both
+    * engines before the one final ln/divide.
+    *
+    * Scale posture: corpus-sized work is two scans — the decile agg
+    * (map-side partials) and the bin assignment against the broadcast
+    * 9-cut array — feeding ONE source-keyed aggregate whose 10
+    * conditional sums collapse each partition to ≤ n_sources rows
+    * with a 10-element count array (the complete grid by
+    * construction: missing bins are genuine zeros, no grid join
+    * needed). Corpus totals fold those arrays once more (1-row
+    * broadcast), and the PSI itself is a scan-local zip_with fold.
+    * The SQL parity text is the explicit grid × marginal-join
+    * formulation, so the oracle proves the array decomposition. */
+  val q133_psi_drift = QueryDef(
+    "q133_psi_drift",
+    """WITH e AS (SELECT source, n_chars AS v FROM documents),
+      |k AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+      |                               0.6, 0.7, 0.8, 0.9]) AS cuts
+      |      FROM e),
+      |b AS (SELECT source,
+      |        CAST(len(list_filter(cuts, c -> v > c)) AS BIGINT) AS bin
+      |      FROM e CROSS JOIN k),
+      |sb AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |srcs AS (SELECT source, SUM(c) AS ns FROM sb GROUP BY source),
+      |bins AS (SELECT unnest(range(0, 10)) AS bin),
+      |cb AS (SELECT bin, SUM(c) AS cnt_b FROM sb GROUP BY bin),
+      |tot AS (SELECT SUM(c) AS n FROM sb),
+      |grid AS (SELECT s.source, s.ns, bb.bin
+      |         FROM srcs s CROSS JOIN bins bb),
+      |f AS (SELECT g.source, g.ns, g.bin,
+      |        COALESCE(sb.c, 0) AS cs, COALESCE(cb.cnt_b, 0) AS cnt_b
+      |      FROM grid g
+      |      LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+      |      LEFT JOIN cb ON cb.bin = g.bin)
+      |SELECT source, ROUND(SUM(
+      |    ((cs + 1.0) / (ns + 10.0) - (cnt_b + 1.0) / (n + 10.0)) *
+      |    ln(((cs + 1.0) / (ns + 10.0)) /
+      |       ((cnt_b + 1.0) / (n + 10.0)))), 4) AS psi
+      |FROM f CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin) {
+    (s, d) =>
+      val e = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("v"))
+      val cuts = e.agg(
+        expr("percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+          .as("cuts"))
+      val per = e.crossJoin(broadcast(cuts))
+        .select(col("source"),
+          size(filter(col("cuts"), c => col("v") > c)).as("bin"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("ns"),
+          array((0 to 9).map(b =>
+            sum(when(col("bin") === b, 1L).otherwise(0L))): _*).as("cs"))
+      val tot = per.agg(sum("ns").as("n"),
+        array((0 to 9).map(b => sum(col("cs")(b))): _*).as("cb"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(aggregate(
+            zip_with(col("cs"), col("cb"), (a, b) => {
+              val p = (a.cast("double") + 1.0d) / (col("ns").cast("double") + 10.0d)
+              val q = (b.cast("double") + 1.0d) / (col("n").cast("double") + 10.0d)
+              (p - q) * log(p / q)
+            }),
+            lit(0.0d), (acc, x) => acc + x), 4).as("psi"))
+        .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2644,5 +2770,5 @@ object TextPipeline {
     q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
     q114_contain_join, q119_pmi_collocations, q120_vocab_coverage,
     q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve,
-    q127_cluster_sizes)
+    q127_cluster_sizes, q132_leakage_split, q133_psi_drift)
 }

@@ -220,11 +220,34 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // size-count-sized) + orderBy; the
                                   // pair/components stages are cut by
                                   // localCheckpoint like q48
-    "q128_embed_cov" -> 4)        // d-key means + d(d+1)/2-key product
+    "q128_embed_cov" -> 4,        // d-key means + d(d+1)/2-key product
                                   // sums + 1-row count (all map-side
                                   // collapsed to ≤2144 rows/partition)
                                   // + orderBy; mean/count joins
                                   // broadcast dimension-sized tables
+    "q129_fk_audit" -> 5,         // key-sized FK agg + its dim join +
+                                  // the uniqueness key agg + the three
+                                  // 1-row check aggs' exchanges +
+                                  // 3-row orderBy; fact rows never
+                                  // reach a join
+    "q130_acf" -> 2,              // ONE date agg is the only corpus-
+                                  // sized exchange; the days-sized
+                                  // series folds to one array row and
+                                  // all 7 lags are scan-local slices
+    "q131_cooccur_lift" -> 5,     // ONE user-keyed set agg (check-
+                                  // pointed — three consumers, one
+                                  // corpus scan) + k²-key pair agg +
+                                  // k-key marginal agg + 1-row count +
+                                  // orderBy; marginals attach via
+                                  // broadcast
+    "q132_leakage_split" -> 2,    // post-checkpoint plan like q48: the
+                                  // doc-keyed label left-join + orderBy;
+                                  // pair/components stages cut by
+                                  // localCheckpoint
+    "q133_psi_drift" -> 4)        // decile agg + source-keyed grid agg
+                                  // (10 conditional sums → complete
+                                  // grid, no grid join) + 1-row corpus
+                                  // fold + orderBy; totals broadcast
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
