@@ -1611,7 +1611,111 @@ object SqlEntry {
         |    ((cs + 1.0) / (ns + 10.0) - (cnt_b + 1.0) / (n + 10.0)) *
         |    ln(((cs + 1.0) / (ns + 10.0)) /
         |       ((cnt_b + 1.0) / (n + 10.0)))), 4) AS psi
-        |FROM f CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin)
+        |FROM f CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin,
+    "q134_rank_fusion" ->
+      s"""WITH $TokensCte,
+        |tf AS (SELECT doc_id, COUNT(*) AS s0 FROM tokens
+        |       WHERE word IN ('spark', 'join', 'table') GROUP BY doc_id),
+        |t50 AS (SELECT doc_id, s0 FROM tf ORDER BY s0 DESC, doc_id LIMIT 50),
+        |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s0 DESC, doc_id)
+        |         AS r_terms FROM t50),
+        |l50 AS (SELECT doc_id, n_chars FROM documents
+        |        ORDER BY n_chars DESC, doc_id LIMIT 50),
+        |rq AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+        |       FROM l50),
+        |f AS (SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id,
+        |        CAST(rb.r_terms AS BIGINT) AS r_terms,
+        |        CAST(rq.r_len AS BIGINT) AS r_len
+        |      FROM rb FULL JOIN rq ON rb.doc_id = rq.doc_id)
+        |SELECT doc_id, r_terms, r_len,
+        |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_terms), 0) +
+        |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_len), 0), 4) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q135_quantile_norm" ->
+      """WITH v AS (SELECT doc_id, source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rk
+        |       FROM documents),
+        |m AS (SELECT rk, AVG(CAST(n_chars AS DOUBLE)) AS qv
+        |      FROM v GROUP BY rk)
+        |SELECT v.doc_id, v.source, v.n_chars, ROUND(m.qv, 4) AS qnorm
+        |FROM v JOIN m ON v.rk = m.rk ORDER BY doc_id""".stripMargin,
+    "q136_padding_waste" ->
+      """WITH t AS (SELECT doc_id,
+        |    GREATEST(CAST(size(filter(split(lower(text), '[^a-z]+'),
+        |      x -> length(x) > 0)) AS BIGINT), 1) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT CAST(FLOOR(log2(n_tok)) AS BIGINT) AS bucket, n_tok
+        |      FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  MAX(n_tok) AS max_tok, SUM(n_tok) AS sum_tok,
+        |  COUNT(*) * MAX(n_tok) - SUM(n_tok) AS pad_waste,
+        |  ROUND(CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE) /
+        |        (COUNT(*) * MAX(n_tok)), 4) AS waste_frac
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q137_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cb
+        |      FROM t),
+        |tot AS (SELECT CAST(SUM(w) AS DOUBLE) / 100 AS step FROM t)
+        |SELECT doc_id, w AS weight,
+        |  CAST(FLOOR((cb + w) / step) - FLOOR(cb / step) AS BIGINT)
+        |    AS n_picks
+        |FROM c CROSS JOIN tot
+        |WHERE FLOOR((cb + w) / step) - FLOOR(cb / step) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q138_kappa" ->
+      s"""WITH $TokensCte,
+        |sc AS (SELECT doc_id,
+        |  SUM(CASE WHEN word IN ('hash','merge') THEN 1 ELSE 0 END) AS c_de,
+        |  SUM(CASE WHEN word IN ('the','a') THEN 1 ELSE 0 END) AS c_en,
+        |  SUM(CASE WHEN word IN ('data','row') THEN 1 ELSE 0 END) AS c_es,
+        |  SUM(CASE WHEN word IN ('query','table') THEN 1 ELSE 0 END) AS c_fr,
+        |  SUM(CASE WHEN word IN ('spark','scan') THEN 1 ELSE 0 END) AS c_zh
+        |  FROM tokens WHERE doc_id < 100 GROUP BY doc_id),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN c_de = g THEN 'de' WHEN c_en = g THEN 'en'
+        |       WHEN c_es = g THEN 'es' WHEN c_fr = g THEN 'fr'
+        |       WHEN c_zh = g THEN 'zh' END AS pred
+        |  FROM (SELECT *, GREATEST(c_de, c_en, c_es, c_fr, c_zh) AS g FROM sc) t),
+        |j AS (SELECT d.lang, pred FROM p
+        |      JOIN documents d ON p.doc_id = d.doc_id),
+        |agg AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS agree,
+        |  SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS r_de,
+        |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS r_en,
+        |  SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS r_es,
+        |  SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS r_fr,
+        |  SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS r_zh,
+        |  SUM(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS k_de,
+        |  SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS k_en,
+        |  SUM(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS k_es,
+        |  SUM(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS k_fr,
+        |  SUM(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS k_zh
+        |FROM j),
+        |r AS (SELECT n, agree * CAST(1.0 AS DOUBLE) / n AS po,
+        |        (r_de * k_de + r_en * k_en + r_es * k_es + r_fr * k_fr +
+        |         r_zh * k_zh) * CAST(1.0 AS DOUBLE) / (n * n) AS pe
+        |      FROM agg)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(po, 4) AS po,
+        |  ROUND(pe, 4) AS pe, ROUND((po - pe) / (1 - pe), 4) AS kappa
+        |FROM r""".stripMargin,
+    "q139_centroid_sim" ->
+      """WITH x AS (SELECT label, p + 1 AS i, CAST(e AS DOUBLE) AS v
+        |           FROM embeddings LATERAL VIEW posexplode(embedding) AS p, e),
+        |m AS (SELECT label, i, AVG(v) AS mv FROM x GROUP BY label, i),
+        |nrm AS (SELECT label, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY label),
+        |dt AS (SELECT a.label AS la, b.label AS lb, SUM(a.mv * b.mv) AS dot
+        |       FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+        |       GROUP BY a.label, b.label)
+        |SELECT CAST(la AS BIGINT) AS a, CAST(lb AS BIGINT) AS b,
+        |  ROUND(dot / (na.nm * nb.nm), 4) + 0.0 AS cos
+        |FROM dt JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
+        |ORDER BY a, b""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

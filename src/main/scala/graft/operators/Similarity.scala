@@ -857,8 +857,60 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** q139: label-centroid similarity matrix — the "domain map" over an
+    * embedding corpus: mean vector per label (source/domain/cluster),
+    * then pairwise cosine between the centroids. This is how a
+    * curation team reads which domains overlap (near-1 cosine → merge
+    * or dedup across them) and which are distinct — the coarse
+    * structure before any per-vector work.
+    *
+    * Scale posture: the corpus is touched by exactly ONE aggregate —
+    * the (label, dim) mean, whose keyspace is |labels|·d (640 here) so
+    * map-side partials collapse every partition before the exchange.
+    * The frame is localCheckpoint'd (three consumers: norms + both
+    * join sides — one corpus scan, not three) and everything after is
+    * centroid-matrix-sized: the dim-keyed self-join and the norm
+    * attach move ≤ |labels|·d rows at ANY corpus scale. The + 0.0
+    * folds IEEE −0.0 so both engines render a zero cosine "0.0". */
+  val q139_centroid_sim = QueryDef(
+    "q139_centroid_sim",
+    """WITH x AS (SELECT label, i, CAST(e AS DOUBLE) AS v
+      |           FROM (SELECT label, unnest(embedding) AS e,
+      |                   generate_subscripts(embedding, 1) AS i
+      |                 FROM embeddings)),
+      |m AS (SELECT label, i, AVG(v) AS mv FROM x GROUP BY label, i),
+      |nrm AS (SELECT label, sqrt(SUM(mv * mv)) AS nm FROM m GROUP BY label),
+      |dt AS (SELECT a.label AS la, b.label AS lb, SUM(a.mv * b.mv) AS dot
+      |       FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+      |       GROUP BY a.label, b.label)
+      |SELECT CAST(la AS BIGINT) AS a, CAST(lb AS BIGINT) AS b,
+      |  ROUND(dot / (na.nm * nb.nm), 4) + 0.0 AS cos
+      |FROM dt JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
+      |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val m = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "e")))
+      .select(col("label"), (col("p") + 1).as("i"),
+        col("e").cast("double").as("v"))
+      .groupBy("label", "i").agg(avg("v").as("mv"))
+      .localCheckpoint()
+    val nrm = m.groupBy("label")
+      .agg(sqrt(sum(col("mv") * col("mv"))).as("nm"))
+    val dt = m.as("a")
+      .join(m.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.mv") * col("b.mv")).as("dot"))
+    dt.join(broadcast(nrm.select(col("label").as("la"), col("nm").as("na"))),
+        "la")
+      .join(broadcast(nrm.select(col("label").as("lb"), col("nm").as("nb"))),
+        "lb")
+      .select(col("la").cast("long").as("a"), col("lb").cast("long").as("b"),
+        (round(col("dot") / (col("na") * col("nb")), 4) + lit(0.0)).as("cos"))
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q25_cosine_topk, q35_embedding_neardup, q38_ann_ivf, q53_lsh_neardup,
       q74_dedup_embeddings, q75_dedup_embeddings_lsh, q87_ann_pq,
-      q88_ann_ivfpq, q128_embed_cov)
+      q88_ann_ivfpq, q128_embed_cov, q139_centroid_sim)
 }

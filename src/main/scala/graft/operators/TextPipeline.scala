@@ -126,24 +126,23 @@ object TextPipeline {
     "fr" -> Seq("query", "table"),
     "zh" -> Seq("spark", "scan"))
 
-  /** q28: n-gram/stopword-heuristic language ID — marker-word counts per
-    * doc, argmax with alphabetical tie-break. */
-  val q28_lang_id = QueryDef(
-    "q28_lang_id", {
-      val cnts = Markers.map { case (l, ws) =>
-        s"SUM(CASE WHEN word IN (${ws.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS c_$l"
-      }.mkString(",\n  ")
-      val pred = Markers.map { case (l, _) => s"WHEN c_$l = g THEN '$l'" }
-        .mkString("CASE ", " ", " END")
-      val g = s"GREATEST(${Markers.map("c_" + _._1).mkString(",")})"
-      s"""WITH $TokensCte,
-        |sc AS (SELECT doc_id, $cnts FROM tokens WHERE doc_id < 100 GROUP BY doc_id),
-        |p AS (SELECT doc_id, $pred AS pred FROM (SELECT *, $g AS g FROM sc))
-        |SELECT p.doc_id, lang, pred,
-        |  CAST(CASE WHEN lang = pred THEN 1 ELSE 0 END AS BIGINT) AS hit
-        |FROM p JOIN documents ON p.doc_id = documents.doc_id
-        |ORDER BY p.doc_id""".stripMargin
-    }) { (s, d) =>
+  /** SQL CTE fragment shared by q28/q138: per-doc marker counts + the
+    * argmax prediction (CASE order = Markers order = alphabetical, so
+    * ties break identically to the builders' coalesce chain). */
+  private val LangPredCtes: String = {
+    val cnts = Markers.map { case (l, ws) =>
+      s"SUM(CASE WHEN word IN (${ws.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS c_$l"
+    }.mkString(",\n  ")
+    val pred = Markers.map { case (l, _) => s"WHEN c_$l = g THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    val g = s"GREATEST(${Markers.map("c_" + _._1).mkString(",")})"
+    s"""sc AS (SELECT doc_id, $cnts FROM tokens WHERE doc_id < 100 GROUP BY doc_id),
+       |p AS (SELECT doc_id, $pred AS pred FROM (SELECT *, $g AS g FROM sc))""".stripMargin
+  }
+
+  /** Builder shared by q28/q138: (doc_id, lang, pred) for the bounded
+    * doc set — marker-count argmax with alphabetical tie-break. */
+  private def langPredictions(s: SparkSession, d: String): DataFrame = {
     val aggs = Markers.map { case (l, ws) =>
       sum(when(col("word").isInCollection(ws), 1).otherwise(0)).as(s"c_$l")
     }
@@ -156,6 +155,20 @@ object TextPipeline {
       when(col(s"c_$l") === col("g"), lit(l))
     }: _*))
     p.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred"))
+  }
+
+  /** q28: n-gram/stopword-heuristic language ID — marker-word counts per
+    * doc, argmax with alphabetical tie-break. */
+  val q28_lang_id = QueryDef(
+    "q28_lang_id",
+    s"""WITH $TokensCte,
+      |$LangPredCtes
+      |SELECT p.doc_id, lang, pred,
+      |  CAST(CASE WHEN lang = pred THEN 1 ELSE 0 END AS BIGINT) AS hit
+      |FROM p JOIN documents ON p.doc_id = documents.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    langPredictions(s, d)
       .select(col("doc_id"), col("lang"), col("pred"),
         when(col("lang") === col("pred"), 1L).otherwise(0L).as("hit"))
       .orderBy("doc_id")
@@ -2755,6 +2768,245 @@ object TextPipeline {
         .orderBy("source")
   }
 
+  /** q134: reciprocal rank fusion — the standard way to combine two
+    * retrieval rankings without score calibration (Cormack et al.,
+    * SIGIR'09): each ranking contributes 1/(60 + rank) and the fused
+    * score is the sum. Here the two rankings are a term-match ranking
+    * (occurrences of the query terms, the q60 retrieval family) and a
+    * length prior — the hybrid-search shape (BM25 ⊕ dense) an LLM
+    * retrieval stack runs every query. Ranks come from each ranking's
+    * top-50 list (absent → no contribution), the honest fusion
+    * contract at scale: you fuse top-k LISTS, never full rankings.
+    *
+    * Scale posture: each ranking ends in TakeOrderedAndProject (top-50
+    * without a global sort); the row_number windows and the full outer
+    * join then run on 50-row frames — list-sized, not corpus-sized.
+    * The term aggregate is the only corpus-keyed exchange. */
+  val q134_rank_fusion = QueryDef(
+    "q134_rank_fusion",
+    s"""WITH RECURSIVE $TokensCte,
+      |tf AS (SELECT doc_id, COUNT(*) AS s0 FROM tokens
+      |       WHERE word IN ('spark', 'join', 'table') GROUP BY doc_id),
+      |t50 AS (SELECT doc_id, s0 FROM tf ORDER BY s0 DESC, doc_id LIMIT 50),
+      |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s0 DESC, doc_id)
+      |         AS r_terms FROM t50),
+      |l50 AS (SELECT doc_id, n_chars FROM documents
+      |        ORDER BY n_chars DESC, doc_id LIMIT 50),
+      |rq AS (SELECT doc_id,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+      |       FROM l50),
+      |f AS (SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id,
+      |        rb.r_terms, rq.r_len
+      |      FROM rb FULL JOIN rq ON rb.doc_id = rq.doc_id)
+      |SELECT doc_id, r_terms, r_len,
+      |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_terms), 0) +
+      |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_len), 0), 4) AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val wT = Window.orderBy(col("s0").desc, col("doc_id"))
+    val rb = tokens(s, d)
+      .where(col("word").isin("spark", "join", "table"))
+      .groupBy("doc_id").agg(count(lit(1)).as("s0"))
+      .orderBy(col("s0").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(wT).cast("long").as("r_terms"))
+    val wL = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val rq = Tables.documents(s, d).select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(wL).cast("long").as("r_len"))
+    rb.join(rq, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("r_terms"), col("r_len"),
+        round(coalesce(lit(1.0d) / (col("r_terms") + 60), lit(0.0d)) +
+          coalesce(lit(1.0d) / (col("r_len") + 60), lit(0.0d)), 4).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  /** q135: quantile normalization across sources — the microarray-
+    * normalization classic applied to corpus curation: force every
+    * source's score distribution onto the shared shape by replacing
+    * each document's value with the cross-source MEAN at its in-source
+    * rank. This is how heterogeneous quality/length signals become
+    * comparable before a single global threshold is applied. (When
+    * sources differ in size, the rank-mean averages the sources that
+    * reach that rank — the standard generalization.)
+    *
+    * Scale posture: one source-keyed window ranks within each source
+    * (distributes across sources), one rank-keyed aggregate builds the
+    * reference distribution (corpus/n_sources rows), and one rank-
+    * keyed join maps it back — three key-sized exchanges, no global
+    * sort except the output ORDER BY. */
+  val q135_quantile_norm = QueryDef(
+    "q135_quantile_norm",
+    """WITH v AS (SELECT doc_id, source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rk
+      |       FROM documents),
+      |m AS (SELECT rk, AVG(CAST(n_chars AS DOUBLE)) AS qv
+      |      FROM v GROUP BY rk)
+      |SELECT v.doc_id, v.source, v.n_chars, ROUND(m.qv, 4) AS qnorm
+      |FROM v JOIN m ON v.rk = m.rk ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val v = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+    val m = v.groupBy("rk").agg(avg(col("n_chars").cast("double")).as("qv"))
+    v.join(m, Seq("rk"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("qv"), 4).as("qnorm"))
+      .orderBy("doc_id")
+  }
+
+  /** q136: padding-waste report for length-bucketed batching — the
+    * batching diagnostic an LLM training pipeline reads before picking
+    * bucket boundaries: group documents into power-of-two token-length
+    * buckets and report, per bucket, how many pad tokens a
+    * pad-to-bucket-max batching strategy burns (n·max − Σ) and the
+    * wasted fraction. Compare waste_frac across bucketings to choose
+    * boundaries; the no-bucketing baseline is the single-bucket
+    * degenerate case.
+    *
+    * Scale posture: the token count and bucket id are scan-local
+    * expressions; ONE bucket-keyed aggregate (≤ ~20 keys — buckets are
+    * log-bounded) collapses everything map-side, + the output sort.
+    * log2 of an exact integer is exact IEEE, so both engines bucket
+    * identically. */
+  val q136_padding_waste = QueryDef(
+    "q136_padding_waste",
+    """WITH t AS (SELECT doc_id,
+      |    GREATEST(CAST(len(list_filter(
+      |      regexp_split_to_array(lower(text), '[^a-z]+'),
+      |      x -> length(x) > 0)) AS BIGINT), 1) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT CAST(FLOOR(log2(n_tok)) AS BIGINT) AS bucket, n_tok
+      |      FROM t)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+      |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste,
+      |  ROUND(CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE) /
+      |        (COUNT(*) * MAX(n_tok)), 4) AS waste_frac
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(greatest(size(wordsCol).cast("long"), lit(1L)).as("n_tok"))
+      .select(floor(log2(col("n_tok"))).cast("long").as("bucket"),
+        col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+        sum("n_tok").cast("long").as("sum_tok"))
+      .select(col("bucket"), col("n_docs"), col("max_tok"), col("sum_tok"),
+        (col("n_docs") * col("max_tok") - col("sum_tok")).cast("long")
+          .as("pad_waste"),
+        round((col("n_docs") * col("max_tok") - col("sum_tok")).cast("double")
+          / (col("n_docs") * col("max_tok")), 4).as("waste_frac"))
+      .orderBy("bucket")
+  }
+
+  /** q137: deterministic systematic weighted sampling — pick ~100
+    * documents with probability proportional to weight (length here;
+    * quality in production) WITHOUT rand(): lay every document's
+    * weight on a line, drop sample points at i·(total/100) for
+    * i = 1..100, and a document is picked once per point inside its
+    * span (heavy documents can be picked multiple times — n_picks is
+    * the multiplicity, as importance sampling requires). A pure
+    * function of the data: re-runs and engines agree exactly.
+    *
+    * Scale posture: the cumulative weight uses q94's two-level prefix
+    * decomposition — per-shard window prefixes plus a shard-count-
+    * sized serial offset scan — so no global window ever sees the
+    * corpus; the total is a 1-row broadcast and the span test is
+    * scan-local. The SQL parity text is the flat global-window form,
+    * so the oracle proves the decomposition. */
+  val q137_weighted_sample = QueryDef(
+    "q137_weighted_sample",
+    """WITH t AS (SELECT doc_id, n_chars AS w FROM documents),
+      |c AS (SELECT doc_id, w,
+      |        CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS cb
+      |      FROM t),
+      |tot AS (SELECT CAST(SUM(w) AS DOUBLE) / 100 AS step FROM t)
+      |SELECT doc_id, w AS weight,
+      |  CAST(FLOOR((cb + w) / step) - FLOOR(cb / step) AS BIGINT)
+      |    AS n_picks
+      |FROM c CROSS JOIN tot
+      |WHERE FLOOR((cb + w) / step) - FLOOR(cb / step) > 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("shard", expr("doc_id DIV 1024"))
+    val wLocal = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("shard").agg(sum("w").as("stot"))
+      .withColumn("base", coalesce(sum("stot").over(wShard), lit(0L)))
+      .select("shard", "base")
+    val tot = t.agg((sum("w").cast("double") / 100).as("step"))
+    val picks =
+      floor((col("cb") + col("w")) / col("step")) - floor(col("cb") / col("step"))
+    t.withColumn("local", coalesce(sum("w").over(wLocal), lit(0L)))
+      .join(offs, Seq("shard"))
+      .withColumn("cb", col("local") + col("base"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w").as("weight"),
+        picks.cast("long").as("n_picks"))
+      .where(col("n_picks") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q138: Cohen's kappa for the language-ID classifier — chance-
+    * corrected agreement between q28's marker-argmax prediction and
+    * the labelled lang: κ = (p_o − p_e)/(1 − p_e), the evaluation
+    * statistic a curation pipeline reports when it audits an automatic
+    * labeller against ground truth (accuracy alone overstates
+    * agreement under skewed class priors).
+    *
+    * Scale posture: the classifier pipeline is q28's (one doc-keyed
+    * marker aggregate + the label join); the contingency matrix is
+    * never materialized — both marginals and the diagonal fold into
+    * ONE global aggregate of 2·|classes|+2 conditional sums (classes
+    * are the fixed Markers literals), so after the per-doc frame
+    * exactly one 1-row exchange remains. */
+  val q138_kappa = QueryDef(
+    "q138_kappa", {
+      val rows = Markers.map { case (l, _) =>
+        s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS r_$l"
+      }.mkString(",\n  ")
+      val cols = Markers.map { case (l, _) =>
+        s"SUM(CASE WHEN pred = '$l' THEN 1 ELSE 0 END) AS k_$l"
+      }.mkString(",\n  ")
+      val peNum = Markers.map { case (l, _) => s"r_$l * k_$l" }.mkString(" + ")
+      s"""WITH RECURSIVE $TokensCte,
+        |$LangPredCtes,
+        |j AS (SELECT lang, pred FROM p
+        |      JOIN documents ON p.doc_id = documents.doc_id),
+        |agg AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS agree,
+        |  $rows,
+        |  $cols
+        |FROM j),
+        |r AS (SELECT n, agree * CAST(1.0 AS DOUBLE) / n AS po,
+        |        ($peNum) * CAST(1.0 AS DOUBLE) / (n * n) AS pe
+        |      FROM agg)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(po, 4) AS po,
+        |  ROUND(pe, 4) AS pe, ROUND((po - pe) / (1 - pe), 4) AS kappa
+        |FROM r""".stripMargin
+    }) { (s, d) =>
+    val j = langPredictions(s, d)
+    val rowSums = Markers.map { case (l, _) =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"r_$l") }
+    val colSums = Markers.map { case (l, _) =>
+      sum(when(col("pred") === l, 1L).otherwise(0L)).as(s"k_$l") }
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("agree")) ++
+      rowSums ++ colSums
+    val peNum = Markers.map { case (l, _) => col(s"r_$l") * col(s"k_$l") }
+      .reduce(_ + _)
+    j.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("po", col("agree").cast("double") / col("n"))
+      .withColumn("pe", peNum.cast("double") / (col("n") * col("n")))
+      .select(col("n").cast("long").as("n"), round(col("po"), 4).as("po"),
+        round(col("pe"), 4).as("pe"),
+        round((col("po") - col("pe")) / (lit(1) - col("pe")), 4).as("kappa"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -2770,5 +3022,7 @@ object TextPipeline {
     q103_kl_divergence, q109_winnow, q110_bpe_pairs, q113_char_entropy,
     q114_contain_join, q119_pmi_collocations, q120_vocab_coverage,
     q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve,
-    q127_cluster_sizes, q132_leakage_split, q133_psi_drift)
+    q127_cluster_sizes, q132_leakage_split, q133_psi_drift,
+    q134_rank_fusion, q135_quantile_norm, q136_padding_waste,
+    q137_weighted_sample, q138_kappa)
 }

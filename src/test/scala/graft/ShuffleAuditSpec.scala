@@ -244,10 +244,33 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // doc-keyed label left-join + orderBy;
                                   // pair/components stages cut by
                                   // localCheckpoint
-    "q133_psi_drift" -> 4)        // decile agg + source-keyed grid agg
+    "q133_psi_drift" -> 4,        // decile agg + source-keyed grid agg
                                   // (10 conditional sums → complete
                                   // grid, no grid join) + 1-row corpus
                                   // fold + orderBy; totals broadcast
+    "q134_rank_fusion" -> 1,      // ONE corpus exchange (the term agg);
+                                  // both rankings end in TakeOrdered,
+                                  // and the rank windows + full join +
+                                  // final top-20 run on 50-row frames
+    "q135_quantile_norm" -> 3,    // source-keyed rank window + rank agg
+                                  // + the rank-keyed join re-key; the
+                                  // output sort rides TakeOrdered-free
+                                  // range partitioning counted in the 3
+    "q136_padding_waste" -> 2,    // scan-local token count + bucket id;
+                                  // ONE log-bounded-key agg + orderBy
+    "q137_weighted_sample" -> 5,  // q94's two-level prefix shape: shard
+                                  // window + shard-offset agg + its
+                                  // tiny serial window + the offs join
+                                  // + orderBy; total is a broadcast
+    "q138_kappa" -> 2,            // q28's doc-keyed marker agg + ONE
+                                  // 1-row global conditional-sum agg —
+                                  // the contingency matrix is never
+                                  // materialized
+    "q139_centroid_sim" -> 4)     // ONE corpus exchange (the 640-key
+                                  // (label,dim) mean, checkpointed for
+                                  // its three consumers) + norm agg +
+                                  // dim-keyed centroid self-join agg +
+                                  // orderBy; norms attach by broadcast
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
