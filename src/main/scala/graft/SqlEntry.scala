@@ -1704,6 +1704,30 @@ object SqlEntry {
         |SELECT CAST(n AS BIGINT) AS n, ROUND(po, 4) AS po,
         |  ROUND(pe, 4) AS pe, ROUND((po - pe) / (1 - pe), 4) AS kappa
         |FROM r""".stripMargin,
+    "q140_mixture_alloc" ->
+      """WITH t AS (SELECT source,
+        |    CAST(SUM(size(filter(split(lower(text), '[^a-z]+'),
+        |      x -> length(x) > 0))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT SUM(sqrt(CAST(toks AS DOUBLE))) AS z FROM t)
+        |SELECT source, toks,
+        |  ROUND(sqrt(CAST(toks AS DOUBLE)) / z, 4) AS weight,
+        |  CAST(FLOOR(sqrt(CAST(toks AS DOUBLE)) / z * 1000000) AS BIGINT)
+        |    AS target_toks,
+        |  ROUND(sqrt(CAST(toks AS DOUBLE)) / z * 1000000 / toks, 4) AS epochs
+        |FROM t CROSS JOIN z ORDER BY source""".stripMargin,
+    "q141_curriculum" ->
+      """WITH r AS (SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS rk
+        |       FROM documents),
+        |s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sidx
+        |      FROM (SELECT DISTINCT source FROM documents) d),
+        |k AS (SELECT COUNT(*) AS k FROM s)
+        |SELECT (r.rk - 1) * k.k + s.sidx AS pos, r.doc_id, r.source,
+        |  r.rk AS rk
+        |FROM r JOIN s ON r.source = s.source CROSS JOIN k
+        |ORDER BY pos LIMIT 100""".stripMargin,
     "q139_centroid_sim" ->
       """WITH x AS (SELECT label, p + 1 AS i, CAST(e AS DOUBLE) AS v
         |           FROM embeddings LATERAL VIEW posexplode(embedding) AS p, e),

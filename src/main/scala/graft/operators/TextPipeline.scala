@@ -3007,6 +3007,88 @@ object TextPipeline {
         round((col("po") - col("pe")) / (lit(1) - col("pe")), 4).as("kappa"))
   }
 
+  /** q140: training-mixture token allocator — the data-recipe table
+    * (the Pile / LLaMA shape): per-source token counts, upsampling
+    * weight ∝ √tokens (sub-linear so small high-value sources are not
+    * drowned; 0.5 instead of the literature's ~0.7 because IEEE sqrt
+    * is CORRECTLY ROUNDED — both engines agree bit-for-bit where
+    * pow(x, 0.7) is implementation-defined in the last ulp), target
+    * tokens for a fixed 1M-token budget, and epochs = target/actual
+    * (>1 ⇒ the source repeats).
+    *
+    * Scale posture: ONE source-keyed aggregate with the scan-local
+    * token count folded map-side; everything after operates on the
+    * #sources-row recipe table, with the normalizer a 1-row
+    * broadcast. */
+  val q140_mixture_alloc = QueryDef(
+    "q140_mixture_alloc",
+    """WITH t AS (SELECT source,
+      |    CAST(SUM(len(list_filter(
+      |      regexp_split_to_array(lower(text), '[^a-z]+'),
+      |      x -> length(x) > 0))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |z AS (SELECT SUM(sqrt(CAST(toks AS DOUBLE))) AS z FROM t)
+      |SELECT source, toks,
+      |  ROUND(sqrt(CAST(toks AS DOUBLE)) / z, 4) AS weight,
+      |  CAST(FLOOR(sqrt(CAST(toks AS DOUBLE)) / z * 1000000) AS BIGINT)
+      |    AS target_toks,
+      |  ROUND(sqrt(CAST(toks AS DOUBLE)) / z * 1000000 / toks, 4) AS epochs
+      |FROM t CROSS JOIN z ORDER BY source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), size(wordsCol).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("toks"))
+    val z = t.agg(sum(sqrt(col("toks").cast("double"))).as("z"))
+    t.crossJoin(broadcast(z))
+      .withColumn("raw", sqrt(col("toks").cast("double")))
+      .select(col("source"), col("toks"),
+        round(col("raw") / col("z"), 4).as("weight"),
+        floor(col("raw") / col("z") * 1000000).cast("long").as("target_toks"),
+        round(col("raw") / col("z") * 1000000 / col("toks"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
+  /** q141: curriculum interleave — a deterministic global training
+    * order that is BOTH difficulty-ordered (shorter documents first
+    * within each source — swap in any difficulty score) and source-
+    * interleaved (consecutive positions cycle through sources, so no
+    * batch is single-source). The key scale decision: the global
+    * position is a FORMULA, pos = (rank−1)·k + source_index, not a
+    * global ORDER BY — no corpus ever passes through a single-
+    * partition window. When a source exhausts, its slots go unused
+    * (positions stay sparse but ordered) — the round-robin-with-gaps
+    * contract.
+    *
+    * Scale posture: one source-keyed rank window (distributes across
+    * sources) + a #sources-row broadcast dim for the index and k;
+    * the top-100 output is TakeOrdered, no global sort. */
+  val q141_curriculum = QueryDef(
+    "q141_curriculum",
+    """WITH r AS (SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rk
+      |       FROM documents),
+      |s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sidx
+      |      FROM (SELECT DISTINCT source FROM documents)),
+      |k AS (SELECT COUNT(*) AS k FROM s)
+      |SELECT (r.rk - 1) * k.k + s.sidx AS pos, r.doc_id, r.source,
+      |  r.rk AS rk
+      |FROM r JOIN s ON r.source = s.source CROSS JOIN k
+      |ORDER BY pos LIMIT 100""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val r = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val srcs = Tables.documents(s, d).select("source").distinct()
+      .withColumn("sidx",
+        row_number().over(Window.orderBy("source")).cast("long"))
+    val k = srcs.agg(count(lit(1)).as("k"))
+    r.join(broadcast(srcs), Seq("source"))
+      .crossJoin(broadcast(k))
+      .select(((col("rk") - 1) * col("k") + col("sidx")).as("pos"),
+        col("doc_id"), col("source"), col("rk"))
+      .orderBy("pos").limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -3024,5 +3106,6 @@ object TextPipeline {
     q121_mad_outliers, q122_neardup_matrix, q126_threshold_curve,
     q127_cluster_sizes, q132_leakage_split, q133_psi_drift,
     q134_rank_fusion, q135_quantile_norm, q136_padding_waste,
-    q137_weighted_sample, q138_kappa)
+    q137_weighted_sample, q138_kappa, q140_mixture_alloc,
+    q141_curriculum)
 }

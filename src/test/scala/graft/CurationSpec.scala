@@ -117,6 +117,54 @@ class CurationSpec extends SparkSpec {
     assert(row.getDouble(3) <= 1.0)
   }
 
+  test("q140: recipe rows fold from hand token counts; weights sum to 1") {
+    val toks = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).toLowerCase.split("[^a-z]+").count(_.nonEmpty).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val z = toks.values.map(t => math.sqrt(t.toDouble)).sum
+    val got = SparkEntry.queries("q140_mixture_alloc")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == toks.keySet)
+    toks.foreach { case (s, t) =>
+      val raw = math.sqrt(t.toDouble)
+      val (gt, gw, gtt, ge) = got(s)
+      assert(gt == t)
+      assert(gw == round4(raw / z))
+      assert(gtt == math.floor(raw / z * 1000000).toLong)
+      assert(ge == round4(raw / z * 1000000 / t))
+    }
+    // the allocation is a (floored) partition of the 1M budget
+    val targets = got.values.map(_._3).sum
+    assert(targets <= 1000000L && targets > 1000000L - got.size)
+    // sqrt upsampling: small sources get MORE epochs than large ones
+    val bySize = toks.toSeq.sortBy(_._2).map { case (s, _) => got(s)._4 }
+    assert(bySize == bySize.sorted.reverse)
+  }
+
+  test("q141: the interleave is the formula order and cycles sources") {
+    val rows = SparkEntry.queries("q141_curriculum")(spark, sf0001)
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val srcs = docLens.map(_._2).distinct.sorted
+    val k = srcs.length
+    // pos is the declared formula of (rank, source index)
+    rows.foreach { case (pos, _, src, rk) =>
+      assert(pos == (rk - 1) * k + (srcs.indexOf(src) + 1))
+    }
+    // positions strictly increase and the first k cycle all sources once
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    assert(rows.take(k).map(_._3) == srcs)
+    // within a source, docs appear in (n_chars, doc_id) difficulty order
+    val lenOf = docLens.map(d => d._1 -> d._3).toMap
+    rows.groupBy(_._3).values.foreach { ds =>
+      val ordered = ds.sortBy(_._1).map(d => (lenOf(d._2), d._2))
+      assert(ordered == ordered.sorted)
+    }
+  }
+
   test("q139: centroid cosines equal the plain-Scala mean-vector products") {
     val byLabel = Tables.embeddings(spark, sf0001)
       .select("label", "embedding").collect()

@@ -266,11 +266,20 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // 1-row global conditional-sum agg —
                                   // the contingency matrix is never
                                   // materialized
-    "q139_centroid_sim" -> 4)     // ONE corpus exchange (the 640-key
+    "q139_centroid_sim" -> 4,     // ONE corpus exchange (the 640-key
                                   // (label,dim) mean, checkpointed for
                                   // its three consumers) + norm agg +
                                   // dim-keyed centroid self-join agg +
                                   // orderBy; norms attach by broadcast
+    "q140_mixture_alloc" -> 3,    // ONE source-keyed token agg (count
+                                  // scan-local, map-side folded) + the
+                                  // 1-row normalizer agg + orderBy on
+                                  // the #sources-row recipe table
+    "q141_curriculum" -> 4)       // source-keyed rank window + the
+                                  // sources dim distinct + its tiny
+                                  // global index window; pos is a
+                                  // FORMULA — no global data window,
+                                  // top-100 is TakeOrdered
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

@@ -16,7 +16,9 @@ SPOT=(q09_pricing_summary q22_json_events q54_repetition_filter
       q93_decontam_bloom q94_token_pack q96_cdc_compact
       q100_setsim_join q102_chunk_overlap q103_kl_divergence
       q109_winnow q114_contain_join q117_triangles
-      q119_pmi_collocations q122_neardup_matrix q123_snapshot_diff)
+      q119_pmi_collocations q122_neardup_matrix q123_snapshot_diff
+      q131_cooccur_lift q133_psi_drift q137_weighted_sample
+      q139_centroid_sim)
 
 ADD_OPENS=()
 for p in java.base/java.lang java.base/java.lang.invoke \
