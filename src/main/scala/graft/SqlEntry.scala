@@ -1739,7 +1739,102 @@ object SqlEntry {
         |SELECT CAST(la AS BIGINT) AS a, CAST(lb AS BIGINT) AS b,
         |  ROUND(dot / (na.nm * nb.nm), 4) + 0.0 AS cos
         |FROM dt JOIN nrm na ON na.label = la JOIN nrm nb ON nb.label = lb
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+    // q142's SQL surface is the positional min-join chain — running it
+    // result-equal to the builder proves the (depth, anchor) fold and
+    // the join formulation agree IN-ENGINE, same role as q94's flat
+    // global window.
+    "q142_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 ELSE 0 END AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |p1 AS (SELECT user_id, MIN(pos) AS p FROM e WHERE code = 1 GROUP BY user_id),
+        |a1 AS (SELECT p1.user_id, p1.p, e.ts FROM p1
+        |       JOIN e ON e.user_id = p1.user_id AND e.pos = p1.p),
+        |p2 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+        |       JOIN a1 ON e.user_id = a1.user_id AND e.pos > a1.p
+        |        AND e.ts <= a1.ts + INTERVAL 3 DAY
+        |       WHERE e.code = 2 GROUP BY e.user_id),
+        |a2 AS (SELECT p2.user_id, p2.p, e.ts FROM p2
+        |       JOIN e ON e.user_id = p2.user_id AND e.pos = p2.p),
+        |p3 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+        |       JOIN a2 ON e.user_id = a2.user_id AND e.pos > a2.p
+        |        AND e.ts <= a2.ts + INTERVAL 3 DAY
+        |       WHERE e.code = 3 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |du AS (SELECT u.user_id,
+        |         CASE WHEN p3.p IS NOT NULL THEN 3 WHEN p2.p IS NOT NULL THEN 2
+        |              WHEN p1.p IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |       FROM u LEFT JOIN p1 ON u.user_id = p1.user_id
+        |              LEFT JOIN p2 ON u.user_id = p2.user_id
+        |              LEFT JOIN p3 ON u.user_id = p3.user_id),
+        |r AS (SELECT CAST(depth AS BIGINT) AS depth,
+        |        CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM du GROUP BY depth)
+        |SELECT depth, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY depth DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS reached
+        |FROM r ORDER BY depth""".stripMargin,
+    "q143_user_growth" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+        |  FROM events WHERE event_id % 97 = 0 GROUP BY user_id),
+        |n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |      FROM f GROUP BY day)
+        |SELECT date_format(day, 'yyyy-MM-dd') AS day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
+    "q144_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND((CAST(2.0 AS DOUBLE) * SUM(rk * n_chars)
+        |         - (COUNT(*) + 1) * SUM(n_chars))
+        |        / (COUNT(*) * SUM(n_chars)), 4) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q146_zipf" ->
+      s"""WITH $TokensCte,
+        |f AS (SELECT word, COUNT(*) AS c FROM tokens GROUP BY word),
+        |top AS (SELECT word, c FROM f ORDER BY c DESC, word LIMIT 100),
+        |r AS (SELECT CAST(c AS DOUBLE) AS c,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS DOUBLE) AS rk
+        |      FROM top)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(regr_slope(ln(c), ln(rk)), 4) AS slope,
+        |  ROUND(regr_intercept(ln(c), ln(rk)), 4) AS intercept,
+        |  ROUND(regr_r2(ln(c), ln(rk)), 4) AS r2
+        |FROM r""".stripMargin,
+    "q147_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY day),
+        |wau AS (SELECT d.day, CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS wau
+        |        FROM dau d JOIN ud w
+        |          ON w.day BETWEEN date_sub(d.day, 6) AND d.day
+        |        GROUP BY d.day)
+        |SELECT date_format(d.day, 'yyyy-MM-dd') AS day, d.dau, w.wau,
+        |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin,
+    "q148_burstiness" ->
+      s"""WITH $TokensCte,
+        |wc AS (SELECT word, doc_id, COUNT(*) AS c FROM tokens
+        |       GROUP BY word, doc_id),
+        |g AS (SELECT word, SUM(c) AS s, SUM(c * c) AS q, COUNT(*) AS df
+        |      FROM wc GROUP BY word),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |top AS (SELECT * FROM g ORDER BY s DESC, word LIMIT 20)
+        |SELECT word, CAST(s AS BIGINT) AS freq, CAST(df AS BIGINT) AS df,
+        |  ROUND(CAST(n * q - s * s AS DOUBLE) / (n * s), 4) AS vmr
+        |FROM top CROSS JOIN nd ORDER BY word""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

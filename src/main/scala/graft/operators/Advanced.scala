@@ -1794,6 +1794,176 @@ object Advanced {
       .orderBy("a", "b")
   }
 
+  /** q142: time-constrained window funnel (the ClickHouse
+    * `windowFunnel` semantics, greedy variant): the furthest stage of
+    * view(1) → click(2) → purchase(3) reached where each NEXT stage
+    * lands within 3 days of the PREVIOUS stage's event — q62's state
+    * machine with a conversion-window clock, which is what real funnel
+    * reports use (a purchase six months after the click is not a
+    * conversion). Greedy anchoring: the first view starts the clock,
+    * and each accepted stage re-anchors it. Output is the funnel
+    * report itself — per-depth user counts plus the "reached ≥ depth"
+    * cumulative — not per-user rows.
+    *
+    * Scale posture: ONE shuffle keyed by user builds each user's
+    * time-ordered (tsm, code) array (bounded by per-user activity, as
+    * q62); the window-clock fold is a scan-local `aggregate` HOF over
+    * a (depth, anchor) struct accumulator; the report aggregate and
+    * its cumulative window touch ≤ 4 rows. The oracle is the
+    * independent positional min-join chain (first view; first click
+    * after it within Δ; first purchase after THAT within Δ), so the
+    * fold and the join formulation check each other. */
+  val q142_window_funnel = QueryDef(
+    "q142_window_funnel",
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 3 ELSE 0 END AS code,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events),
+      |p1 AS (SELECT user_id, MIN(pos) AS p FROM e WHERE code = 1 GROUP BY user_id),
+      |a1 AS (SELECT p1.user_id, p1.p, e.ts FROM p1
+      |       JOIN e ON e.user_id = p1.user_id AND e.pos = p1.p),
+      |p2 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+      |       JOIN a1 ON e.user_id = a1.user_id AND e.pos > a1.p
+      |        AND e.ts <= a1.ts + INTERVAL 3 DAY
+      |       WHERE e.code = 2 GROUP BY e.user_id),
+      |a2 AS (SELECT p2.user_id, p2.p, e.ts FROM p2
+      |       JOIN e ON e.user_id = p2.user_id AND e.pos = p2.p),
+      |p3 AS (SELECT e.user_id, MIN(e.pos) AS p FROM e
+      |       JOIN a2 ON e.user_id = a2.user_id AND e.pos > a2.p
+      |        AND e.ts <= a2.ts + INTERVAL 3 DAY
+      |       WHERE e.code = 3 GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |du AS (SELECT u.user_id,
+      |         CASE WHEN p3.p IS NOT NULL THEN 3 WHEN p2.p IS NOT NULL THEN 2
+      |              WHEN p1.p IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |       FROM u LEFT JOIN p1 ON u.user_id = p1.user_id
+      |              LEFT JOIN p2 ON u.user_id = p2.user_id
+      |              LEFT JOIN p3 ON u.user_id = p3.user_id),
+      |r AS (SELECT CAST(depth AS BIGINT) AS depth,
+      |        CAST(COUNT(*) AS BIGINT) AS n_users
+      |      FROM du GROUP BY depth)
+      |SELECT depth, n_users,
+      |  CAST(SUM(n_users) OVER (ORDER BY depth DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS reached
+      |FROM r ORDER BY depth""".stripMargin) { (s, d) =>
+    val deltaMicros = 3L * 24 * 3600 * 1000000
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"))
+      .groupBy("user_id")
+      .agg(sort_array(
+        collect_list(struct(col("tsm"), col("event_id"), col("code"))))
+        .as("evs"))
+      .select(
+        aggregate(col("evs"),
+          struct(lit(0L).as("d"), lit(0L).as("anchor")),
+          (acc, x) =>
+            when(x.getField("code") === acc.getField("d") + 1 &&
+                 (acc.getField("d") === 0 ||
+                  x.getField("tsm") <= acc.getField("anchor") + deltaMicros),
+              struct((acc.getField("d") + 1).as("d"),
+                x.getField("tsm").as("anchor")))
+              .otherwise(acc))
+          .getField("d").as("depth"))
+    val wCum = Window.orderBy(col("depth").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .withColumn("reached", sum("n_users").over(wCum))
+      .orderBy("depth")
+  }
+
+  /** q143: cumulative user growth — first-seen date per user, new
+    * users per day, and the running total ("how big is our user base")
+    * — the other half of q106's retention triangle. Running distinct
+    * count is the textbook trap (distinct per day × running = O(n²)
+    * or a global-window scan of the corpus); the scalable identity is
+    * that a user contributes to the cumulative count exactly once, at
+    * their MIN date — so the query is one user-keyed min-agg, one
+    * day-keyed count, and a running sum over the DAYS-sized series
+    * (bounded by the calendar, same posture as q130's ACF fold).
+    * Deterministic, engine-portable, no approximate sketches. Events
+    * are sparsified by the q106 deterministic `event_id % 97` sample
+    * so the fixture produces a multi-day curve (it is dense enough
+    * that every user is otherwise first seen on day one — the sample
+    * is part of the declared query, applied identically in both
+    * engines). */
+  val q143_user_growth = QueryDef(
+    "q143_user_growth",
+    """WITH f AS (SELECT user_id,
+      |    MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events WHERE event_id % 97 = 0 GROUP BY user_id),
+      |n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |      FROM f GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM n ORDER BY day""".stripMargin) { (s, d) =>
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .where(col("event_id") % 97 === 0)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(wCum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
+  /** q147: DAU/WAU stickiness — per day, the distinct users active
+    * that day, the distinct users active in the trailing 7 days, and
+    * their ratio (the engagement metric product teams watch). The
+    * naive WAU is a range self-join of the activity table against
+    * itself (each day re-scans a week — the oracle text IS that
+    * formulation); the scalable shape inverts it: each distinct
+    * (user, day) activity row is exploded to the ≤ 7 future days it
+    * covers (scan-local `sequence`, carrying the activity day), and
+    * DAU and WAU come out of ONE day-keyed multi-distinct aggregate —
+    * DAU counts the cover rows whose cover day IS the activity day —
+    * so Catalyst's Expand handles both distincts in one two-exchange
+    * pass over ≤ 7× the activity-pair table: never a range join of
+    * event-sized relations, no DAU⋈WAU join at all (days with no
+    * same-day activity are exactly the synthetic cover-only days, so
+    * `HAVING dau > 0` re-applies the join's day filter). */
+  val q147_stickiness = QueryDef(
+    "q147_stickiness",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      |        FROM ud GROUP BY day),
+      |wau AS (SELECT d.day, CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS wau
+      |        FROM dau d JOIN ud w ON w.day BETWEEN d.day - 6 AND d.day
+      |        GROUP BY d.day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin) {
+    (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      ud.select(col("user_id"), col("day").as("aday"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .groupBy("day")
+        .agg(
+          count_distinct(when(col("aday") === col("day"), col("user_id")))
+            .as("dau"),
+          count_distinct(col("user_id")).as("wau"))
+        .where(col("dau") > 0)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1805,5 +1975,6 @@ object Advanced {
       q106_retention, q107_transitions, q108_ohlc, q111_histogram,
       q112_ewma, q115_rolling_median, q118_twap, q123_snapshot_diff,
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
-      q131_cooccur_lift)
+      q131_cooccur_lift, q142_window_funnel, q143_user_growth,
+      q147_stickiness)
 }

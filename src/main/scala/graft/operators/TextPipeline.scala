@@ -3089,6 +3089,182 @@ object TextPipeline {
       .orderBy("pos").limit(100)
   }
 
+  /** q144: per-source Gini coefficient of document lengths — the
+    * inequality statistic a curation team reads next to q133's PSI:
+    * a source whose length mass is concentrated in a few huge
+    * documents (Gini → 1) needs chunking or length caps before it can
+    * be mixed; a uniform source (Gini → 0) doesn't. Uses the sorted-
+    * rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σᵢ xᵢ) / (n·Σᵢ xᵢ) — every
+    * sum is exact integer arithmetic until the one final division, so
+    * both engines agree bit-for-bit before the ROUND. Rank ties (equal
+    * lengths) are broken by doc_id; any tie order yields the same Σ
+    * i·xᵢ because the tied xᵢ are equal.
+    *
+    * Scale posture: one SOURCE-keyed rank window (distributes across
+    * sources — never a global sort) whose partitioning the follow-up
+    * source-keyed aggregate reuses; output is #sources rows. */
+  val q144_gini = QueryDef(
+    "q144_gini",
+    """WITH r AS (SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND((2.0 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars))
+      |        / (COUNT(*) * SUM(n_chars)), 4) AS gini
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.documents(s, d).select("source", "doc_id", "n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum("n_chars").as("sx"),
+        sum(col("rk") * col("n_chars")).as("srx"))
+      .select(col("source"), col("n"),
+        round((lit(2.0) * col("srx") - (col("n") + 1) * col("sx")) /
+          (col("n") * col("sx")), 4).as("gini"))
+      .orderBy("source")
+  }
+
+  /** q145: cap-per-cluster dedup policy — the OTHER election rule
+    * q127's histogram feeds: instead of "drop all but one" (q58/q71),
+    * keep the best ≤ 2 documents of every near-dup cluster (quality =
+    * longer first, doc_id tiebreak), which preserves benign template
+    * variation while still collapsing boilerplate floods. Singletons
+    * are their own cluster and trivially survive. Same bounded
+    * contract as q26/q48 (doc_id < 100).
+    *
+    * Scale posture: rides the q48 pipeline (guarded pairs → pointer-
+    * jumped components, node-sized label state); the cap itself is a
+    * CLUSTER-keyed rank window — keyed by rep, so it distributes, and
+    * its input is the corpus joined to the node-sized label table
+    * (un-hinted, per the round-7 broadcast-losers lesson). */
+  val q145_cluster_cap = QueryDef(
+    "q145_cluster_cap",
+    s"""WITH RECURSIVE $TokensCte,
+      |t AS (SELECT DISTINCT doc_id, word FROM tokens WHERE doc_id < 100),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      |          FROM t x JOIN t y ON x.word = y.word AND x.doc_id < y.doc_id
+      |          GROUP BY x.doc_id, y.doc_id),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, COALESCE(comp.rep, d.doc_id) AS cluster_rep,
+      |          d.n_chars
+      |        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+      |        WHERE d.doc_id < 100),
+      |rk AS (SELECT doc_id, cluster_rep,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_rep
+      |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      |       FROM lab)
+      |SELECT doc_id, cluster_rep, rk FROM rk WHERE rk <= 2
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = exactJaccardPairs(
+      tokens(s, d).where(col("doc_id") < 100)
+        .select("doc_id", "word").distinct(),
+      0.8).select("a", "b")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d).where(col("doc_id") < 100)
+      .select("doc_id", "n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 2)
+      .select("doc_id", "cluster_rep", "rk")
+      .orderBy("doc_id")
+  }
+
+  /** q146: Zipf's-law fit — the log-log least-squares slope of
+    * frequency vs rank over the top-100 words, plus intercept and R².
+    * Natural-language text sits near slope −1 with high R²; a corpus
+    * that drifts (machine-generated spam, tables, code) bends the
+    * curve — this is the one-number "does it look like language"
+    * screen run next to q28's language ID and q113's char entropy.
+    *
+    * Scale posture: the word-frequency aggregate is the only corpus-
+    * sized work; the top-100 is TakeOrdered (no global sort), and the
+    * rank window + regression run on a 100-row frame. The regression
+    * itself uses the engines' native `regr_slope`/`regr_intercept`/
+    * `regr_r2` moment aggregates (q95's family) over ln(freq), ln(rank). */
+  val q146_zipf = QueryDef(
+    "q146_zipf",
+    s"""WITH $TokensCte,
+      |f AS (SELECT word, COUNT(*) AS c FROM tokens GROUP BY word),
+      |top AS (SELECT word, c FROM f ORDER BY c DESC, word LIMIT 100),
+      |r AS (SELECT CAST(c AS DOUBLE) AS c,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS DOUBLE) AS rk
+      |      FROM top)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(regr_slope(ln(c), ln(rk)), 4) AS slope,
+      |  ROUND(regr_intercept(ln(c), ln(rk)), 4) AS intercept,
+      |  ROUND(regr_r2(ln(c), ln(rk)), 4) AS r2
+      |FROM r""".stripMargin) { (s, d) =>
+    val top = tokens(s, d)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(100)
+    val r = top
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("word")))
+          .cast("double"))
+      .select(log(col("c").cast("double")).as("lc"), log(col("rk")).as("lr"))
+    r.agg(count(lit(1)).as("n"),
+      round(regr_slope(col("lc"), col("lr")), 4).as("slope"),
+      round(regr_intercept(col("lc"), col("lr")), 4).as("intercept"),
+      round(regr_r2(col("lc"), col("lr")), 4).as("r2"))
+  }
+
+  /** q148: word burstiness — the variance-to-mean ratio (dispersion
+    * index) of per-document counts for the top-20 corpus words,
+    * counting the zero-documents. Function words disperse ≈ Poisson
+    * (VMR ≈ 1); content words are bursty (VMR ≫ 1) — the signal
+    * behind stopword-list induction and per-word df weighting, and a
+    * template-flood tell (boilerplate words go bursty corpus-wide).
+    * The zeros never materialize: with S = Σ counts, Q = Σ counts²
+    * over the documents that HAVE the word and N the corpus size,
+    * VMR = (N·Q − S²) / (N·S) — exact integers until one division.
+    *
+    * Scale posture: one (word, doc)-keyed count, one word-keyed moment
+    * fold (vocab-sized input), top-20 via TakeOrdered, and the corpus
+    * size attaches as a 1-row broadcast. */
+  val q148_burstiness = QueryDef(
+    "q148_burstiness",
+    s"""WITH $TokensCte,
+      |wc AS (SELECT word, doc_id, COUNT(*) AS c FROM tokens
+      |       GROUP BY word, doc_id),
+      |g AS (SELECT word, SUM(c) AS s, SUM(c * c) AS q, COUNT(*) AS df
+      |      FROM wc GROUP BY word),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |top AS (SELECT * FROM g ORDER BY s DESC, word LIMIT 20)
+      |SELECT word, CAST(s AS BIGINT) AS freq, CAST(df AS BIGINT) AS df,
+      |  ROUND(CAST(n * q - s * s AS DOUBLE) / (n * s), 4) AS vmr
+      |FROM top CROSS JOIN nd ORDER BY word""".stripMargin) { (s, d) =>
+    val g = tokens(s, d)
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("word").agg(
+        sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"),
+        count(lit(1)).as("df"))
+    val top = g.orderBy(col("s").desc, col("word")).limit(20)
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    top.crossJoin(broadcast(nd))
+      .select(col("word"), col("s").as("freq"), col("df"),
+        round((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n") * col("s")), 4).as("vmr"))
+      .orderBy("word")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -3107,5 +3283,6 @@ object TextPipeline {
     q127_cluster_sizes, q132_leakage_split, q133_psi_drift,
     q134_rank_fusion, q135_quantile_norm, q136_padding_waste,
     q137_weighted_sample, q138_kappa, q140_mixture_alloc,
-    q141_curriculum)
+    q141_curriculum, q144_gini, q145_cluster_cap, q146_zipf,
+    q148_burstiness)
 }

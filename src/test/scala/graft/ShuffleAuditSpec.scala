@@ -275,11 +275,38 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // scan-local, map-side folded) + the
                                   // 1-row normalizer agg + orderBy on
                                   // the #sources-row recipe table
-    "q141_curriculum" -> 4)       // source-keyed rank window + the
+    "q141_curriculum" -> 4,       // source-keyed rank window + the
                                   // sources dim distinct + its tiny
                                   // global index window; pos is a
                                   // FORMULA — no global data window,
                                   // top-100 is TakeOrdered
+    "q142_window_funnel" -> 3,    // ONE user-keyed exchange (the
+                                  // (depth, anchor) clock fold is
+                                  // scan-local, as q62) + the ≤4-row
+                                  // report agg + its cum window/sort
+    "q143_user_growth" -> 3,      // user-keyed min agg + day-keyed
+                                  // count + the DAYS-sized running
+                                  // sum (calendar-bounded, q130
+                                  // posture)
+    "q144_gini" -> 2,             // ONE source-keyed rank window whose
+                                  // partitioning the source agg reuses
+                                  // (subset rule) + orderBy on
+                                  // #sources rows
+    "q145_cluster_cap" -> 3,      // label join + cluster-keyed rank
+                                  // window + orderBy; the q48 pair
+                                  // pipeline is behind its checkpoint
+    "q146_zipf" -> 1,             // word agg only: top-100 is
+                                  // TakeOrdered, the rank window and
+                                  // regression run on a 100-row frame
+    "q147_stickiness" -> 4,       // (user, day) distinct + the ONE
+                                  // Expand-based multi-distinct agg
+                                  // (2 exchanges) over the ≤7× cover
+                                  // table + orderBy — no DAU⋈WAU join,
+                                  // never a range self-join
+    "q148_burstiness" -> 3)       // (word, doc) count + word-keyed
+                                  // moment fold + orderBy on 20 rows;
+                                  // top-20 is TakeOrdered, corpus size
+                                  // attaches by 1-row broadcast
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
