@@ -1834,7 +1834,41 @@ object SqlEntry {
         |top AS (SELECT * FROM g ORDER BY s DESC, word LIMIT 20)
         |SELECT word, CAST(s AS BIGINT) AS freq, CAST(df AS BIGINT) AS df,
         |  ROUND(CAST(n * q - s * s AS DOUBLE) / (n * s), 4) AS vmr
-        |FROM top CROSS JOIN nd ORDER BY word""".stripMargin)
+        |FROM top CROSS JOIN nd ORDER BY word""".stripMargin,
+    "q149_auc" ->
+      """WITH h AS (SELECT n_chars AS v,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+        |  FROM documents GROUP BY n_chars),
+        |c AS (SELECT np, nn,
+        |        COALESCE(SUM(nn) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          CAST(0 AS BIGINT)) AS nb
+        |      FROM h)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  ROUND(CAST(SUM(np * (2 * nb + nn)) AS DOUBLE)
+        |        / (CAST(2 AS DOUBLE) * SUM(np) * SUM(nn)), 4) AS auc
+        |FROM c""".stripMargin,
+    "q150_ks_test" ->
+      """WITH h AS (SELECT n_chars AS v,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |  GROUP BY n_chars),
+        |c AS (SELECT v,
+        |        SUM(c1) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+        |        SUM(c2) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2,
+        |        SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |      FROM h),
+        |g AS (SELECT v, n1, n2, ABS(k1 * n2 - k2 * n1) AS gap FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(MIN(CASE WHEN gap = m THEN v END) AS BIGINT) AS at_value,
+        |  ROUND(CAST(m AS DOUBLE) / (n1 * n2), 4) AS d_stat
+        |FROM g CROSS JOIN (SELECT MAX(gap) AS m FROM g) mm
+        |GROUP BY n1, n2, m""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

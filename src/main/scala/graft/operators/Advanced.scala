@@ -1964,6 +1964,108 @@ object Advanced {
         .orderBy("day")
   }
 
+  /** q149: ROC-AUC of a score against a binary label — here "does
+    * document length predict English" (score = n_chars, positive =
+    * lang 'en'), the evaluation gate behind every learned quality
+    * filter. The textbook form ranks every row globally (a global
+    * sort) or compares all pos×neg pairs (quadratic); the scalable
+    * identity is the Mann-Whitney rank-sum on the SCORE HISTOGRAM:
+    * with per-value positive/negative counts, AUC = Σ_v pos_v ·
+    * (negBelow_v + neg_v/2) / (N₊·N₋) — ties get the standard ½
+    * credit. Numerator in exact 2× integer arithmetic (the half-tie
+    * doubled), ONE division at the end.
+    *
+    * Scale posture: one value-keyed aggregate touches the corpus;
+    * the cumulative window and the final fold run on the score-value
+    * histogram (bounded by score cardinality — for length-like scores
+    * the max document length, the q130/q143 calendar-bounded posture). */
+  val q149_auc = QueryDef(
+    "q149_auc",
+    """WITH h AS (SELECT n_chars AS v,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY n_chars),
+      |c AS (SELECT np, nn,
+      |        COALESCE(SUM(nn) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      |      FROM h)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(np * (2 * nb + nn)) AS DOUBLE)
+      |        / (2.0 * SUM(np) * SUM(nn)), 4) AS auc
+      |FROM c""".stripMargin) { (s, d) =>
+    val wB = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .groupBy(col("n_chars").as("v"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+      .withColumn("nb", coalesce(sum("nn").over(wB), lit(0L)))
+      .agg(
+        sum("np").as("n_pos"),
+        sum("nn").as("n_neg"),
+        round(sum(col("np") * (lit(2L) * col("nb") + col("nn")))
+          .cast("double") /
+          (lit(2.0) * sum("np") * sum("nn")), 4).as("auc"))
+  }
+
+  /** q150: two-sample Kolmogorov–Smirnov statistic — the maximum
+    * CDF gap between two sources' document-length distributions
+    * (src0 vs src1), the nonparametric drift test run next to q133's
+    * binned PSI when bin edges would beg the question. D is evaluated
+    * at every observed value (where the max of a step-function gap
+    * must occur); the reported location is the smallest value
+    * achieving it, so the answer is total-order deterministic. The
+    * gap compares exact integer cross-products (cum₁·n₂ vs cum₂·n₁)
+    * — no per-row doubles until the final division.
+    *
+    * Scale posture: one value-keyed count aggregate touches the data
+    * (the two samples ride it as conditional sums — no union, no
+    * join); cumulative windows + the argmax fold run on the value
+    * histogram (max-doc-length-bounded, as q149). */
+  val q150_ks_test = QueryDef(
+    "q150_ks_test",
+    """WITH h AS (SELECT n_chars AS v,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1')
+      |  GROUP BY n_chars),
+      |c AS (SELECT v,
+      |        SUM(c1) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+      |        SUM(c2) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2,
+      |        SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      |      FROM h),
+      |g AS (SELECT v, n1, n2, ABS(k1 * n2 - k2 * n1) AS gap FROM c)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(MIN(CASE WHEN gap = m THEN v END) AS BIGINT) AS at_value,
+      |  ROUND(CAST(m AS DOUBLE) / (n1 * n2), 4) AS d_stat
+      |FROM g CROSS JOIN (SELECT MAX(gap) AS m FROM g) mm
+      |GROUP BY n1, n2, m""".stripMargin) { (s, d) =>
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val g = Tables.documents(s, d)
+      .where(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v"))
+      .agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      .select(col("v"),
+        sum("c1").over(wCum).as("k1"), sum("c2").over(wCum).as("k2"),
+        sum("c1").over(wAll).as("n1"), sum("c2").over(wAll).as("n2"))
+      .withColumn("gap", abs(col("k1") * col("n2") - col("k2") * col("n1")))
+    g.withColumn("m", max("gap").over(wAll))
+      .where(col("gap") === col("m"))
+      .groupBy("n1", "n2", "m")
+      .agg(min("v").cast("long").as("at_value"))
+      .select(col("n1"), col("n2"), col("at_value"),
+        round(col("m").cast("double") / (col("n1") * col("n2")), 4)
+          .as("d_stat"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -1976,5 +2078,5 @@ object Advanced {
       q112_ewma, q115_rolling_median, q118_twap, q123_snapshot_diff,
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
-      q147_stickiness)
+      q147_stickiness, q149_auc, q150_ks_test)
 }

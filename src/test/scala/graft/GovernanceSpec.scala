@@ -127,4 +127,42 @@ class GovernanceSpec extends SparkSpec {
     // PSI is an f-divergence-style score: non-negative before rounding
     got.values.foreach(psi => assert(psi >= -1e-9))
   }
+
+  test("q149: AUC equals the all-pairs Mann-Whitney probability") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0) == "en", r.getLong(1)))
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    // the definition: P(score+ > score-) + half the ties, all pairs
+    val wins = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    val expected = round4(wins.toDouble / (2.0 * pos.length * neg.length))
+    val row = SparkEntry.queries("q149_auc")(spark, sf0001).collect().head
+    assert(row.getLong(0) == pos.length.toLong)
+    assert(row.getLong(1) == neg.length.toLong)
+    assert(row.getDouble(2) == expected)
+  }
+
+  test("q150: D equals the brute-force max CDF gap, at its smallest witness") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val a = rows.filter(_._1 == "src0").map(_._2)
+    val b = rows.filter(_._1 == "src1").map(_._2)
+    val values = (a ++ b).distinct.sorted
+    val gaps = values.map { v =>
+      (v, math.abs(a.count(_ <= v).toLong * b.length -
+        b.count(_ <= v).toLong * a.length))
+    }
+    val m = gaps.map(_._2).max
+    val row = SparkEntry.queries("q150_ks_test")(spark, sf0001).collect().head
+    assert(row.getLong(0) == a.length.toLong)
+    assert(row.getLong(1) == b.length.toLong)
+    assert(row.getLong(2) == gaps.filter(_._2 == m).map(_._1).min)
+    assert(row.getDouble(3) == round4(m.toDouble / (a.length.toLong * b.length)))
+    // D is a sup of probability gaps: in [0, 1]
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
 }

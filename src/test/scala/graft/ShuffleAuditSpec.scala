@@ -303,10 +303,19 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // (2 exchanges) over the ≤7× cover
                                   // table + orderBy — no DAU⋈WAU join,
                                   // never a range self-join
-    "q148_burstiness" -> 3)       // (word, doc) count + word-keyed
+    "q148_burstiness" -> 3,       // (word, doc) count + word-keyed
                                   // moment fold + orderBy on 20 rows;
                                   // top-20 is TakeOrdered, corpus size
                                   // attaches by 1-row broadcast
+    "q149_auc" -> 2,              // ONE value-keyed agg touches the
+                                  // corpus; the rank-sum window + the
+                                  // final fold run on the score-value
+                                  // histogram (no global row sort, no
+                                  // pos x neg pairs)
+    "q150_ks_test" -> 2)          // same histogram posture: one value-
+                                  // keyed conditional-count agg + the
+                                  // CDF windows/argmax on the value
+                                  // histogram
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
