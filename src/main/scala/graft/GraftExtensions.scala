@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graftvec.{CosineSim, DotProduct}
+import org.apache.spark.sql.graftvec.{CosineSim, DotProduct, JaroWinkler}
 
 /** SparkSessionExtensions hook: makes the native vector expressions
   * available from SQL (`SELECT cosine_sim(a, b)`) when the session is
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("cosine_sim", CosineSim))
     ext.injectFunction(binary("dot_product", DotProduct))
+    ext.injectFunction(binary("jaro_winkler", JaroWinkler))
     ext.injectFunction(adcDistance)
     ext.injectFunction(hyperplaneSig)
     ext.injectFunction(polyHash)
@@ -92,7 +93,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq[(String, (Expression, Expression) => Expression)](
       "cosine_sim" -> (CosineSim(_, _)),
-      "dot_product" -> (DotProduct(_, _))
+      "dot_product" -> (DotProduct(_, _)),
+      "jaro_winkler" -> (JaroWinkler(_, _))
     ).foreach { case (name, make) =>
       reg.createOrReplaceTempFunction(
         name, args => make(args(0), args(1)), "built-in")

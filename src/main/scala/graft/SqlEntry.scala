@@ -1868,7 +1868,18 @@ object SqlEntry {
         |  CAST(MIN(CASE WHEN gap = m THEN v END) AS BIGINT) AS at_value,
         |  ROUND(CAST(m AS DOUBLE) / (n1 * n2), 4) AS d_stat
         |FROM g CROSS JOIN (SELECT MAX(gap) AS m FROM g) mm
-        |GROUP BY n1, n2, m""".stripMargin)
+        |GROUP BY n1, n2, m""".stripMargin,
+    // jaro_winkler is the graft-native codegen expression, registered
+    // on the SQL surface by GraftExtensions — this text exercises the
+    // injected-function path end to end.
+    "q151_jw_vocab" ->
+      s"""WITH $TokensCte,
+        |v AS (SELECT DISTINCT word FROM tokens),
+        |p AS (SELECT a.word AS w1, b.word AS w2,
+        |        ROUND(jaro_winkler(a.word, b.word), 4) AS jw
+        |      FROM v a JOIN v b ON a.word < b.word)
+        |SELECT w1, w2, jw
+        |FROM p WHERE jw >= 0.7 ORDER BY w1, w2""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

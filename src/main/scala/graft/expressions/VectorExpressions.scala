@@ -66,4 +66,11 @@ object VectorExpressions {
     VectorKernels.column(
       org.apache.spark.sql.graftvec.HasMinWords(
         VectorKernels.expression(text), k))
+
+  /** DuckDB-parity Jaro-Winkler similarity
+    * ([[org.apache.spark.sql.graftvec.JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.JaroWinkler(
+        VectorKernels.expression(a), VectorKernels.expression(b)))
 }

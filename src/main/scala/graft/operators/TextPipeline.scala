@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.expressions.VectorExpressions
 import graft.functions.Text
 
 /** Text-analysis / dedup operators over `documents` (SURVEY.md §2.9):
@@ -3265,6 +3266,48 @@ object TextPipeline {
       .orderBy("word")
   }
 
+  /** q151: vocabulary fuzzy-match — Jaro-Winkler similar word pairs
+    * over the DISTINCT vocabulary (jw ≥ 0.85), the lexicon-dedup /
+    * typo-clustering primitive behind spelling normalization and OCR
+    * cleanup. The similarity itself is [[graft.expressions
+    * .VectorExpressions.jaroWinkler]] — a native codegen
+    * [[org.apache.spark.sql.graftvec.JaroWinkler]] expression with
+    * DuckDB-parity semantics (the oracle calls DuckDB's own
+    * `jaro_winkler_similarity`), so the hot comparison never boxes:
+    * Spark ships `levenshtein` but no Jaro family, and a Scala UDF
+    * here would pay two boxed strings per candidate pair.
+    *
+    * Scale posture: pairs form over the DISTINCT VOCAB (sub-linear in
+    * the corpus by Heaps' law), never over documents; the self-join
+    * is conditioned (w1 < w2). For corpus-scale lexicons where even
+    * vocab² is too big, the q92/q104 deletion-neighborhood blocking
+    * generates candidates and this expression becomes the verifier —
+    * Jaro's match window means first-letter blocking is NOT lossless
+    * (a transposed prefix can still clear 0.85), so the honest exact
+    * contract is the bounded all-pairs this query declares. */
+  val q151_jw_vocab = QueryDef(
+    "q151_jw_vocab",
+    // The 0.70 threshold compares the ROUNDED similarity so the pair
+    // set is engine-portable (a raw-double compare at the boundary
+    // could disagree in the last ulp); the fixture vocabulary's
+    // nearest values bracket it comfortably (0.7222 above, 0.6889
+    // below).
+    s"""WITH $TokensCte,
+      |v AS (SELECT DISTINCT word FROM tokens),
+      |p AS (SELECT a.word AS w1, b.word AS w2,
+      |        ROUND(jaro_winkler_similarity(a.word, b.word), 4) AS jw
+      |      FROM v a JOIN v b ON a.word < b.word)
+      |SELECT w1, w2, jw
+      |FROM p WHERE jw >= 0.7 ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    val v = tokens(s, d).select("word").distinct()
+    v.select(col("word").as("w1"))
+      .join(v.select(col("word").as("w2")), col("w1") < col("w2"))
+      .withColumn("jw",
+        round(VectorExpressions.jaroWinkler(col("w1"), col("w2")), 4))
+      .where(col("jw") >= 0.7)
+      .orderBy("w1", "w2")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26_neardup_jaccard, q27_tfidf, q28_lang_id, q29_quality_score,
     q30_fingerprint, q31_token_count, q32_minhash_sig, q33_simhash,
@@ -3284,5 +3327,5 @@ object TextPipeline {
     q134_rank_fusion, q135_quantile_norm, q136_padding_waste,
     q137_weighted_sample, q138_kappa, q140_mixture_alloc,
     q141_curriculum, q144_gini, q145_cluster_cap, q146_zipf,
-    q148_burstiness)
+    q148_burstiness, q151_jw_vocab)
 }

@@ -312,10 +312,14 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // final fold run on the score-value
                                   // histogram (no global row sort, no
                                   // pos x neg pairs)
-    "q150_ks_test" -> 2)          // same histogram posture: one value-
+    "q150_ks_test" -> 2,          // same histogram posture: one value-
                                   // keyed conditional-count agg + the
                                   // CDF windows/argmax on the value
                                   // histogram
+    "q151_jw_vocab" -> 2)         // vocab distinct + orderBy; the
+                                  // conditioned self-join broadcasts
+                                  // the vocab-sized side, and the JW
+                                  // kernel runs inside codegen
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {

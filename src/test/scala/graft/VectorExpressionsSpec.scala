@@ -190,4 +190,41 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(viaSql.sameElements(viaApi))
   }
+
+  test("jaro_winkler: textbook values, DuckDB-probed edges, SQL surface") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.jaroWinkler
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // textbook pairs (Winkler 1990 examples) + edges probed against
+    // DuckDB's jaro_winkler_similarity (JaroWinkler.scala scaladoc)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.961111),  // jaro 17/18, prefix 3
+      ("DWAYNE", "DUANE", 0.84),
+      ("DIXON", "DICKSONX", 0.813333),
+      ("abc", "abc", 1.0),
+      ("abc", "", 0.0), ("", "", 0.0), // both-empty is 0, NOT 1
+      ("ab", "ba", 0.0),               // window 0: no cross matches
+      ("a", "ab", 0.85),               // boost applies above 0.7
+      ("abcdefgh", "abcdxxxx", 0.666667), // jaro 2/3 <= 0.7: NO boost
+      ("CRATE", "TRACE", 0.733333))    // above 0.7 but prefix 0
+    val df = cases.map(c => (c._1, c._2)).toDF("a", "b")
+    val got = df.select(round(jaroWinkler(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == cases.map(c => r6(c._3)))
+    // interpreted eval agrees with codegen, and nulls propagate
+    val expr = org.apache.spark.sql.graftvec.JaroWinkler(
+      org.apache.spark.sql.catalyst.expressions.Literal("MARTHA"),
+      org.apache.spark.sql.catalyst.expressions.Literal("MARHTA"))
+    assert(r6(expr.eval(null).asInstanceOf[Double]) == 0.961111)
+    assert(df.select(jaroWinkler(lit(null).cast("string"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // SQL surface via the registered function
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("jw_rows")
+    val viaSql = spark.sql(
+      "SELECT round(jaro_winkler(a, b), 6) FROM jw_rows")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaSql == got)
+  }
 }
