@@ -1879,7 +1879,36 @@ object SqlEntry {
         |        ROUND(jaro_winkler(a.word, b.word), 4) AS jw
         |      FROM v a JOIN v b ON a.word < b.word)
         |SELECT w1, w2, jw
-        |FROM p WHERE jw >= 0.7 ORDER BY w1, w2""".stripMargin)
+        |FROM p WHERE jw >= 0.7 ORDER BY w1, w2""".stripMargin,
+    "q152_changepoint" ->
+      """WITH x AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY day),
+        |w AS (SELECT day, c,
+        |        SUM(c) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        ROW_NUMBER() OVER (ORDER BY day) AS i,
+        |        SUM(c) OVER () AS t, COUNT(*) OVER () AS n
+        |      FROM x),
+        |g AS (SELECT day, n, ABS(n * cum - i * t) AS dev FROM w)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  date_format(MIN(CASE WHEN dev = m THEN day END), 'yyyy-MM-dd')
+        |    AS at_day,
+        |  ROUND(CAST(m AS DOUBLE) / n, 4) AS s_max
+        |FROM g CROSS JOIN (SELECT MAX(dev) AS m FROM g) mm
+        |GROUP BY n, m""".stripMargin,
+    "q153_benford" ->
+      """WITH o AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice)
+        |      AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS d
+        |  FROM orders),
+        |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM o GROUP BY d),
+        |e AS (SELECT d, obs,
+        |        SUM(obs) OVER () * log10(1 + CAST(1 AS DOUBLE) / d) AS exp
+        |      FROM h)
+        |SELECT d, obs, ROUND(exp, 4) AS expected,
+        |  ROUND((obs - exp) * (obs - exp) / exp, 4) AS contrib,
+        |  ROUND(SUM((obs - exp) * (obs - exp) / exp) OVER (), 4) AS chi2
+        |FROM e ORDER BY d""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

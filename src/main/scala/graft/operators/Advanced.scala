@@ -2066,6 +2066,99 @@ object Advanced {
           .as("d_stat"))
   }
 
+  /** q152: CUSUM changepoint — the level-shift detector over the daily
+    * event-count series (did volume step up/down, and when?): the
+    * classic S_i = Σ_{j≤i}(x_j − μ) cumulative-deviation walk, whose
+    * extremum marks the most likely changepoint. The statistic is
+    * computed in EXACT integer arithmetic by multiplying through by
+    * N: |N·cum_i − i·T| (T = total, so N·S_i), divided back and
+    * rounded only at the end — both engines agree bit-for-bit before
+    * the one division. The smallest extremal day is reported, so the
+    * answer is total-order deterministic (q150's witness rule).
+    *
+    * Scale posture: ONE corpus-sized date aggregate; the cumulative
+    * window, argmax, and division run on the DAYS-sized series
+    * (calendar-bounded — the q130/q143 posture). */
+  val q152_changepoint = QueryDef(
+    "q152_changepoint",
+    """WITH x AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY day),
+      |w AS (SELECT day, c,
+      |        SUM(c) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        ROW_NUMBER() OVER (ORDER BY day) AS i,
+      |        SUM(c) OVER () AS t, COUNT(*) OVER () AS n
+      |      FROM x),
+      |g AS (SELECT day, n, ABS(n * cum - i * t) AS dev FROM w)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  strftime(MIN(CASE WHEN dev = m THEN day END), '%Y-%m-%d')
+      |    AS at_day,
+      |  ROUND(CAST(m AS DOUBLE) / n, 4) AS s_max
+      |FROM g CROSS JOIN (SELECT MAX(dev) AS m FROM g) mm
+      |GROUP BY n, m""".stripMargin) { (s, d) =>
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val g = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .select(col("day"),
+        sum("c").over(wCum).as("cum"),
+        row_number().over(Window.orderBy("day")).cast("long").as("i"),
+        sum("c").over(wAll).as("t"), count(lit(1)).over(wAll).as("n"))
+      .withColumn("dev", abs(col("n") * col("cum") - col("i") * col("t")))
+    g.withColumn("m", max("dev").over(wAll))
+      .where(col("dev") === col("m"))
+      .groupBy("n", "m")
+      .agg(date_format(min("day"), "yyyy-MM-dd").as("at_day"))
+      .select(col("n").as("n_days"), col("at_day"),
+        round(col("m").cast("double") / col("n"), 4).as("s_max"))
+  }
+
+  /** q153: Benford first-digit audit — the fraud/synthetic-data screen
+    * over order totals: observed first-significant-digit counts vs the
+    * Benford expectation n·log₁₀(1+1/d), with each digit's χ²
+    * contribution. Real transactional amounts follow Benford closely;
+    * uniform synthetic prices (this fixture) light the statistic up —
+    * exactly what the audit exists to catch. The χ² total rides every
+    * row (a 9-row window sum) so the table is self-contained.
+    *
+    * Scale posture: first digits are scan-local string/cast work, the
+    * counts are ONE 9-key aggregate (map-side collapsed), and all the
+    * double math happens on the 9-row digit table — log₁₀ ulp
+    * differences between engines are ~1e-16 against a 5e-5 rounding
+    * tolerance. The amount is FLOORed explicitly before the string
+    * cast: a bare double→BIGINT cast truncates in Spark but rounds in
+    * DuckDB, and one near-integer price flips its first digit (found
+    * by the sf0.01 oracle run). */
+  val q153_benford = QueryDef(
+    "q153_benford",
+    """WITH o AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      |  FROM orders),
+      |h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM o GROUP BY d),
+      |e AS (SELECT d, obs, SUM(obs) OVER () * log10(1 + 1.0 / d) AS exp
+      |      FROM h)
+      |SELECT d, obs, ROUND(exp, 4) AS expected,
+      |  ROUND((obs - exp) * (obs - exp) / exp, 4) AS contrib,
+      |  ROUND(SUM((obs - exp) * (obs - exp) / exp) OVER (), 4) AS chi2
+      |FROM e ORDER BY d""".stripMargin) { (s, d) =>
+    val wAll = Window.partitionBy()
+    val e = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("obs"))
+      .withColumn("exp",
+        sum("obs").over(wAll) * log10(lit(1) + lit(1.0) / col("d")))
+    e.select(col("d"), col("obs"),
+        round(col("exp"), 4).as("expected"),
+        round((col("obs") - col("exp")) * (col("obs") - col("exp")) /
+          col("exp"), 4).as("contrib"),
+        round(sum((col("obs") - col("exp")) * (col("obs") - col("exp")) /
+          col("exp")).over(wAll), 4).as("chi2"))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -2078,5 +2171,6 @@ object Advanced {
       q112_ewma, q115_rolling_median, q118_twap, q123_snapshot_diff,
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
-      q147_stickiness, q149_auc, q150_ks_test)
+      q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
+      q153_benford)
 }

@@ -165,4 +165,47 @@ class GovernanceSpec extends SparkSpec {
     // D is a sup of probability gaps: in [0, 1]
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
   }
+
+  test("q152: the CUSUM extremum equals the plain-Scala deviation walk") {
+    val xs = Tables.events(spark, sf0001)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("d").collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val n = xs.size.toLong
+    val t = xs.map(_._2).sum
+    var cum = 0L
+    val devs = xs.zipWithIndex.map { case ((d, c), i) =>
+      cum += c; (d, math.abs(n * cum - (i + 1) * t))
+    }
+    val m = devs.map(_._2).max
+    val row = SparkEntry.queries("q152_changepoint")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getString(1) == devs.filter(_._2 == m).map(_._1).min)
+    assert(row.getDouble(2) == round4(m.toDouble / n))
+    // the walk returns to zero at the last day: S_n = 0 by construction
+    assert(devs.last._2 == 0L)
+  }
+
+  test("q153: digit counts, Benford expectations, and chi2 re-derive") {
+    val digits = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice")).cast("long")).collect()
+      .map(_.getLong(0).toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    val hist = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val chi2 = hist.map { case (d, obs) =>
+      val exp = n * math.log10(1 + 1.0 / d)
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    val got = SparkEntry.queries("q153_benford")(spark, sf0001)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(got.map(g => g._1 -> g._2).toMap == hist)
+    got.foreach { case (d, _, exp, c2) =>
+      assert(exp == round4(n * math.log10(1 + 1.0 / d)))
+      assert(c2 == round4(chi2))
+    }
+    // the Benford expectations themselves partition n (sum of logs = 1)
+    assert(math.abs(got.map(_._3).sum - n) < 0.01)
+  }
 }

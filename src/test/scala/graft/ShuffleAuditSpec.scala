@@ -316,10 +316,16 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // keyed conditional-count agg + the
                                   // CDF windows/argmax on the value
                                   // histogram
-    "q151_jw_vocab" -> 2)         // vocab distinct + orderBy; the
+    "q151_jw_vocab" -> 2,         // vocab distinct + orderBy; the
                                   // conditioned self-join broadcasts
                                   // the vocab-sized side, and the JW
                                   // kernel runs inside codegen
+    "q152_changepoint" -> 2,      // ONE date agg touches the corpus;
+                                  // CUSUM windows + argmax run on the
+                                  // calendar-bounded day series
+    "q153_benford" -> 2)          // digit extraction scan-local into
+                                  // ONE 9-key agg; all double math on
+                                  // the 9-row digit table
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
