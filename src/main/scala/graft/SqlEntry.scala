@@ -1908,7 +1908,27 @@ object SqlEntry {
         |SELECT d, obs, ROUND(exp, 4) AS expected,
         |  ROUND((obs - exp) * (obs - exp) / exp, 4) AS contrib,
         |  ROUND(SUM((obs - exp) * (obs - exp) / exp) OVER (), 4) AS chi2
-        |FROM e ORDER BY d""".stripMargin)
+        |FROM e ORDER BY d""".stripMargin,
+    "q154_seq_pattern" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'e' END AS code
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |        array_join(transform(
+        |          sort_array(collect_list(struct(ts, event_id, code))),
+        |          x -> x.code), '') AS str
+        |      FROM c GROUP BY user_id),
+        |m AS (SELECT pattern,
+        |        CAST(regexp_count(str, pattern) AS BIGINT) AS hits
+        |      FROM s LATERAL VIEW explode(array('v[^c]*p', 'pe')) t
+        |        AS pattern)
+        |SELECT pattern,
+        |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_users,
+        |  CAST(SUM(hits) AS BIGINT) AS occurrences
+        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -2159,6 +2159,63 @@ object Advanced {
       .orderBy("d")
   }
 
+  /** q154: sequence-pattern matching — regex over per-user event
+    * streams (the MATCH_RECOGNIZE-lite primitive): each user's
+    * time-ordered events collapse to a 1-char-per-event code string,
+    * and declarative patterns run against it — here the two checks a
+    * funnel cannot express: "view converts to purchase with NO click
+    * between" (`v[^c]*p`, the click-attribution leak) and "error
+    * immediately after purchase" (`pe`, the post-checkout failure).
+    * Reports matching-user counts and total non-overlapping
+    * occurrences per pattern. Greedy leftmost non-overlapping
+    * matching agrees between Java regex and DuckDB's RE2 for these
+    * constructs (probed; no backreferences/lookahead).
+    *
+    * Scale posture: ONE user-keyed exchange builds each user's code
+    * string (bounded by per-user activity, the q62/q142 contract);
+    * the ≤2-literal pattern fan-out and regexp_count are scan-local
+    * on the user-string table, and the final agg has ≤2 keys. */
+  val q154_seq_pattern = QueryDef(
+    "q154_seq_pattern",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+      |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+      |      ORDER BY ts, event_id) AS str
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT pat,
+      |        CAST(len(regexp_extract_all(str, pat)) AS BIGINT) AS hits
+      |      FROM s CROSS JOIN (SELECT unnest(['v[^c]*p', 'pe']) AS pat) p)
+      |SELECT pat AS pattern,
+      |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users,
+      |  CAST(SUM(hits) AS BIGINT) AS occurrences
+      |FROM m GROUP BY pat ORDER BY pattern""".stripMargin) { (s, d) =>
+    val str = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e").as("code"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("code")))),
+        x => x.getField("code")), "").as("str"))
+    str
+      .select(explode(array(lit("v[^c]*p"), lit("pe"))).as("pattern"),
+        col("str"))
+      .select(col("pattern"),
+        regexp_count(col("str"), col("pattern")).cast("long").as("hits"))
+      .groupBy("pattern")
+      .agg(
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_users"),
+        sum("hits").as("occurrences"))
+      .orderBy("pattern")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -2172,5 +2229,5 @@ object Advanced {
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
       q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
-      q153_benford)
+      q153_benford, q154_seq_pattern)
 }

@@ -183,4 +183,21 @@ class LifecycleSpec extends SparkSpec {
     assert(s0 == counts.sum.toLong)
     assert(vmr0 == round4(varP / mu))
   }
+
+  test("q154: pattern hits equal java-regex counts over hand-built streams") {
+    val code = Map("view" -> "v", "click" -> "c", "purchase" -> "p",
+      "signup" -> "s").withDefaultValue("e")
+    val streams = events.groupBy(_._1).values.map { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(e => code(e._4)).mkString
+    }.toSeq
+    val expected = Seq("pe", "v[^c]*p").map { pat =>
+      val hits = streams.map(s => pat.r.findAllMatchIn(s).size.toLong)
+      (pat, hits.count(_ > 0).toLong, hits.sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q154_seq_pattern")(spark, sf0001)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // occurrences dominate matching users (each match needs >= 1 hit)
+    got.foreach { case (_, u, o) => assert(o >= u) }
+  }
 }

@@ -323,9 +323,13 @@ class ShuffleAuditSpec extends SparkSpec {
     "q152_changepoint" -> 2,      // ONE date agg touches the corpus;
                                   // CUSUM windows + argmax run on the
                                   // calendar-bounded day series
-    "q153_benford" -> 2)          // digit extraction scan-local into
+    "q153_benford" -> 2,          // digit extraction scan-local into
                                   // ONE 9-key agg; all double math on
                                   // the 9-row digit table
+    "q154_seq_pattern" -> 3)      // ONE user-keyed exchange builds the
+                                  // code strings; pattern fan-out +
+                                  // regexp_count scan-local, ≤2-key
+                                  // final agg + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
