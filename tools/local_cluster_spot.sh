@@ -18,7 +18,8 @@ SPOT=(q09_pricing_summary q22_json_events q54_repetition_filter
       q109_winnow q114_contain_join q117_triangles
       q119_pmi_collocations q122_neardup_matrix q123_snapshot_diff
       q131_cooccur_lift q133_psi_drift q137_weighted_sample
-      q139_centroid_sim)
+      q139_centroid_sim q142_window_funnel q147_stickiness
+      q149_auc q154_seq_pattern)
 
 ADD_OPENS=()
 for p in java.base/java.lang java.base/java.lang.invoke \

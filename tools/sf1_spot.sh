@@ -23,7 +23,8 @@ SPOT=(q09_pricing_summary q22_json_events q54_repetition_filter
       q109_winnow q114_contain_join q117_triangles
       q119_pmi_collocations q122_neardup_matrix q123_snapshot_diff
       q131_cooccur_lift q133_psi_drift q137_weighted_sample
-      q139_centroid_sim)
+      q139_centroid_sim q142_window_funnel q147_stickiness
+      q149_auc q154_seq_pattern)
 
 if [ ! -d "$SF1" ]; then
   echo "[sf1_spot] deriving $SF1 from /root/testdata/sf0.1 (copies=10)"
