@@ -50,7 +50,11 @@ object PlanDump {
       "q117_triangles" -> "degree-oriented triangle closing: edge-sized joins attach O(sqrt m) adjacency arrays, array_intersect runs inside the scan stage — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle",
       "q119_pmi_collocations" -> "PMI marginals as WINDOW sums over the one compacted pair aggregate — the 3-branch re-agg join form re-ran the corpus-sized pair agg per branch (8 shuffles measured); this chain runs 2, everything post-agg vocab²-sized",
       "q122_neardup_matrix" -> "source provenance RIDES the pair pipeline keys (functionally-dependent groupBy columns) — no corpus-sized doc→source dimension join after pair generation, the r6 broadcast-losers lesson applied to metadata attachment",
-      "q124_skyline" -> "Pareto dominance via TWO range frames sharing ONE sort: desc integer RANGE to -1 = strictly-better prices, (currentRow,currentRow) = the tie group — the O(n²) NOT EXISTS self-join the oracle runs never appears in the plan")
+      "q124_skyline" -> "Pareto dominance via TWO range frames sharing ONE sort: desc integer RANGE to -1 = strictly-better prices, (currentRow,currentRow) = the tie group — the O(n²) NOT EXISTS self-join the oracle runs never appears in the plan",
+      "q147_stickiness" -> "DAU/WAU via ONE Expand-based multi-distinct aggregate over the exploded cover-day table — no DAU⋈WAU join, no range self-join of event-sized relations; Expand doubles rows, the join formulation re-shuffled the activity table twice more",
+      "q149_auc" -> "ROC-AUC as a rank-sum on the SCORE HISTOGRAM: one value-keyed agg touches the corpus, the cumulative-negatives window runs on histogram-sized data — the global row-rank sort and the pos×neg pair join both never appear",
+      "q151_jw_vocab" -> "native jaro_winkler codegen kernel inside the conditioned vocab self-join (BroadcastNestedLoopJoin over the Heaps-law vocab, never documents); a UDF here would box two strings per pair",
+      "q154_seq_pattern" -> "sequence-pattern matching: ONE user-keyed exchange builds code strings via sort_array/collect_list, the pattern fan-out and regexp_count run scan-locally, the final agg has ≤2 keys")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"
