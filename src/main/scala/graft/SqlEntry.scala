@@ -1928,7 +1928,29 @@ object SqlEntry {
         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_users,
         |  CAST(SUM(hits) AS BIGINT) AS occurrences
-        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin)
+        |FROM m GROUP BY pattern ORDER BY pattern""".stripMargin,
+    "q155_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, state, ts, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> state),
+        |v AS (SELECT user_id, state,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS version,
+        |        ts AS valid_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS valid_to
+        |      FROM ch)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  date_format(valid_from, 'yyyy-MM-dd HH:mm:ss') AS valid_from,
+        |  COALESCE(date_format(valid_to, 'yyyy-MM-dd HH:mm:ss'),
+        |    'current') AS valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

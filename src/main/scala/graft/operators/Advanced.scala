@@ -2216,6 +2216,62 @@ object Advanced {
       .orderBy("pattern")
   }
 
+  /** q155: SCD2 dimension build — turn a raw event stream into the
+    * type-2 slowly-changing dimension a warehouse serves point-in-time
+    * joins from: per user, CONSECUTIVE EQUAL states collapse (a row
+    * survives only where the state CHANGES — real SCD2 compaction, not
+    * one row per event), and each survivor gets [valid_from, valid_to)
+    * from its own and the NEXT change's timestamp, open-ended on the
+    * current row. The q40 as-of join is the read side of exactly this
+    * table.
+    *
+    * Scale posture: ONE user-keyed exchange serves both windows — the
+    * change-detect lag and, because the filter preserves partitioning
+    * AND sort order, the post-filter lead (no second exchange, the
+    * q44 subset rule); everything else is scan-local. Version numbers
+    * come from the same ordering. */
+  val q155_scd2 = QueryDef(
+    "q155_scd2",
+    """WITH c AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (SELECT user_id, state, ts, event_id FROM c
+      |       WHERE prev IS NULL OR prev <> state),
+      |v AS (SELECT user_id, state,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS version,
+      |        ts AS valid_from,
+      |        LEAD(ts) OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS valid_to
+      |      FROM ch)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current')
+      |    AS valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"),
+        lag("event_type", 1).over(w).as("prev"))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"),
+        row_number().over(w).cast("long").as("version"),
+        col("ts").as("valid_from"),
+        lead("ts", 1).over(w).as("valid_to"))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("current")).as("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -2229,5 +2285,5 @@ object Advanced {
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
       q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
-      q153_benford, q154_seq_pattern)
+      q153_benford, q154_seq_pattern, q155_scd2)
 }

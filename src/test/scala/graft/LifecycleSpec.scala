@@ -200,4 +200,40 @@ class LifecycleSpec extends SparkSpec {
     // occurrences dominate matching users (each match needs >= 1 hit)
     got.foreach { case (_, u, o) => assert(o >= u) }
   }
+
+  test("q155: SCD2 rows equal the hand compaction; intervals tile") {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      val changes = ordered.zip(None +: ordered.map(e => Some(e._4)))
+        .collect { case (e, prev) if !prev.contains(e._4) => e }
+      changes.zipWithIndex.map { case ((_, tsm, _, state), i) =>
+        val from = fmt.format(java.time.Instant.ofEpochSecond(
+          tsm / 1000000, (tsm % 1000000) * 1000))
+        val to =
+          if (i + 1 < changes.size)
+            fmt.format(java.time.Instant.ofEpochSecond(
+              changes(i + 1)._2 / 1000000, (changes(i + 1)._2 % 1000000) * 1000))
+          else "current"
+        (u, (i + 1).toLong, state, from, to,
+          if (i + 1 == changes.size) 1L else 0L)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q155_scd2")(spark, sf0001)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(got == expected)
+    // SCD2 invariants: exactly one current row per user; consecutive
+    // versions tile (valid_to of v = valid_from of v+1); states CHANGE
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.count(_._6 == 1L) == 1)
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5 == b._4)   // intervals tile, no gaps/overlaps
+          assert(a._3 != b._3)   // a version exists only on a CHANGE
+        case _ =>
+      }
+    }
+  }
 }

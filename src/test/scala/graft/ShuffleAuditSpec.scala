@@ -326,10 +326,15 @@ class ShuffleAuditSpec extends SparkSpec {
     "q153_benford" -> 2,          // digit extraction scan-local into
                                   // ONE 9-key agg; all double math on
                                   // the 9-row digit table
-    "q154_seq_pattern" -> 3)      // ONE user-keyed exchange builds the
+    "q154_seq_pattern" -> 3,      // ONE user-keyed exchange builds the
                                   // code strings; pattern fan-out +
                                   // regexp_count scan-local, ≤2-key
                                   // final agg + orderBy
+    "q155_scd2" -> 2)             // ONE user-keyed exchange serves the
+                                  // change-detect lag AND the post-
+                                  // filter lead (filter preserves
+                                  // partitioning+order, q44 subset
+                                  // rule) + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
