@@ -1950,7 +1950,22 @@ object SqlEntry {
         |    'current') AS valid_to,
         |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin)
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q156_bad_records" ->
+      """WITH m AS (SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0
+        |         THEN substring(props, 1, length(props) - 1)
+        |         ELSE props END AS s
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |        CAST(get_json_object(s, '$.k') AS BIGINT) AS k FROM m)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  ROUND(CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS corrupt_rate,
+        |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -2272,6 +2272,56 @@ object Advanced {
       .orderBy("user_id", "version")
   }
 
+  /** q156: bad-records ingest gate — the PERMISSIVE-parse counter
+    * every JSON ingest runs before promoting a batch: per event type,
+    * how many payloads fail to parse, at what rate, and the sum of a
+    * parsed field over the VALID side (proving the survivors parse
+    * identically in both engines, not just that the bad ones were
+    * skipped). The fixture's props are all well-formed, so corruption
+    * is synthesized deterministically from existing columns (the q81
+    * precedent — both the pass and the fail path carry rows): payloads
+    * with event_id % 13 = 0 lose their trailing byte, which truncates
+    * the JSON mid-object. Spark's `get_json_object` returns NULL on
+    * malformed input (the PERMISSIVE contract); DuckDB errors instead,
+    * so its twin guards with `json_valid` — the parity of the two
+    * "treat bad rows as NULL" formulations IS the declared semantics.
+    *
+    * Scale posture: mangling + parse are scan-local; ONE |event types|-
+    * keyed aggregate with map-side partials. */
+  val q156_bad_records = QueryDef(
+    "q156_bad_records",
+    """WITH m AS (SELECT event_type,
+      |    CASE WHEN event_id % 13 = 0
+      |         THEN substr(props, 1, length(props) - 1)
+      |         ELSE props END AS s
+      |  FROM events),
+      |p AS (SELECT event_type,
+      |        CASE WHEN json_valid(s)
+      |             THEN CAST(json_extract(s, '$.k') AS BIGINT) END AS k
+      |      FROM m)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  ROUND(CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 4) AS corrupt_rate,
+      |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      val mangled = when(col("event_id") % 13 === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(mangled, "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          round(sum(when(col("k").isNull, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("corrupt_rate"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"))
+        .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -2285,5 +2335,5 @@ object Advanced {
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
       q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
-      q153_benford, q154_seq_pattern, q155_scd2)
+      q153_benford, q154_seq_pattern, q155_scd2, q156_bad_records)
 }

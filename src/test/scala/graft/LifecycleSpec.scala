@@ -236,4 +236,26 @@ class LifecycleSpec extends SparkSpec {
       }
     }
   }
+
+  test("q156: corrupt counts equal the deterministic mangle rule") {
+    val rows = Tables.events(spark, sf0001)
+      .select("event_type", "event_id", "props").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = rows.groupBy(_._1).view.mapValues { es =>
+      val corrupt = es.count(_._2 % 13 == 0).toLong
+      // valid payloads are exactly the unmangled ones: {"k": <int>}
+      val sumK = es.filter(_._2 % 13 != 0)
+        .map(e => """\d+""".r.findFirstIn(e._3).get.toLong).sum
+      (es.size.toLong, corrupt, sumK)
+    }.toMap
+    val got = SparkEntry.queries("q156_bad_records")(spark, sf0001)
+      .collect().toSeq.map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(3))))
+    assert(got.map(g => g._1 -> (g._2._1, g._2._2, g._2._3)).toMap == expected)
+    // non-vacuous both ways: every type has corrupt AND valid payloads
+    got.foreach { case (_, (n, c, _, rate)) =>
+      assert(c > 0 && c < n)
+      assert(rate == round4(c.toDouble / n))
+    }
+  }
 }

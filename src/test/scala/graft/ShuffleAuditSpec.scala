@@ -330,11 +330,14 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // code strings; pattern fan-out +
                                   // regexp_count scan-local, ≤2-key
                                   // final agg + orderBy
-    "q155_scd2" -> 2)             // ONE user-keyed exchange serves the
+    "q155_scd2" -> 2,             // ONE user-keyed exchange serves the
                                   // change-detect lag AND the post-
                                   // filter lead (filter preserves
                                   // partitioning+order, q44 subset
                                   // rule) + orderBy
+    "q156_bad_records" -> 2)      // mangle + PERMISSIVE parse are
+                                  // scan-local; ONE |types|-keyed agg
+                                  // with map-side partials + orderBy
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
