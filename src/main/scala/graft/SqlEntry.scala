@@ -1965,7 +1965,29 @@ object SqlEntry {
         |  ROUND(CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 4) AS corrupt_rate,
         |  CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
-        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q157_ab_test" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(conv) AS BIGINT) AS conversions
+        |      FROM u GROUP BY variant),
+        |w AS (SELECT
+        |        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |        MAX(CASE WHEN variant = 0 THEN conversions END) AS c0,
+        |        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |        MAX(CASE WHEN variant = 1 THEN conversions END) AS c1
+        |      FROM v)
+        |SELECT n0, c0, ROUND(CAST(c0 AS DOUBLE) / n0, 4) AS cr0,
+        |  n1, c1, ROUND(CAST(c1 AS DOUBLE) / n1, 4) AS cr1,
+        |  ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+        |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+        |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 4)
+        |    AS z
+        |FROM w""".stripMargin)
 
   /** Run a declared query from its SQL text. The text executes in a
     * CLONED session (`newSession`: own temp-view catalog and SQL conf,

@@ -2322,6 +2322,65 @@ object Advanced {
         .orderBy("event_type")
   }
 
+  /** q157: two-proportion z-test — the A/B experimentation primitive:
+    * users split into deterministic variants (user_id % 2 — in a real
+    * experiment, the assignment hash), conversion = "ever made a
+    * purchase over 90" (the bare "ever purchased" is vacuous on this
+    * dense fixture: every user converts, the pooled rate hits 1 and
+    * the z denominator is exactly 0 — found by the first sf0.001
+    * run), and the pooled two-proportion z statistic decides whether
+    * the conversion-rate gap is noise. Complements q150/q153 (the
+    * distribution tests) with the proportions test every growth team
+    * actually runs. All counts are exact integers; the z formula is
+    * the one double computation, on a 2-row table.
+    *
+    * Scale posture: ONE user-keyed aggregate (conversion is max-fold,
+    * map-side partial) whose variant key is scan-local; the variant
+    * agg moves 2 rows per partition and the z-combine is a 1-row
+    * cross of two broadcast scalars. */
+  val q157_ab_test = QueryDef(
+    "q157_ab_test",
+    """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(conv) AS BIGINT) AS conversions
+      |      FROM u GROUP BY variant),
+      |w AS (SELECT
+      |        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+      |        MAX(CASE WHEN variant = 0 THEN conversions END) AS c0,
+      |        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+      |        MAX(CASE WHEN variant = 1 THEN conversions END) AS c1
+      |      FROM v)
+      |SELECT n0, c0, ROUND(CAST(c0 AS DOUBLE) / n0, 4) AS cr0,
+      |  n1, c1, ROUND(CAST(c1 AS DOUBLE) / n1, 4) AS cr1,
+      |  ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 4)
+      |    AS z
+      |FROM w""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90,
+        1L).otherwise(0L)).as("conv"))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("conversions"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("conversions"))).as("c0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("conversions"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    w.select(col("n0"), col("c0"), round(p0, 4).as("cr0"),
+      col("n1"), col("c1"), round(p1, 4).as("cr1"),
+      round((p0 - p1) / sqrt(pp * (lit(1) - pp) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40_asof_join, q41_percentiles, q42_topk_udaf, q43_approx_distinct,
       q44_sessionize, q45_cube, q46_sql_entry, q47_range_frame, q51_json_map,
@@ -2335,5 +2394,6 @@ object Advanced {
       q124_skyline, q125_quantile_binning, q129_fk_audit, q130_acf,
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
       q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
-      q153_benford, q154_seq_pattern, q155_scd2, q156_bad_records)
+      q153_benford, q154_seq_pattern, q155_scd2, q156_bad_records,
+      q157_ab_test)
 }

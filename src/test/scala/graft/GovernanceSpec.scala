@@ -208,4 +208,26 @@ class GovernanceSpec extends SparkSpec {
     // the Benford expectations themselves partition n (sum of logs = 1)
     assert(math.abs(got.map(_._3).sum - n) < 0.01)
   }
+
+  test("q157: the z statistic equals the hand-pooled two-proportion test") {
+    val conv = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "purchase" && r.getDouble(2) > 90))
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    val (a, b) = conv.partition(_._1 % 2 == 0)
+    val (n0, c0) = (a.size.toLong, a.values.count(identity).toLong)
+    val (n1, c1) = (b.size.toLong, b.values.count(identity).toLong)
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    val row = SparkEntry.queries("q157_ab_test")(spark, sf0001).collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((n0, c0)))
+    assert((row.getLong(3), row.getLong(4)) == ((n1, c1)))
+    assert(row.getDouble(2) == round4(p0))
+    assert(row.getDouble(5) == round4(p1))
+    assert(row.getDouble(6) == round4(z))
+    // non-vacuous: both variants populated, neither rate degenerate
+    // (a pooled rate of exactly 0 or 1 makes the denominator 0)
+    assert(n0 > 0 && n1 > 0 && pp > 0.0 && pp < 1.0)
+  }
 }

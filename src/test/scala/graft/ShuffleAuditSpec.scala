@@ -335,9 +335,13 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // filter lead (filter preserves
                                   // partitioning+order, q44 subset
                                   // rule) + orderBy
-    "q156_bad_records" -> 2)      // mangle + PERMISSIVE parse are
+    "q156_bad_records" -> 2,      // mangle + PERMISSIVE parse are
                                   // scan-local; ONE |types|-keyed agg
                                   // with map-side partials + orderBy
+    "q157_ab_test" -> 3)          // user-keyed conversion fold + the
+                                  // 2-key variant agg + the 1-row
+                                  // z-combine; all double math on 2
+                                  // rows
 
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
