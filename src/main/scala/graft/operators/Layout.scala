@@ -202,21 +202,36 @@ object Layout {
     * row-group-prune (the zorderWrite story for the 1-D case).
     *
     * Durability contract: the rewrite goes to `path + "__compact_tmp"`
-    * first and only then swaps directories, so a crash mid-WRITE leaves
-    * the original table untouched; the swap itself (delete + rename) is
-    * NOT atomic on a plain filesystem — a production deployment runs
-    * this under a table-format transaction (the same caveat documented
-    * on [[appendEpochBucketed]]'s replay contract). Readers racing the
-    * swap see the old or the new listing, both complete snapshots of
-    * identical rows. */
+    * first, then the LIVE dir is renamed aside to `path + "__compact_old"`
+    * and the tmp renamed into place, then the old copy is deleted. The
+    * swap is still not one atomic operation on a plain filesystem, but
+    * every crash point now leaves a COMPLETE copy of the table under a
+    * predictable name (`path`, `__compact_tmp`, or `__compact_old`) —
+    * there is no window where the data exists only in an
+    * operator-unknown location. A production deployment still runs this
+    * under a table-format transaction (the same caveat documented on
+    * [[appendEpochBucketed]]'s replay contract).
+    *
+    * Flat tables only: a Hive-partitioned layout (subdirectories) would
+    * be silently flattened by this whole-table rewrite — partition
+    * pruning destroyed, stats nonsense — so the precondition is checked
+    * and the call fails fast instead. Compact a partitioned table
+    * per-partition (call this on each leaf dir). */
   def compactFiles(spark: SparkSession, path: String,
                    targetBytes: Long = 128L << 20,
                    sortBy: Seq[String] = Nil): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hPath).toSeq
+    val entries = fs.listStatus(hPath).toSeq
+      .filterNot(_.getPath.getName.startsWith("_")) // commit markers etc.
+    val subdirs = entries.filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"compactFiles: $path has subdirectories (${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+        "a partitioned table would be flattened; compact each leaf dir instead")
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compactFiles: no leaf .parquet files under $path")
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)
@@ -226,9 +241,14 @@ object Layout {
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.coalesce(nOut)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     out.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
+    // Rename-aside swap: live -> __compact_old, tmp -> live, delete old.
+    // Every crash point leaves a complete recoverable copy.
+    fs.delete(old, true) // clear any leftover from a prior crashed run
+    require(fs.rename(hPath, old), s"rename $hPath -> $old failed")
     require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    fs.delete(old, true)
     val after = fs.listStatus(hPath).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     CompactStats(files.size, after, bytes)

@@ -107,7 +107,12 @@ object TextPipeline {
       val df = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("weight").desc, col("word"))
-      tf.join(broadcast(df), "word").crossJoin(broadcast(n))
+      // No broadcast hint on df: vocabulary grows with the corpus (Heaps'
+      // law — 10^7–10^8 word types at crawl scale), so a forced broadcast
+      // is a scale-killer. AQE picks broadcast when df measures small and
+      // degrades to a shuffled join when it doesn't (round-8 plan test
+      // pins both behaviors). broadcast(n) stays: it is one row always.
+      tf.join(df, "word").crossJoin(broadcast(n))
         .select(col("doc_id"), col("word"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("weight"))
         .withColumn("rn", row_number().over(w).cast("long"))

@@ -567,6 +567,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactFiles fails fast on a Hive-partitioned table instead of " +
+      "flattening it (ADVICE r7)") {
+    val dir = Files.createTempDirectory("compactpart").toString + "/t"
+    Tables.documents(spark, sf0001)
+      .write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("subdirectories"), e.getMessage)
+    // the guarded call must not have touched the table
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "failed compactFiles mutated the table")
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("lang=")),
+      "partition layout destroyed")
+    // and an empty flat dir (no leaf parquet) also fails fast
+    val empty = Files.createTempDirectory("compactempty").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, empty)
+    }
+    assert(e2.getMessage.contains("no leaf"), e2.getMessage)
+  }
+
   test("salted join matches plain join row-for-row") {
     val orders = Tables.orders(spark, sf0001).select("o_custkey", "o_orderkey")
     val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")

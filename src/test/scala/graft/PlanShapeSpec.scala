@@ -85,4 +85,33 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Relational.q18_semi_anti)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("Q27 tf-idf vocabulary join degrades to a shuffle when broadcast is " +
+    "off (no forced broadcast on the corpus-growing df table)") {
+    // Vocabulary grows with the corpus (Heaps' law), so q27 must not HINT
+    // a broadcast of the document-frequency table: with the threshold
+    // forced off the word join must compile to a shuffled join instead of
+    // OOMing at scale. Only the 1-row corpus count N may broadcast (its
+    // hint is cardinality-bounded by construction).
+    import graft.operators.TextPipeline
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+      .map { case (k, v) =>
+        val old = spark.conf.get(k); spark.conf.set(k, v); k -> old
+      }
+    try {
+      val df = TextPipeline.q27_tfidf.build(spark, sf0001)
+      val exec = df.queryExecution.executedPlan
+      val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.isEmpty,
+        s"df join still forces a broadcast despite threshold -1:\n$exec")
+      val shuffled = exec.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(shuffled.nonEmpty, s"no shuffled word join in plan:\n$exec")
+      assert(df.count() > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
