@@ -35,6 +35,22 @@ object StreamBench {
       .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Deployment posture for streaming state (r8 profile: full-snapshot
+      // uploads per commit were ~45% of ingest wall time): commit the
+      // RocksDB CHANGELOG per batch and snapshot only at the maintenance
+      // interval — the per-batch cost becomes O(batch writes), not
+      // O(total state).
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      // No-data micro-batches exist to fire event-time timers promptly
+      // while input pauses; for this operator expiry emits nothing, so
+      // the extra empty batch per step only doubles the fsync-bound
+      // commit count (r8 profile: 2× ingest cost). Deferring timer
+      // processing to the next data batch is one-sided the same way the
+      // quantized timers are: the dedup horizon is a superset of ttl —
+      // a rep can linger past expiry until the next batch touches the
+      // store, never vanish early.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,6 +71,7 @@ object StreamBench {
 
     val start = System.nanoTime()
     var emitted = 0
+    val batchSecs = Seq.newBuilder[Double]
     while (emitted < rows) {
       val n = math.min(batchSize, rows - emitted)
       val batch = (0 until n).map { j =>
@@ -62,14 +79,22 @@ object StreamBench {
         DocDedup.TsDoc(id, texts((id % texts.length).toInt),
           new Timestamp(t0ms + id * 10L))
       }
+      val b0 = System.nanoTime()
       in.addData(batch)
       query.processAllAvailable()
+      batchSecs += (System.nanoTime() - b0) / 1e9
       emitted += n
     }
     val secs = (System.nanoTime() - start) / 1e9
     query.stop()
     val rps = rows / secs
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","op":"incrementalCandidatesTtl","store":"rocksdb","rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"sf":"$sfDir"}""")
+    val bs = batchSecs.result()
+    val perBatch = bs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    // steady state = excluding the first batch (plan compile + codegen +
+    // store creation — fixed costs a long-running ingest amortizes away)
+    val steady =
+      if (bs.size > 1) (rows - batchSize) / bs.tail.sum else rps
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"incrementalCandidatesTtl","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

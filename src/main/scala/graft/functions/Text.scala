@@ -58,6 +58,18 @@ object Text {
     VectorKernels.column(PolyHash(VectorKernels.expression(s), seed))
   }
 
+  /** One-scan MinHash signature (array<long>, `nHashes` entries) of a
+    * text column — signature-identical to the batch min-aggregate family
+    * in `TextPipeline.minHashBanded` (same polyHash seed 7, same
+    * (2i+3, 7i+1) params, same modulus). Native codegen kernel
+    * ([[org.apache.spark.sql.graftvec.MinHashSig]]); empty word set →
+    * empty array. ASCII word semantics (the TextNgrams caveat): exotic
+    * code points that LOWERCASE into a-z are separators here. */
+  def minhashSig(text: Column, nHashes: Int): Column = {
+    import org.apache.spark.sql.graftvec.{MinHashSig, VectorKernels}
+    VectorKernels.column(MinHashSig(VectorKernels.expression(text), nHashes))
+  }
+
   // ------------------------------------------------- PII / URL scrubbing
   // Training-data release hygiene. Chained regexp_replace stays inside
   // whole-stage codegen — scrubbing is scan-local, zero-shuffle at any

@@ -16,9 +16,9 @@ import graft.operators.{Layout, TextPipeline}
   *  1. MinHash signatures are computed SCAN-LOCALLY: where the batch path
   *     aggregates exploded `(doc_id, word)` rows
   *     ([[TextPipeline.minHashBanded]]), a stream can't afford a
-  *     signature shuffle per micro-batch, so each of the 16 hashes folds
-  *     per-row with array HOFs (`array_min` over the transformed distinct
-  *     word array). Same `(a,b)` parameter family and word hash → the
+  *     signature shuffle per micro-batch, so the native one-scan
+  *     `minhash_sig` kernel folds all 16 mins per row in a single byte
+  *     pass. Same `(a,b)` parameter family and word hash → the
   *     signatures are IDENTICAL to the batch path's (pinned in
   *     StreamingSpec), so a corpus can move between the two pipelines.
   *  2. Banded bucket keys `(band, bsig)` key the arbitrary-state stage:
@@ -54,10 +54,10 @@ object DocDedup {
   case class TsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** One banded-signature row of an incoming document. */
-  case class BandRow(doc_id: Long, band: Int, bsig: String, sig: Seq[Long])
+  case class BandRow(doc_id: Long, band: Int, bsig: String, sig: Array[Long])
 
   /** [[BandRow]] plus the document's event time. */
-  case class BandRowTs(doc_id: Long, band: Int, bsig: String, sig: Seq[Long],
+  case class BandRowTs(doc_id: Long, band: Int, bsig: String, sig: Array[Long],
                        ts: java.sql.Timestamp)
 
   /** An admitted near-dup candidate: `doc_id` collided with the earlier
@@ -65,22 +65,20 @@ object DocDedup {
   case class Match(doc_id: Long, dup_of: Long, band: Int, est_jaccard: Double)
 
   // public: the state-encoder's generated code calls the accessors
-  case class BucketRep(rep_id: Long, sig: Seq[Long])
+  case class BucketRep(rep_id: Long, sig: Array[Long])
 
   /** Banded MinHash rows for a `(doc_id, text)` frame, scan-local (no
-    * shuffle): per-row `array_min` folds replace the batch path's
-    * group-by, with the same hash parameters (`TextPipeline.LshHashes`
-    * hashes in `TextPipeline.LshBands` bands) so signatures match the
-    * batch pipeline exactly. Works on both static and streaming input. */
+    * shuffle): the native one-scan [[graft.functions.Text.minhashSig]]
+    * kernel computes all `TextPipeline.LshHashes` mins in ONE byte pass,
+    * with the same hash parameters as the batch path so signatures match
+    * the batch pipeline exactly. (The previous HOF formulation — 16
+    * separate `array_min(transform(words, ...))` columns — duplicated
+    * the tokenize+distinct subtree into every hash: 16 tokenizations per
+    * row, measured as 70% of streaming ingest wall time. StreamProfile
+    * r8 decomposes the cost; StreamingSpec pins kernel≡HOF≡batch
+    * signatures.) Tokenless docs produce no rows, as on the batch path.
+    * Works on both static and streaming input. */
   def bandedRows(docsIn: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    // tokenless docs have no word rows on the batch path either
-    val docs = docsIn.where(size(Text.wordsOf(col("text"))) > 0)
-    val words = array_distinct(Text.wordsOf(col("text")))
-    val hs = (0 until TextPipeline.LshHashes).map { i =>
-      val (a, b) = (2L * i + 3L, 7L * i + 1L) // minHashBanded's family
-      array_min(transform(words,
-        w => (Text.polyHash(w, 7L) * a + b) % TextPipeline.P))
-    }
     val rows = TextPipeline.LshHashes / TextPipeline.LshBands
     val bandCols = (0 until TextPipeline.LshBands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -88,7 +86,14 @@ object DocDedup {
           (0 until rows).map(r => col("sig")(bnd * rows + r)): _*).as("bsig"))
     }
     val kept = carry.map(col)
-    docs.select(col("doc_id") +: array(hs: _*).as("sig") +: kept: _*)
+    docsIn
+      .select(col("doc_id") +:
+        Text.minhashSig(col("text"), TextPipeline.LshHashes).as("sig") +:
+        kept: _*)
+      // empty sig == no tokens == no band rows (batch no-token rule);
+      // sig is referenced 17× below — a multi-use non-cheap alias, which
+      // CollapseProject refuses to inline, so the kernel runs once per row
+      .where(size(col("sig")) > 0)
       .select(col("doc_id") +: explode(array(bandCols: _*)).as("bd") +:
         col("sig") +: kept: _*)
       .select(col("doc_id") +: col("bd.band").as("band") +:
@@ -124,8 +129,11 @@ object DocDedup {
             rep.update(cur.get)
           case Some(b) if b.rep_id == r.doc_id => () // replayed representative
           case Some(b) =>
-            val est = b.sig.zip(r.sig).count { case (x, y) => x == y }
-              .toDouble / b.sig.size
+            var agree = 0; var i = 0
+            while (i < b.sig.length) {
+              if (b.sig(i) == r.sig(i)) agree += 1; i += 1
+            }
+            val est = agree.toDouble / b.sig.length
             if (est >= tau) out += Match(r.doc_id, b.rep_id, key._1, est)
         }
       }
@@ -147,51 +155,72 @@ object DocDedup {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // public: the state-encoder's generated code calls the accessors.
+  // `armed` caches the registered expiry-timer target so arrivals never
+  // need a listTimers() round-trip into the store.
+  case class BucketRepT(rep_id: Long, sig: Array[Long], armed: Long)
+
   /** [[BucketProcessor]] with EVENT-TIME TTL on the representative (the
-    * [[EventOps.TtlTotalsProcessor]] pattern): every arrival re-arms a
-    * timer at `last event time + ttl`; when the watermark passes it the
-    * representative is dropped, so state is bounded by event-time-ACTIVE
-    * buckets and a replay produces identical results at any speed. A
-    * later document re-claims the bucket from scratch — the dedup
-    * horizon becomes "anything admitted within the last ttl", which is
-    * how a perpetual ingest feed keeps its index from growing without
-    * bound. */
+    * [[EventOps.TtlTotalsProcessor]] pattern): bucket activity re-arms a
+    * timer past `last event time + ttl`; when the watermark passes it
+    * the representative is dropped, so state is bounded by
+    * event-time-ACTIVE buckets and a replay produces identical results
+    * at any speed. A later document re-claims the bucket from scratch —
+    * the dedup horizon becomes "anything admitted within the last ttl",
+    * which is how a perpetual ingest feed keeps its index from growing
+    * without bound.
+    *
+    * Timer cost, engineered (StreamProfile r8 measured naive re-arming
+    * at ~35% of ingest wall time): the armed target lives IN the value
+    * state (no listTimers() store scan per arrival), and targets are
+    * quantized UP to a `ttl/64` grid — the timer only moves when
+    * activity crosses a grid line, so a hot bucket pays one
+    * delete+register per grid crossing instead of three timer ops per
+    * batch. Quantizing UP keeps the contract one-sided: expiry never
+    * fires before `last activity + ttl` (the armed target is ≥ every
+    * quantized ideal it absorbed), at most `ttl/64` late — the dedup
+    * horizon is a superset of the declared ttl, never a subset. Forward-
+    * only still holds: a late-but-valid row's older ideal quantizes at
+    * or below the armed target and is a no-op. */
   class TtlBucketProcessor(tau: Double, ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, String), BandRowTs, Match] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
 
-    @transient private var rep: ValueState[BucketRep] = _
+    @transient private var rep: ValueState[BucketRepT] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      rep = getHandle.getValueState[BucketRep](
-        "rep", Encoders.product[BucketRep], TTLConfig.NONE)
+      rep = getHandle.getValueState[BucketRepT](
+        "rep", Encoders.product[BucketRepT], TTLConfig.NONE)
 
     override def handleInputRows(key: (Int, String), rows: Iterator[BandRowTs],
                                  timers: TimerValues): Iterator[Match] = {
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
       val out = Seq.newBuilder[Match]
-      var cur = Option(rep.get())
+      val prev = rep.get()
+      var curId = if (prev != null) prev.rep_id else -1L
+      var curSig: Array[Long] = if (prev != null) prev.sig else null
       sorted.foreach { r =>
-        cur match {
-          case None =>
-            cur = Some(BucketRep(r.doc_id, r.sig))
-            rep.update(cur.get)
-          case Some(b) if b.rep_id == r.doc_id => ()
-          case Some(b) =>
-            val est = b.sig.zip(r.sig).count { case (x, y) => x == y }
-              .toDouble / b.sig.size
-            if (est >= tau) out += Match(r.doc_id, b.rep_id, key._1, est)
+        if (curSig == null) {
+          curId = r.doc_id; curSig = r.sig
+        } else if (curId != r.doc_id) { // == would be a replayed rep
+          var agree = 0; var i = 0
+          while (i < curSig.length) {
+            if (curSig(i) == r.sig(i)) agree += 1; i += 1
+          }
+          val est = agree.toDouble / curSig.length
+          if (est >= tau) out += Match(r.doc_id, curId, key._1, est)
         }
       }
-      // one armed timer per bucket, moved FORWARD only: a late-but-valid
-      // row (within the watermark delay) whose event time is older than
-      // the armed timer must not pull expiry backward — take the max of
-      // the existing timer and this batch's newest activity + ttl
-      val armed = getHandle.listTimers().foldLeft(Long.MinValue)(math.max)
-      val target = math.max(armed, sorted.map(_.ts.getTime).max + ttlMs)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(target)
+      val slack = math.max(1L, ttlMs / 64)
+      val ideal = sorted(sorted.length - 1).ts.getTime + ttlMs // ts-sorted max
+      val targetQ = ((ideal + slack - 1) / slack) * slack
+      val armed = if (prev != null) prev.armed else 0L
+      if (targetQ > armed) {
+        if (armed > 0) getHandle.deleteTimer(armed)
+        getHandle.registerTimer(targetQ)
+        rep.update(BucketRepT(curId, curSig, targetQ))
+      }
       out.result().iterator
     }
 

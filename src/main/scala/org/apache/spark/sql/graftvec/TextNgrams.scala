@@ -142,6 +142,48 @@ object NgramKernel {
     false
   }
 
+  /** MinHash signature in ONE byte scan: for each of the `n` hash
+    * functions i, min over the text's words of
+    * `(polyhash(word, 7) * (2i+3) + (7i+1)) % (1e9+7)` — exactly the
+    * batch `TextPipeline.minHashBanded` family, so signatures stay
+    * identical to the batch pipeline's (duplicated words cannot change a
+    * min, so distinct-ing first is unnecessary).
+    *
+    * Replaces the HOF formulation in the streaming ingest path
+    * (`array_min(transform(words, ...))` × 16), whose Column-level
+    * construction duplicated the tokenize+distinct subtree into every
+    * hash — 16 full tokenizations per row, measured as 70% of streaming
+    * ingest wall time (StreamProfile, round 8). Empty word set → empty
+    * array (callers filter, mirroring the batch no-token rule). Called
+    * from generated code. */
+  def minhashSig(text: UTF8String, n: Int): ArrayData = {
+    val b = asciiLower(text)
+    val runs = wordRuns(b)
+    val words = runs.length / 2
+    if (words == 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val mins = Array.fill(n)(Long.MaxValue)
+    var w = 0
+    while (w < words) {
+      // polyHash(word, 7): words here are pure a-z bytes, so code points
+      // == byte values and the fold matches PolyHash.hash exactly
+      var acc = 7L
+      var i = runs(2 * w)
+      val e = runs(2 * w + 1)
+      while (i < e) { acc = (acc * 31L + b(i)) % PolyHash.Mod; i += 1 }
+      var h = 0
+      while (h < n) {
+        val v = (acc * (2L * h + 3L) + (7L * h + 1L)) % PolyHash.Mod
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
   /** Space-joined word n-grams as an array<string>. Called from
     * generated code. */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
@@ -211,6 +253,24 @@ case class HasMinWords(child: Expression, k: Int) extends NgramUnaryExpression {
       s"${ev.value} = $kernelCls.hasMinWords($t, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): HasMinWords =
+    copy(child = newChild)
+}
+
+/** array<long> MinHash signature (n hashes), one byte scan — the
+  * streaming twin of the batch min-aggregate signature. */
+case class MinHashSig(child: Expression, n: Int) extends NgramUnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(t: Any): Any =
+    NgramKernel.minhashSig(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $kernelCls.minhashSig($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

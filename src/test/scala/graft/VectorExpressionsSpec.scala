@@ -227,4 +227,39 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(viaSql == got)
   }
+
+  test("minhash_sig == the 16× array_min(transform(...)) HOF formulation " +
+    "on fixture corpus + edge strings") {
+    import graft.functions.Text
+    import graft.operators.TextPipeline
+    // ids offset past the fixture's doc_id range (0..499)
+    val edges = Seq("", "  .,;!", "a", "THE The the", "one two one two",
+      "x" * 500, "héllo wörld über", "mixedCASE tok3ns spl1t here")
+      .zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .union(edges.toDF("doc_id", "text"))
+    val words = array_distinct(Text.wordsOf(col("text")))
+    val hof = (0 until TextPipeline.LshHashes).map { i =>
+      val (a, b) = (2L * i + 3L, 7L * i + 1L)
+      array_min(transform(words,
+        w => (Text.polyHash(w, 7L) * a + b) % TextPipeline.P))
+    }
+    val both = docs.select(col("doc_id"),
+      Text.minhashSig(col("text"), TextPipeline.LshHashes).as("k"),
+      array(hof: _*).as("h"))
+    // tokenless rows: kernel yields [], HOF yields [null,...]; both are
+    // "no tokens" — compare only the tokenful rows, count the rest
+    val tokenless = both.where(size(col("k")) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tokenless == Set(1000L, 1001L), s"unexpected tokenless set: $tokenless")
+    val bad = both.where(size(col("k")) > 0 && !(col("k") === col("h")))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+    // duplicated words cannot change a min: "one two one two" == "one two"
+    val dup = both.where(col("doc_id") === 1004).select("k").collect()(0).getSeq[Long](0)
+    val ref = Seq((100L, "one two")).toDF("doc_id", "text")
+      .select(Text.minhashSig(col("text"), TextPipeline.LshHashes).as("k"))
+      .collect()(0).getSeq[Long](0)
+    assert(dup == ref)
+  }
 }
