@@ -1813,6 +1813,41 @@ object Advanced {
     * independent positional min-join chain (first view; first click
     * after it within Δ; first purchase after THAT within Δ), so the
     * fold and the join formulation check each other. */
+  /** Per-user greedy window-funnel depth — the fold q142 aggregates
+    * into its report, factored out because it is ALSO the contract the
+    * streaming twin ([[graft.streaming.EventOps.funnelDepthsTws]]) is
+    * golden-pinned against: depth d means stages 1..d of
+    * view(1)→click(2)→purchase(3) were reached with each accepted stage
+    * within `deltaMicros` of the previously accepted one (greedy
+    * re-anchoring — the first view starts the clock, each accepted
+    * stage resets it). ONE shuffle keyed by user builds the
+    * time-ordered event array; the clock fold is a scan-local
+    * `aggregate` HOF. Users exist in the output even at depth 0 (they
+    * had events; none matched stage 1). */
+  def funnelDepths(events: DataFrame, deltaMicros: Long): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"))
+      .groupBy("user_id")
+      .agg(sort_array(
+        collect_list(struct(col("tsm"), col("event_id"), col("code"))))
+        .as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0L).as("d"), lit(0L).as("anchor")),
+          (acc, x) =>
+            when(x.getField("code") === acc.getField("d") + 1 &&
+                 (acc.getField("d") === 0 ||
+                  x.getField("tsm") <= acc.getField("anchor") + deltaMicros),
+              struct((acc.getField("d") + 1).as("d"),
+                x.getField("tsm").as("anchor")))
+              .otherwise(acc))
+          .getField("d").as("depth"))
+
   val q142_window_funnel = QueryDef(
     "q142_window_funnel",
     """WITH e AS (
@@ -1849,29 +1884,8 @@ object Advanced {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS reached
       |FROM r ORDER BY depth""".stripMargin) { (s, d) =>
-    val deltaMicros = 3L * 24 * 3600 * 1000000
-    val perUser = Tables.events(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
-        col("event_id"),
-        when(col("event_type") === "view", 1L)
-          .when(col("event_type") === "click", 2L)
-          .when(col("event_type") === "purchase", 3L)
-          .otherwise(0L).as("code"))
-      .groupBy("user_id")
-      .agg(sort_array(
-        collect_list(struct(col("tsm"), col("event_id"), col("code"))))
-        .as("evs"))
-      .select(
-        aggregate(col("evs"),
-          struct(lit(0L).as("d"), lit(0L).as("anchor")),
-          (acc, x) =>
-            when(x.getField("code") === acc.getField("d") + 1 &&
-                 (acc.getField("d") === 0 ||
-                  x.getField("tsm") <= acc.getField("anchor") + deltaMicros),
-              struct((acc.getField("d") + 1).as("d"),
-                x.getField("tsm").as("anchor")))
-              .otherwise(acc))
-          .getField("d").as("depth"))
+    val perUser =
+      funnelDepths(Tables.events(s, d), 3L * 24 * 3600 * 1000000)
     val wCum = Window.orderBy(col("depth").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))

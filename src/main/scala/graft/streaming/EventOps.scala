@@ -278,4 +278,191 @@ object EventOps {
       .transformWithState(new TtlTotalsProcessor(ttlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ------------------------------------------------- q142 streaming twin
+
+  /** Funnel input row: `tsm` is event time in MICROseconds (the unit the
+    * batch fold compares the conversion window in — millisecond timers
+    * are too coarse to reproduce its tie behavior), `code` the funnel
+    * stage (1 = view, 2 = click, 3 = purchase). */
+  case class FunnelIn(user_id: Long, ts: Timestamp, tsm: Long,
+                      event_id: Long, code: Long)
+  case class FunnelEv(tsm: Long, event_id: Long, code: Long)
+
+  /** Per-user funnel state: the greedy fold's (depth, anchor) over the
+    * FINALIZED prefix, the watermark that prefix runs through
+    * (`foldedWm`, ms), and the single armed timer (`armed`, ms; 0 =
+    * none). */
+  case class FunnelSt(depth: Long, anchor: Long, foldedWm: Long,
+                      armed: Long)
+  case class FunnelDepth(user_id: Long, depth: Long)
+
+  /** Event-time streaming twin of q142's per-user window funnel
+    * ([[graft.operators.Advanced.funnelDepths]]): greedy
+    * view→click→purchase with a `deltaMicros` conversion clock that
+    * re-anchors on each accepted stage.
+    *
+    * The batch fold is order-sensitive (greedy over the ts-sorted event
+    * sequence), so a streaming twin cannot fold on arrival — a
+    * late-but-in-watermark click arriving after a purchase was folded
+    * would change history. Instead arrivals BUFFER in per-user
+    * `ListState` and the fold advances only up to the WATERMARK: one
+    * timer per user armed at the earliest pending event; when the
+    * watermark passes it, every pending event at or before the watermark
+    * is folded in (tsm, event_id) order — exactly the batch sort key —
+    * onto the persisted (depth, anchor). Because watermark slices are
+    * time-contiguous and processed in order, the incremental fold equals
+    * the batch fold over the full sequence (golden-pinned in
+    * StreamingSpec at sf0.001).
+    *
+    * Emission: one [[FunnelDepth]] row per DEPTH CHANGE (append mode);
+    * depth is monotone, so `max(depth)` per user over the output is the
+    * user's current depth. Users that never pass stage 1 emit nothing —
+    * absent means depth 0 (the report twin counts them from the user
+    * universe). State bounds: code-0 events are dropped before the
+    * shuffle; a user reaching depth 3 is terminal — buffer cleared,
+    * timer disarmed, later events ignored; otherwise pending holds only
+    * events newer than the watermark (the lateness horizon). Rows at or
+    * before the folded watermark are late beyond the declared lateness
+    * and are dropped, the standard watermark contract. */
+  class FunnelDepthProcessor(deltaMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelIn, FunnelDepth] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[FunnelSt] = _
+    @transient private var pending: ListState[FunnelEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[FunnelSt](
+        "funnel", Encoders.product[FunnelSt], TTLConfig.NONE)
+      pending = getHandle.getListState[FunnelEv](
+        "pending", Encoders.product[FunnelEv], TTLConfig.NONE)
+    }
+
+    private def cur(): FunnelSt =
+      Option(st.get()).getOrElse(FunnelSt(0L, 0L, Long.MinValue, 0L))
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
+                                 timers: TimerValues): Iterator[FunnelDepth] = {
+      val c = cur()
+      if (c.depth >= 3L) return Iterator.empty // terminal
+      var minMs = Long.MaxValue
+      rows.foreach { r =>
+        val ms = r.tsm / 1000
+        if (ms > c.foldedWm) { // else: late beyond the folded watermark
+          pending.appendValue(FunnelEv(r.tsm, r.event_id, r.code))
+          if (ms < minMs) minMs = ms
+        }
+      }
+      if (minMs != Long.MaxValue && (c.armed == 0L || minMs < c.armed)) {
+        if (c.armed != 0L) getHandle.deleteTimer(c.armed)
+        getHandle.registerTimer(minMs)
+        st.update(c.copy(armed = minMs))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[FunnelDepth] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val c = cur()
+      val all = pending.get().toArray
+      val (ready, rest) = all.partition(_.tsm / 1000 <= wm)
+      var depth = c.depth
+      var anchor = c.anchor
+      ready.sortBy(e => (e.tsm, e.event_id)).foreach { e =>
+        if (e.code == depth + 1 &&
+            (depth == 0L || e.tsm <= anchor + deltaMicros)) {
+          depth += 1; anchor = e.tsm
+        }
+      }
+      pending.clear()
+      if (depth >= 3L) { // terminal: drop the buffer, no more timers
+        st.update(FunnelSt(depth, anchor, wm, 0L))
+      } else {
+        if (rest.nonEmpty) pending.appendList(rest)
+        val armed = if (rest.nonEmpty) rest.map(_.tsm / 1000).min else 0L
+        if (armed != 0L) getHandle.registerTimer(armed)
+        st.update(FunnelSt(depth, anchor, wm, armed))
+      }
+      if (depth > c.depth) Iterator.single(FunnelDepth(key, depth))
+      else Iterator.empty
+    }
+  }
+
+  /** q142's per-user funnel depth over an unbounded event stream; see
+    * [[FunnelDepthProcessor]]. */
+  def funnelDepthsTws(events: DataFrame,
+                      deltaMicros: Long = 3L * 24 * 3600 * 1000000,
+                      lateness: String = "10 minutes"): Dataset[FunnelDepth] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"))
+      .where(col("code") > 0) // stage-less events are fold no-ops: drop pre-shuffle
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelDepthProcessor(deltaMicros),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ------------------------------------------------- q147 streaming twin
+
+  /** DAU stream — q147's daily-active-users half in event time: distinct
+    * (user, day) via watermarked streaming dedup, then a 1-day tumbling
+    * count. Two chained stateful operators in append mode; dedup state
+    * expires with the watermark, so state is bounded by the lateness
+    * horizon of daily-active pairs, not history. The watermark re-derives
+    * on the DAY-truncated column: day granularity means the effective
+    * lateness floor is one day (a day-boundary straggler is at most one
+    * day late on `day_ts`), hence the `1 day` default. */
+  def dailyActiveUsers(events: DataFrame,
+                       lateness: String = "1 day"): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .withWatermark("day_ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "day_ts")
+      .groupBy(window(col("day_ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("dau"))
+
+  /** WAU stream — q147's trailing-7-day half, by the SAME cover
+    * inversion as the batch query: each (user, activity day) is exploded
+    * scan-locally to the ≤ 7 future days it covers, the cover rows are
+    * streaming-deduped on (user, cover day), and a 1-day tumbling count
+    * yields WAU — never a range join of event-sized relations, never a
+    * per-day distinct-user set in state.
+    *
+    * The cover shift moves event time FORWARD up to 6 days, so the
+    * watermark on `cover_ts` must absorb that horizon before real
+    * lateness: an on-time activity row's EARLIEST cover day trails the
+    * maximum observed cover day by up to 6 days + day granularity —
+    * hence the `8 days` default (6-day horizon + 1-day granularity +
+    * 1-day slack). That is the price of the inversion, paid in state
+    * lifetime (8 days of distinct (user, day) pairs), not in compute
+    * shape. Days covered by no same-day activity are cover-only
+    * artifacts, exactly as in batch — the consumer joins against
+    * [[dailyActiveUsers]] and keeps dau > 0 days (golden-pinned against
+    * q147 in StreamingSpec). */
+  def weeklyActiveUsers(events: DataFrame,
+                        lateness: String = "8 days"): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("aday"))
+      .select(col("user_id"),
+        explode(sequence(col("aday"),
+          col("aday") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("cover_ts"))
+      .withWatermark("cover_ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "cover_ts")
+      .groupBy(window(col("cover_ts"), "1 day"))
+      .agg(count(lit(1)).as("wau"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("wau"))
 }

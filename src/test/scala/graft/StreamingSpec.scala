@@ -1157,4 +1157,107 @@ class StreamingSpec extends SparkSpec {
     assert(got == oneShot && got ==
       Set((1L, 12L), (3L, 30L), (4L, 41L), (6L, 60L)), s"got $got")
   }
+
+  // ---------------------------------------------- q142/q147 stream twins
+
+  /** sf0.001 events time-sorted and split into thirds; each third is fed
+    * REVERSED (maximal within-batch disorder) — cross-batch order holds,
+    * so nothing is late beyond the watermark and the twins must be
+    * EXACT. */
+  private def fixtureThirds(): (Array[Event], Seq[Seq[Event]]) = {
+    val evs = EventOps.typedEvents(spark, Tables.events(spark, sf0001))
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    (evs, evs.grouped((evs.length + 2) / 3).map(_.reverse.toSeq).toSeq)
+  }
+
+  test("q142 streaming twin: watermark-sliced funnel fold == batch " +
+    "funnelDepths at sf0.001") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    val delta = 3L * 24 * 3600 * 1000000
+    val (evs, thirds) = fixtureThirds()
+    val maxTs = evs.last.ts.getTime
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = EventOps.funnelDepthsTws(in.toDF(), delta)
+        .writeStream.format("memory").queryName("funnel_tw")
+        .outputMode("append").start()
+      thirds.foreach { t => in.addData(t); q.processAllAvailable() }
+      // two sentinel views (user -1, excluded below) push the watermark
+      // past every buffered event so all pending funnels fold
+      in.addData(Event(9000001L, new Timestamp(maxTs + 3600000L), -1L,
+        "view", 0.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Event(9000002L, new Timestamp(maxTs + 7200000L), -1L,
+        "view", 0.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // depth is monotone per user → max over the append stream = final
+    val streamed = spark.table("funnel_tw").where(col("user_id") >= 0)
+      .groupBy("user_id").agg(max("depth").as("depth"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = operators.Advanced
+      .funnelDepths(Tables.events(spark, sf0001), delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_ > 0),
+      "fixture must exercise the funnel")
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    batch.foreach { case (u, d) => // absent stream user = depth 0
+      assert(streamed.getOrElse(u, 0L) === d, s"user $u depth") }
+  }
+
+  test("q147 streaming twin: DAU/WAU dedup+window streams reproduce the " +
+    "batch stickiness report at sf0.001") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    val (evs, thirds) = fixtureThirds()
+    val maxTs = evs.last.ts.getTime
+    val inD = MemoryStream[Event]
+    val inW = MemoryStream[Event]
+    val qd = EventOps.dailyActiveUsers(inD.toDF())
+      .writeStream.format("memory").queryName("dau_tw")
+      .outputMode("append").start()
+    val qw = EventOps.weeklyActiveUsers(inW.toDF())
+      .writeStream.format("memory").queryName("wau_tw")
+      .outputMode("append").start()
+    thirds.foreach { t =>
+      inD.addData(t); inW.addData(t)
+      qd.processAllAvailable(); qw.processAllAvailable()
+    }
+    // sentinels 40/41 days out: far past the WAU stream's 8-day lateness
+    // + 6-day cover horizon, so every fixture-day window closes
+    Seq(40L, 41L).zipWithIndex.foreach { case (days, i) =>
+      val s = Event(9000001L + i, new Timestamp(maxTs + days * 86400000L),
+        -1L, "view", 0.0, "{}")
+      inD.addData(s); inW.addData(s)
+      qd.processAllAvailable(); qw.processAllAvailable()
+    }
+    qd.stop(); qw.stop()
+    val maxDay = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      .format(new java.util.Date(maxTs))
+    val got = spark.table("dau_tw").join(spark.table("wau_tw"), "day")
+      .where(col("day") <= maxDay) // sentinel days out; cover-only days
+      .select(col("day"), col("dau"), col("wau"), //   have no dau row
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = SparkEntry.queries("q147_stickiness")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(want.nonEmpty && got === want)
+  }
 }
