@@ -93,7 +93,8 @@ object AnnBench {
           codes = Some(ivfPqCodes)))
       def recall(got: Set[(Long, Long)]): Double =
         if (exact.isEmpty) 1.0 else (exact intersect got).size.toDouble / exact.size
-      println(f"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"n_queries":$nQueries,"k":$k,"exact_secs":$exactSecs%.3f,"ivf_secs":$ivfSecs%.3f,"pq_secs":$pqSecs%.3f,"ivfpq_secs":$ivfPqSecs%.3f,"ivf_recall":${recall(ivf)}%.3f,"pq_recall":${recall(pq)}%.3f,"ivfpq_recall":${recall(ivfpq)}%.3f,"loadavg":"$la"}""")
+      val refine = Similarity.autoRefine(n) // what the default-0 probes used
+      println(f"""{"metric":"ann_probe","sf":"$sfDir","n":$n,"n_queries":$nQueries,"k":$k,"refine":$refine,"exact_secs":$exactSecs%.3f,"ivf_secs":$ivfSecs%.3f,"pq_secs":$pqSecs%.3f,"ivfpq_secs":$ivfPqSecs%.3f,"ivf_recall":${recall(ivf)}%.3f,"pq_recall":${recall(pq)}%.3f,"ivfpq_recall":${recall(ivfpq)}%.3f,"loadavg":"$la"}""")
     }
     spark.stop()
   }

@@ -414,6 +414,24 @@ object Similarity {
     Array.tabulate(m)(s => Array.tabulate(ksub)(j => byKey((s, j))))
   }
 
+  /** Candidate depth for the PQ re-rank at corpus size n:
+    * max(4, ⌈log₂ n⌉). A FIXED refine shrinks the candidate FRACTION
+    * refine·k/n as the corpus grows, so recall decays with n (measured
+    * on the r7 random-vector ladder: PQ 0.63 → 0.43 from n = 2k to
+    * 20k at refine = 4). Scaling with log n keeps the re-rank cost per
+    * query O(k·log n) — 15 candidates·k at n = 20k, 30·k at n = 1B —
+    * while restoring the depth the approximate ranking needs; the
+    * candidate JOIN still ships refine·k·|Q| rows, bounded, nothing
+    * global. `refine = 0` on any PQ probe selects this. */
+  def autoRefine(n: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n, 2).toDouble) / math.log(2.0))).toInt
+
+  /** refine > 0 is caller-forced; 0 = auto from the corpus count (one
+    * metadata-cheap count(*) job per probe batch, amortized over |Q|). */
+  private def resolveRefine(refine: Int, corpus: DataFrame): Int =
+    if (refine > 0) refine else autoRefine(corpus.count())
+
   /** PQ approximate top-k with exact re-ranking — the memory-bound
     * billion-vector path (IVF-PQ's PQ half; Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
@@ -431,10 +449,14 @@ object Similarity {
     * contract as [[ivfTopK]]. Plan: codes scan + broadcast ADC join
     * (zero corpus shuffle) → one qid exchange for the candidate
     * window → broadcast-hinted re-rank join (candidates are
-    * refine·k·|Q| rows, bounded) → tiny final window. */
+    * refine·k·|Q| rows, bounded) → tiny final window.
+    *
+    * `refine = 0` (the default) scales the candidate depth with the
+    * corpus: [[autoRefine]] — constant-recall production posture. */
   def pqTopKWith(emb: DataFrame, cb: PqCodebooks, queryPred: Column,
-                 k: Int, refine: Int = 4,
+                 k: Int, refine: Int = 0,
                  precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val r = resolveRefine(refine, emb)
     val m = cb.length
     val ksub = cb.head.length
     val base = unitized(emb)
@@ -475,7 +497,7 @@ object Similarity {
     val cand = rankTopK(
       codes.join(broadcast(q.select("qid", "lut")), col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"), (-adist).as("nscore")),
-      k * refine, scoreName = "nscore", sorted = false)
+      k * r, scoreName = "nscore", sorted = false)
       .select("qid", "nid")
     // exact re-rank of candidates only: true cosine from the full vectors
     val full = withVec(emb).select(col("vec_id").as("nid"),
@@ -493,7 +515,7 @@ object Similarity {
   /** Probe against a SAVED codebook table (the consumer half of the
     * train-once lifecycle: [[trainPqCodebooks]] → persist → this). */
   def pqProbeTopK(emb: DataFrame, codebooks: DataFrame, queryPred: Column,
-                  k: Int, refine: Int = 4,
+                  k: Int, refine: Int = 0,
                   codes: Option[DataFrame] = None): DataFrame =
     pqTopKWith(emb, collectCodebooks(codebooks), queryPred, k, refine, codes)
 
@@ -501,7 +523,7 @@ object Similarity {
     * benchmarkable lifecycle is [[trainPqCodebooks]]/[[pqEncode]]/
     * [[pqProbeTopK]]). */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int = 16,
-             ksub: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame =
+             ksub: Int = 16, iters: Int = 2, refine: Int = 0): DataFrame =
     pqTopKWith(emb, trainPq(unitized(emb), m, ksub, iters), queryPred, k, refine)
 
   /** Deterministic codebook memo for q87 (the PQ twin of
@@ -553,11 +575,13 @@ object Similarity {
     * only. Scan cost per query ≈ (nProbe/nCells) · m bytes/vector —
     * the production read path for billion-vector corpora. Query-side
     * LUT/cells are materialized once (bounded by the queryPred
-    * contract, same as every probe here). */
+    * contract, same as every probe here). `refine = 0` (default) =
+    * [[autoRefine]] log-n candidate depth. */
   def ivfPqProbeTopK(emb: DataFrame, centroids: DataFrame,
                      codebooks: DataFrame, queryPred: Column, k: Int,
-                     nProbe: Int = 4, refine: Int = 4,
+                     nProbe: Int = 4, refine: Int = 0,
                      codes: Option[DataFrame] = None): DataFrame = {
+    val r = resolveRefine(refine, emb)
     val cents = collectCentroids(centroids)
     val cb = collectCodebooks(codebooks)
     val m = cb.length
@@ -593,7 +617,7 @@ object Similarity {
       codeTable.join(broadcast(qCells), "cell")
         .where(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"), (-adist).as("nscore")),
-      k * refine, scoreName = "nscore", sorted = false)
+      k * r, scoreName = "nscore", sorted = false)
       .select("qid", "nid")
     val full = withVec(emb).select(col("vec_id").as("nid"),
       col("v").as("nv"), col("nrm").as("nn"))

@@ -133,9 +133,9 @@ class SimilaritySpec extends SparkSpec {
         s"($qid,$nid): PQ cos $cos != exact ${exactAll((qid, nid))._1}")
     }
     val recall = got.count { case (q, n, _) => exactTop5((q, n)) } / 25.0
-    // deterministic (no RNG anywhere): 0.64 at the m=16/ksub=16/refine=4
-    // defaults on this fixture — random 64-dim data is PQ's worst case
-    // (no cluster structure to quantize), so this is a recall FLOOR
+    // deterministic (no RNG anywhere) at the m=16/ksub=16 defaults with
+    // auto refine (log₂ 500 → 9) — random 64-dim data is PQ's worst
+    // case (no cluster structure to quantize), so this is a recall FLOOR
     assert(recall >= 0.6, s"PQ recall too low: $recall")
   }
 
@@ -201,9 +201,9 @@ class SimilaritySpec extends SparkSpec {
       assert(exactAll((qid, nid))._1 == cos,
         s"($qid,$nid): IVF-PQ cos $cos != exact ${exactAll((qid, nid))._1}")
     }
-    // deterministic 0.72 at the nProbe=4/refine=4 defaults — HIGHER
-    // than PQ-flat's 0.64: cell pruning removes distracting candidates
-    // before the refine·k cut
+    // deterministic at the nProbe=4 / auto-refine defaults — HIGHER
+    // than PQ-flat: cell pruning removes distracting candidates before
+    // the refine·k cut
     val recall = viaSaved.count { case (q, n, _) => exactTop5((q, n)) } / 25.0
     assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
     val inline = Similarity.ivfPqProbeTopK(emb, cents, cb, pred, 5)
@@ -211,6 +211,51 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(viaSaved.sameElements(inline),
       "saved-index probe must reproduce the inline IVF-PQ result exactly")
+  }
+
+  test("autoRefine: floor 4, then ceil(log2 n)") {
+    assert(Similarity.autoRefine(0) == 4)
+    assert(Similarity.autoRefine(15) == 4)
+    assert(Similarity.autoRefine(17) == 5)
+    assert(Similarity.autoRefine(500) == 9)
+    assert(Similarity.autoRefine(20000) == 15)
+    assert(Similarity.autoRefine(1000000000L) == 30)
+  }
+
+  test("PQ recall on a CLUSTERED corpus with auto refine is >= 0.9 " +
+    "(the production regime a fixed refine=4 can't reach)") {
+    import spark.implicits._
+    // seeded Gaussian mixture, the in-test twin of make_sf.py
+    // --clustered: 20 unit centers, noise sigma 0.04/dim → same-cluster
+    // cos ≈ 0.97, cross-cluster ≈ 0. PQ codes collapse within a cluster
+    // (~100 members tie in ADC), so the candidate cut needs depth ≥
+    // cluster size to let the exact re-rank see the true neighbors:
+    // auto refine·k = 110 clears it, the old fixed 4·k = 40 cannot.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(20) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val emb = (0 until 2000).map { i =>
+      val c = centers(rnd.nextInt(20))
+      (i.toLong, c.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val pred = col("vec_id") < 20
+    def pairs(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, pred, 10))
+    val auto = pairs(Similarity.pqTopK(emb, pred, 10)) // refine=0 → 11
+    val fixed = pairs(Similarity.pqTopK(emb, pred, 10, refine = 4))
+    def recall(got: Set[(Long, Long)]) =
+      (exact intersect got).size.toDouble / exact.size
+    // top-4k candidates ⊆ top-11k candidates (total TopKPairs order), so
+    // auto recall dominates fixed structurally; the 0.9 bound is the
+    // operating-point contract from VERDICT r7 #4
+    assert(recall(auto) >= recall(fixed))
+    assert(recall(auto) >= 0.9, s"clustered auto-refine recall ${recall(auto)}")
   }
 
   test("pqTopK hand-computed: identical copies are each other's top " +
