@@ -47,12 +47,17 @@ Design goals:
   documents/embeddings property).
 
 CLUSTERED mode (VERDICT r7 #4): `make_sf.py --clustered <dstDir>
-[n=20000] [dim=64] [nClusters=64] [seed=42]` writes ONLY an
+[n=20000] [dim=64] [nClusters=64] [seed=42] [sigma=0.1]` writes ONLY an
 embeddings.parquet (same schema as the driver fixture: vec_id int64,
 embedding list<float>, label int32 = the generating cluster) drawn from
 a seeded Gaussian mixture — unit-norm cluster centers, per-point noise
-sigma 0.04/dim (noise norm ≈ 0.32, so within-cluster cosines ~0.9 vs
-cross-cluster ~N(0, 1/dim)). The driver fixture's random vectors have
+sigma/dim (at 0.1, noise norm ≈ 0.8: within-cluster cosines ~0.6 vs
+cross-cluster ~N(0, 1/dim), so members are clustered yet individually
+DISTINCT — PQ codes differ within a cluster and ADC can rank them).
+Much smaller sigmas (~0.04) instead make each cluster a near-duplicate
+PILE: codes collapse, ADC distances tie n/nClusters deep, and recall@k
+measures tie-breaking, not quantizer resolution (the regime the dedup
+family owns, not ANN). The driver fixture's random vectors have
 NO structure for a quantizer to exploit, so its measured ANN recall is
 a floor; real embedding corpora are clustered, and this fixture
 measures the recall the IVF/PQ/IVF-PQ probes actually deliver there.
@@ -69,14 +74,15 @@ import pyarrow.parquet as pq
 STRIDE = 10_000_000  # far above any source key; keeps copy-0 ids intact
 
 
-def make_clustered(dst, n=20000, dim=64, n_clusters=64, seed=42):
+def make_clustered(dst, n=20000, dim=64, n_clusters=64, seed=42,
+                   sigma=0.1):
     import numpy as np
     rng = np.random.RandomState(seed)
     centers = rng.normal(size=(n_clusters, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.randint(0, n_clusters, size=n)
     vecs = (centers[labels] +
-            rng.normal(scale=0.04, size=(n, dim))).astype(np.float32)
+            rng.normal(scale=sigma, size=(n, dim))).astype(np.float32)
     os.makedirs(dst, exist_ok=True)
     table = pa.table({
         "vec_id": pa.array(range(n), type=pa.int64()),
@@ -92,7 +98,8 @@ def make_clustered(dst, n=20000, dim=64, n_clusters=64, seed=42):
 def main():
     if sys.argv[1] == "--clustered":
         args = sys.argv[2:]
-        make_clustered(args[0], *[int(a) for a in args[1:5]])
+        make_clustered(args[0], *[int(a) for a in args[1:5]],
+                       *[float(a) for a in args[5:6]])
         return
     src, dst = sys.argv[1], sys.argv[2]
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
