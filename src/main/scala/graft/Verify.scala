@@ -28,16 +28,43 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_QUERY_TIMEOUT_SEC > 0 arms a per-query watchdog: the
+    // write runs under a per-query job group and a timed-out query's
+    // jobs are CANCELLED (interruptOnCancel) so one pathological plan
+    // cannot wedge a whole-registry run at a big derived SF — the
+    // skipped name is logged and the sweep continues. 0 (default,
+    // the driver contract) = no watchdog, identical behavior to before.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "0").toLong
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       // contract: result lands at outDir/<name>.parquet (a parquet
       // directory with that exact name — readable by pyarrow/duckdb
       // whether the driver treats it as a path or a glob root)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val t0 = System.nanoTime()
+      def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        if (timeoutSec <= 0) run()
+        else {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try Await.result(Future(run()), timeoutSec.seconds)
+          catch { case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            Thread.sleep(2000) // let cancellation land before cleanup
+            // a partial write would oracle-compare as a false DIFF:
+            // remove it so the timed-out query reads as absent, not wrong
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$outDir/$name.parquet"))
+            throw new RuntimeException(s"timed out after ${timeoutSec}s (skipped)")
+          } finally spark.sparkContext.clearJobGroup()
+        }
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.1fs: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
