@@ -29,9 +29,12 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     // SPARK_GRAFT_MASTER: see Verify — local-cluster[n,c,m] for multi-JVM runs
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // see Verify: shuffle width tracks data size at derived SFs
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.adaptive.enabled", "true")

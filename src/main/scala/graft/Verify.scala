@@ -17,11 +17,18 @@ object Verify {
     // a cluster; executors then need the graft classes via
     // -Dspark.executor.extraClassPath=target/scala-2.13/classes
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from core
+    // count: partitions should track DATA size, not cores — at derived
+    // sf10 a 24-wide shuffle makes 2.5M-row partitions that spill;
+    // 128-wide keeps per-task state in memory (AQE coalesces the small
+    // ones back). Default stays = cpus, the sf0.001–sf0.1 contract.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     // only stop what we start — embedding callers (tests) keep theirs
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
