@@ -68,8 +68,10 @@ object SqlEntry {
     "q09_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100e0, 2)
+        |    AS sum_price,
+        |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100e0, 2)
+        |    AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 2) AS avg_qty,
         |  ROUND(AVG(l_extendedprice), 2) AS avg_price
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,7 +81,9 @@ object SqlEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
-        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |  COUNT(*) AS cnt,
+        |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2)
+        |    AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
     "q11_date_buckets" ->
@@ -88,7 +92,9 @@ object SqlEntry {
         |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
     "q12_join2" ->
-      """SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2)
+        |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q13_join4" ->
@@ -503,7 +509,9 @@ object SqlEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
-        |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |  COUNT(*) AS cnt,
+        |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2)
+        |    AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY g_s, g_p, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,

@@ -504,7 +504,9 @@ object Advanced {
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
-      |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |  COUNT(*) AS cnt,
+      |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+      |    AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY g_s, g_p, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin) {
@@ -517,7 +519,9 @@ object Advanced {
           grouping("o_orderstatus").cast("long").as("g_s"),
           grouping("o_orderpriority").cast("long").as("g_p"),
           count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("sum_price"))
+          // exact integer cents (q08 rule; flaked at the r8 sf10 sweep)
+          round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+            .as("sum_price"))
         .orderBy(col("g_s"), col("g_p"),
           col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
   }

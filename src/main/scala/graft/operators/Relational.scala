@@ -146,13 +146,25 @@ object Relational {
   }
 
   /** Q9 pricing summary (TPC-H Q1 shape): filter pushed to parquet,
-    * partial+final hash agg on 2 keys. */
+    * partial+final hash agg on 2 keys.
+    *
+    * The money SUMs go through exact integer cents (the q08 rule,
+    * applied on evidence: the round-8 sf10 sweep flaked sum_price by
+    * one cent in 2.8×10¹¹ — a summation-order ulp across a half-cent
+    * boundary at 60M rows). Per-row `round(x·100)` is the same double
+    * on both engines and BIGINT sums have no order, so dollars derived
+    * FROM the cents sum are deterministic at any scale; sum_qty is an
+    * integer-valued sum (order-exact in doubles) and the AVGs divide
+    * the ulp below the 2-decimal rounding, so they stay as-is per the
+    * rewrite-on-flake policy. */
   val q09_pricing_summary = QueryDef(
     "q09_pricing_summary",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
       |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+      |    AS sum_price,
+      |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2)
+      |    AS sum_disc_price,
       |  ROUND(AVG(l_quantity), 2) AS avg_qty,
       |  ROUND(AVG(l_extendedprice), 2) AS avg_price
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -164,20 +176,26 @@ object Relational {
       .agg(
         count(lit(1)).as("cnt"),
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+          .as("sum_price"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")) / 100.0, 2).as("sum_disc_price"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         round(avg("l_extendedprice"), 2).as("avg_price"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Q10 rollup with grouping indicators (A7). */
+  /** Q10 rollup with grouping indicators (A7). sum_price via exact
+    * integer cents — the q08 rule, applied after the grand-total row
+    * (15M orders) flaked one cent at the round-8 sf10 sweep. */
   val q10_rollup = QueryDef(
     "q10_rollup",
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
-      |  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |  COUNT(*) AS cnt,
+      |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+      |    AS sum_price
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin) {
     (s, d) =>
@@ -186,7 +204,8 @@ object Relational {
           grouping("o_orderstatus").cast("long").as("g_status"),
           grouping("o_orderpriority").cast("long").as("g_prio"),
           count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("sum_price"))
+          round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+            .as("sum_price"))
         .orderBy(col("g_status"), col("g_prio"),
           col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
   }
@@ -210,13 +229,17 @@ object Relational {
     * scale; AQE may demote to broadcast when customer is small). */
   val q12_join2 = QueryDef(
     "q12_join2",
-    """SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+    """SELECT c_mktsegment, COUNT(*) AS cnt,
+      |  ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+      |    AS sum_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+          .as("sum_price"))
       .orderBy("c_mktsegment")
   }
 
