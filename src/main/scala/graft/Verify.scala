@@ -57,8 +57,16 @@ object Verify {
       try {
         if (timeoutSec <= 0) run()
         else {
-          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try Await.result(Future(run()), timeoutSec.seconds)
+          // setJobGroup is THREAD-LOCAL (SparkContext local properties):
+          // it must be set inside the worker future, not here — set from
+          // the main thread it never attaches to the future's jobs and
+          // cancelJobGroup cancels nothing (found when a "skipped" sf10
+          // query quietly ran to completion in the background).
+          val worker = Future {
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            try run() finally spark.sparkContext.clearJobGroup()
+          }
+          try Await.result(worker, timeoutSec.seconds)
           catch { case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name)
             Thread.sleep(2000) // let cancellation land before cleanup
@@ -67,7 +75,7 @@ object Verify {
             org.apache.commons.io.FileUtils.deleteQuietly(
               new java.io.File(s"$outDir/$name.parquet"))
             throw new RuntimeException(s"timed out after ${timeoutSec}s (skipped)")
-          } finally spark.sparkContext.clearJobGroup()
+          }
         }
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
