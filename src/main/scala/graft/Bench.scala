@@ -94,6 +94,23 @@ object Bench {
     val ls = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min-of-$passes%d-rotated-passes","loadavg":$ls,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // Compact twin, printed LAST (VERDICT r8 #6): the driver keeps only a
+    // ~2000-char tail of stdout and parses the first JSON line it finds
+    // there — the 157-query canonical line above is ~4.5 KB, so by round 4
+    // its head fell out of the window and the driver recorded parsed:null.
+    // Same schema the driver parsed in rounds 2–3 (metric/value/unit/
+    // queries/failed/sf); query keys shortened to their unique qNN prefix
+    // and values to centisecond precision so the whole line fits the tail
+    // with room for sbt's trailing "[success]" line. The canonical
+    // full-name line above stays the committed-artifact format
+    // (tools/*.sh select it by its "stat" field).
+    val qsShort = best.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
+    }.mkString("{", ",", "}")
+    val fsShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val sfBase = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"failed":$fsShort,"sf":"$sfBase"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,7 @@ object Verify {
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -68,19 +69,42 @@ object Verify {
           }
           try Await.result(worker, timeoutSec.seconds)
           catch { case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
+            // AndFutureJobs (Spark 3.5+): plain cancelJobGroup only kills
+            // jobs active at that instant — a query stalled driver-side or
+            // BETWEEN jobs (builders run several: localCheckpoint, head,
+            // count) would keep running and re-create the output after the
+            // cleanup below, leaving a stale result for a query reported
+            // skipped (ADVICE r8). The group stays poisoned, so any job
+            // the zombie future submits later dies on arrival.
+            spark.sparkContext.cancelJobGroupAndFutureJobs(name)
             Thread.sleep(2000) // let cancellation land before cleanup
             // a partial write would oracle-compare as a false DIFF:
             // remove it so the timed-out query reads as absent, not wrong
             org.apache.commons.io.FileUtils.deleteQuietly(
               new java.io.File(s"$outDir/$name.parquet"))
+            // belt-and-braces for the driver-side-stall case (no Spark job
+            // to cancel): when the zombie future eventually terminates,
+            // delete whatever it wrote — runs at most once, after cleanup.
+            worker.onComplete { _ =>
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(s"$outDir/$name.parquet"))
+            }
             throw new RuntimeException(s"timed out after ${timeoutSec}s (skipped)")
           }
         }
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failedNames += name // sweep-final re-delete: failed ⇒ output absent
         System.err.println(f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.1fs: ${e.getMessage}")
       }
+    }
+    // End-of-sweep re-delete (ADVICE r8): a timed-out query's zombie
+    // future may have re-materialized its output while later queries ran;
+    // sweep-final deletion guarantees every skipped name reads as ABSENT
+    // to the oracle, never as a stale/partial DIFF.
+    failedNames.foreach { n =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$outDir/$n.parquet"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2484,9 +2484,13 @@ object TextPipeline {
     * pipeline actually climbs.
     *
     * Scale posture: two corpus scans, each collapsing to the
-    * #sources-row statistic table in one exact-percentile hash agg; the
-    * stat joins are hinted broadcast because their size is the SOURCE
-    * dimension (tens of rows at any corpus scale), never the corpus. */
+    * #sources-row statistic table in one exact-percentile hash agg. The
+    * stat joins are deliberately UN-hinted: `source` is the one fixture
+    * dimension that grows unboundedly on a real crawl (domains — easily
+    * 10⁷ at 100 TB), the same class as q27's Heaps-law vocabulary. AQE
+    * picks broadcast while the stat table is small and degrades to a
+    * shuffled join instead of a driver OOM when it isn't
+    * (PlanShapeSpec pins the degrade). */
   val q121_mad_outliers = QueryDef(
     "q121_mad_outliers",
     """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
@@ -2502,11 +2506,11 @@ object TextPipeline {
       |FROM d2 JOIN md USING (source) ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val m = docs.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
-    val d2 = docs.join(broadcast(m), "source")
+    val d2 = docs.join(m, "source")
       .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
         abs(col("n_chars") - col("med")).as("dev"))
     val md = d2.groupBy("source").agg(expr("percentile(dev, 0.5)").as("mad"))
-    d2.join(broadcast(md), "source")
+    d2.join(md, "source")
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
         round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
         when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L).as("outlier"))
@@ -3065,8 +3069,16 @@ object TextPipeline {
     * contract.
     *
     * Scale posture: one source-keyed rank window (distributes across
-    * sources) + a #sources-row broadcast dim for the index and k;
-    * the top-100 output is TakeOrdered, no global sort. */
+    * sources) + a #sources-row dim for the index and k; the top-100
+    * output is TakeOrdered, no global sort. The dim join is UN-hinted
+    * (source cardinality is unbounded on a real crawl — the q27/q121
+    * class; AQE broadcasts while small, shuffles instead of OOMing
+    * when not). Only the 1-row count k keeps its hint. Latent
+    * assumption worth naming: `sidx` comes from an unpartitioned
+    * `Window.orderBy(source)` over the DISTINCT-source table — a
+    * single task over |sources| rows, fine at 10⁷ sources (ids + ranks
+    * only), but the first thing to bucket (range-partitioned
+    * zipWithIndex) if sources ever outgrow one task's memory. */
   val q141_curriculum = QueryDef(
     "q141_curriculum",
     """WITH r AS (SELECT doc_id, source,
@@ -3088,7 +3100,7 @@ object TextPipeline {
       .withColumn("sidx",
         row_number().over(Window.orderBy("source")).cast("long"))
     val k = srcs.agg(count(lit(1)).as("k"))
-    r.join(broadcast(srcs), Seq("source"))
+    r.join(srcs, Seq("source"))
       .crossJoin(broadcast(k))
       .select(((col("rk") - 1) * col("k") + col("sidx")).as("pos"),
         col("doc_id"), col("source"), col("rk"))

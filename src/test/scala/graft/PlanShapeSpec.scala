@@ -114,4 +114,41 @@ class PlanShapeSpec extends SparkSpec {
       assert(df.count() > 0)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("Q121/Q141 per-source stat joins degrade to a shuffle when broadcast " +
+    "is off (no forced broadcast on the corpus-growing source dimension)") {
+    // `source` is the fixture stand-in for crawl domains — unbounded at
+    // 100 TB (the q27 Heaps-law class, one notch milder). The per-source
+    // median/MAD tables (q121) and the source-index table (q141) must not
+    // carry broadcast hints: with the threshold forced off the joins must
+    // compile shuffled instead of OOMing the driver at scale. q141's
+    // 1-row count k keeps its hint (cardinality-bounded by construction),
+    // so its plan may legitimately contain ONE broadcast — the nested-loop
+    // cross join — but no BroadcastHashJoin on `source`.
+    import graft.operators.TextPipeline
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+      .map { case (k, v) =>
+        val old = spark.conf.get(k); spark.conf.set(k, v); k -> old
+      }
+    try {
+      Seq(TextPipeline.q121_mad_outliers, TextPipeline.q141_curriculum)
+        .foreach { qd =>
+          val df = qd.build(spark, sf0001)
+          val exec = df.queryExecution.executedPlan
+          val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
+          assert(bhj.isEmpty,
+            s"${qd.name}: source join still forces a broadcast despite " +
+              s"threshold -1:\n$exec")
+          val shuffled = exec.collect {
+            case j: SortMergeJoinExec => j
+            case j: ShuffledHashJoinExec => j
+          }
+          assert(shuffled.nonEmpty,
+            s"${qd.name}: no shuffled source join in plan:\n$exec")
+          assert(df.count() > 0)
+        }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -1247,8 +1247,12 @@ class StreamingSpec extends SparkSpec {
       qd.processAllAvailable(); qw.processAllAvailable()
     }
     qd.stop(); qw.stop()
-    val maxDay = new java.text.SimpleDateFormat("yyyy-MM-dd")
-      .format(new java.util.Date(maxTs))
+    // UTC explicitly: the query's day column is date_format'd in session
+    // UTC — a JVM-default-TZ formatter here would shift maxDay on a
+    // non-UTC JVM and drop the fixture's last day from `got` (ADVICE r8)
+    val maxDayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    maxDayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val maxDay = maxDayFmt.format(new java.util.Date(maxTs))
     val got = spark.table("dau_tw").join(spark.table("wau_tw"), "day")
       .where(col("day") <= maxDay) // sentinel days out; cover-only days
       .select(col("day"), col("dau"), col("wau"), //   have no dau row

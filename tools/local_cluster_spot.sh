@@ -53,6 +53,6 @@ echo "[lc_spot] bench spot set"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=16 \
   SPARK_GRAFT_BENCH_PASSES="${SPARK_GRAFT_BENCH_PASSES:-3}" \
   "${JAVA[@]}" graft.Bench "${SPOT[@]}" \
-  | tail -1 > "BENCH_r${ROUND}_localcluster.json"
+  | grep -a '"stat":"min-of' | tail -1 > "BENCH_r${ROUND}_localcluster.json"
 cat "BENCH_r${ROUND}_localcluster.json"
 echo "[lc_spot] wrote CORRECTNESS_r${ROUND}_localcluster.txt and BENCH_r${ROUND}_localcluster.json"

@@ -57,7 +57,7 @@ echo "[sf1_spot] bench spot set"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_PASSES="${SPARK_GRAFT_BENCH_PASSES:-3}" \
   "${JAVA[@]}" graft.Bench "${SPOT[@]}" \
-  | tail -1 > "BENCH_r${ROUND}_sf1_local.json"
+  | grep -a '"stat":"min-of' | tail -1 > "BENCH_r${ROUND}_sf1_local.json"
 cat "BENCH_r${ROUND}_sf1_local.json"
 
 # ---- dup-heavy leg (VERDICT r6 #2): the same 10x derivation but with
