@@ -5,28 +5,36 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.DocDedup
+import graft.streaming.{DocDedup, EmbDedup}
 
 /** Streaming ingest-dedup throughput micro-bench (VERDICT r6 #7): feed
   * synthetic documents through [[DocDedup.incrementalCandidatesTtl]] —
   * scan-local MinHash banding → RocksDB-backed per-bucket state with
   * event-time TTL timers — in fixed-size micro-batches and report
   * rows/sec as one JSON line (the BENCH_rN_stream.json artifact).
+  * `op=emb` (VERDICT r8 #4) runs the EMBEDDING twin instead:
+  * [[EmbDedup.probesTtl]] — scan-local hyperplane-SimHash banding →
+  * the same RocksDB TTL bucket state, with full vectors + norms in the
+  * member lists (a heavier state row than the doc variant's signature,
+  * the part this leg measures).
   *
   * Texts cycle through the sf0.01 documents fixture (real token
   * distributions, including its hot LSH buckets) under fresh ids with
   * monotonically increasing event times, so every row exercises banding,
-  * state lookup/update, and timer re-arming. Wall time covers the full
+  * state lookup/update, and timer re-arming. The emb leg cycles the
+  * embeddings fixture the same way.  Wall time covers the full
   * query lifecycle across all micro-batches (processAllAvailable per
   * batch — commit latency included, the honest ingest number).
   *
   * Usage: StreamBench [rows=50000] [batchSize=5000] [sfDir=sf0.01 path]
+  *                    [op=doc|emb]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toInt else 50000
     val batchSize = if (args.length > 1) args(1).toInt else 5000
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+    val op = if (args.length > 3) args(3) else "doc"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,30 +65,50 @@ object StreamBench {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    val texts = Tables.documents(spark, sfDir)
-      .orderBy("doc_id").select("text").collect().map(_.getString(0))
     val t0ms = 1700000000000L // fixed epoch base — deterministic event times
-
-    val in = MemoryStream[DocDedup.TsDoc]
     val checkpoint = java.nio.file.Files
       .createTempDirectory("streambench-ckpt").toString
-    val query = DocDedup.incrementalCandidatesTtl(in.toDF())
-      .writeStream.format("noop")
-      .option("checkpointLocation", checkpoint)
-      .start()
+
+    // One (query, per-batch feeder) pair per op: the harness below is
+    // op-agnostic — it only pumps batches and times commits.
+    val (query, feed) = op match {
+      case "doc" =>
+        val texts = Tables.documents(spark, sfDir)
+          .orderBy("doc_id").select("text").collect().map(_.getString(0))
+        val in = MemoryStream[DocDedup.TsDoc]
+        val q = DocDedup.incrementalCandidatesTtl(in.toDF())
+          .writeStream.format("noop")
+          .option("checkpointLocation", checkpoint)
+          .start()
+        (q, (from: Int, n: Int) => in.addData((0 until n).map { j =>
+          val id = (from + j).toLong
+          DocDedup.TsDoc(id, texts((id % texts.length).toInt),
+            new Timestamp(t0ms + id * 10L))
+        }))
+      case "emb" =>
+        val vecs = Tables.embeddings(spark, sfDir)
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble))
+        val in = MemoryStream[EmbDedup.VecTs]
+        val q = EmbDedup.probesTtl(in.toDF())
+          .writeStream.format("noop")
+          .option("checkpointLocation", checkpoint)
+          .start()
+        (q, (from: Int, n: Int) => in.addData((0 until n).map { j =>
+          val id = (from + j).toLong
+          EmbDedup.VecTs(id, vecs((id % vecs.length).toInt),
+            new Timestamp(t0ms + id * 10L))
+        }))
+      case other => sys.error(s"unknown op '$other' (doc|emb)")
+    }
 
     val start = System.nanoTime()
     var emitted = 0
     val batchSecs = Seq.newBuilder[Double]
     while (emitted < rows) {
       val n = math.min(batchSize, rows - emitted)
-      val batch = (0 until n).map { j =>
-        val id = (emitted + j).toLong
-        DocDedup.TsDoc(id, texts((id % texts.length).toInt),
-          new Timestamp(t0ms + id * 10L))
-      }
       val b0 = System.nanoTime()
-      in.addData(batch)
+      feed(emitted, n)
       query.processAllAvailable()
       batchSecs += (System.nanoTime() - b0) / 1e9
       emitted += n
@@ -94,7 +122,9 @@ object StreamBench {
     // store creation — fixed costs a long-running ingest amortizes away)
     val steady =
       if (bs.size > 1) (rows - batchSize) / bs.tail.sum else rps
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"incrementalCandidatesTtl","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"sf":"$sfDir"}""")
+    val opName =
+      if (op == "emb") "EmbDedup.probesTtl" else "incrementalCandidatesTtl"
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"$opName","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,7 +62,31 @@ NO structure for a quantizer to exploit, so its measured ANN recall is
 a floor; real embedding corpora are clustered, and this fixture
 measures the recall the IVF/PQ/IVF-PQ probes actually deliver there.
 
+SKEW mode (VERDICT r8 #5): `make_sf.py --skew <srcDir> <dstDir>
+[copies=10] [hotFrac=0.2]` writes the tables the skew-stress queries
+read (supplier, part, events, documents) replicated `copies`× — but
+with hotFrac of the rows re-keyed onto ONE Zipf-hot key per dimension:
+  - events: hotFrac of rows get user_id = the source's min user id
+    (one user owns ~20% of all events → a giant sessionize window
+    partition and a hot shuffle key for every per-user agg/join);
+  - documents: hotFrac of rows get source = 'hot_source' AND the TEXT
+    of the source corpus's min-id document (one LSH band bucket owns
+    ~20% of the corpus → the banding hot-bucket guard's worst case;
+    one source owns ~20% of rows → per-source window/agg skew);
+  - supplier: hotFrac of rows get s_acctbal = the source median (a hot
+    VALUE bucket for the q76–q78 rank joins' bucketized form).
+  Row selection is hash(new id) % 100 < hotFrac*100 — deterministic,
+  reproducible, and independent of copy index. n_chars is recomputed
+  for rewritten documents so the fixture invariant holds. Oracle
+  comparisons stay valid: DuckDB reads the same rewritten parquet.
+
+TABLES filter: a trailing `--tables=a,b` limits which tables any
+replication run writes (e.g. `--tables=documents,embeddings` for the
+dup-heavy dedup-audit fixture, which reads nothing else — at copies=100
+that skips ~60M lineitem rows of dead weight).
+
 Usage: make_sf.py <srcDir> <dstDir> [copies=10] [dupFrac=0]
+       [--tables=t1,t2,...]
 """
 import os
 import sys
@@ -95,15 +119,96 @@ def make_clustered(dst, n=20000, dim=64, n_clusters=64, seed=42,
           f"seed {seed}")
 
 
+def make_skew(src, dst, copies=10, hot_frac=0.2):
+    con = duckdb.connect()
+    hot_pct = int(hot_frac * 100)
+
+    def t(name):
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    os.makedirs(dst, exist_ok=True)
+    cp = f"CROSS JOIN (SELECT unnest(range({copies})) AS i) AS c"
+
+    def write(name, select):
+        con.sql(f"COPY ({select}) TO '{dst}/{name}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    hot_user = con.sql(f"SELECT min(user_id) FROM {t('events')}").fetchone()[0]
+    hot_bal = con.sql(
+        f"SELECT median(s_acctbal) FROM {t('supplier')}").fetchone()[0]
+    hot_text = con.sql(f"""SELECT text FROM {t('documents')}
+        ORDER BY doc_id LIMIT 1""").fetchone()[0].replace("'", "''")
+    write("part", f"""
+        SELECT p_partkey + i*{STRIDE} AS p_partkey, p_name, p_brand, p_type,
+               p_size, p_retailprice
+        FROM {t('part')} {cp}""")
+    write("supplier", f"""
+        SELECT s_suppkey + i*{STRIDE} AS s_suppkey, s_name, s_nationkey,
+               CASE WHEN hash(s_suppkey + i*{STRIDE}) % 100 < {hot_pct}
+                    THEN {hot_bal} ELSE s_acctbal END AS s_acctbal
+        FROM {t('supplier')} {cp}""")
+    write("events", f"""
+        SELECT event_id + i*{STRIDE} AS event_id,
+               CAST(ts AS TIMESTAMP_NS) AS ts,
+               CASE WHEN hash(event_id + i*{STRIDE}) % 100 < {hot_pct}
+                    THEN {hot_user} ELSE user_id + i*{STRIDE} END AS user_id,
+               event_type, value, props
+        FROM {t('events')} {cp}""")
+    ev = pq.read_table(f"{dst}/events.parquet")
+    idx = ev.schema.get_field_index("ts")
+    ev = ev.set_column(idx, pa.field("ts", pa.timestamp("ns")),
+                       ev.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(ev, f"{dst}/events.parquet", version="2.6",
+                   row_group_size=16384)
+    print("events: ts restored to timestamp[ns]")
+    # Hot documents get the shared text + a NUMERIC suffix unique per row:
+    # byte-distinct (the dedup exact-collapse prepass cannot fold them)
+    # but token-identical under the [a-z]+ tokenizer — every band bucket
+    # of the shared signature goes hot simultaneously, the banding
+    # hot-bucket guard's worst case by construction.
+    hot_doc = (f"'{hot_text}' || ' ' || "
+               f"CAST(doc_id + i*{STRIDE} AS VARCHAR)")
+    write("documents", f"""
+        SELECT doc_id + i*{STRIDE} AS doc_id,
+               CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
+                    THEN {hot_doc} ELSE text END AS text,
+               lang,
+               CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
+                    THEN 'hot_source' ELSE source END AS source,
+               CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
+                    THEN CAST(length({hot_doc}) AS BIGINT)
+                    ELSE n_chars END AS n_chars
+        FROM {t('documents')} {cp}""")
+    hot_rows = con.sql(f"""SELECT count(*) FROM '{dst}/documents.parquet'
+        WHERE source = 'hot_source'""").fetchone()[0]
+    print(f"skew: hot_source owns {hot_rows} documents "
+          f"(target {hot_frac:.0%}), hot_user={hot_user}, "
+          f"hot_bal={hot_bal}")
+
+
 def main():
     if sys.argv[1] == "--clustered":
         args = sys.argv[2:]
         make_clustered(args[0], *[int(a) for a in args[1:5]],
                        *[float(a) for a in args[5:6]])
         return
-    src, dst = sys.argv[1], sys.argv[2]
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    dup_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    if sys.argv[1] == "--skew":
+        args = sys.argv[2:]
+        make_skew(args[0], args[1],
+                  int(args[2]) if len(args) > 2 else 10,
+                  float(args[3]) if len(args) > 3 else 0.2)
+        return
+    table_filter = None
+    argv = sys.argv
+    for a in list(argv):
+        if a.startswith("--tables="):
+            table_filter = set(a[len("--tables="):].split(","))
+            argv = [x for x in argv if x != a]
+    src, dst = argv[1], argv[2]
+    copies = int(argv[3]) if len(argv) > 3 else 10
+    dup_frac = float(argv[4]) if len(argv) > 4 else 0.0
     if not (0.0 <= dup_frac < 1.0):
         raise SystemExit(f"dupFrac={dup_frac} must be in [0, 1)")
     # copies 1..n_dup are exact replicas (dup-heavy mode); 0 stays source
@@ -134,6 +239,8 @@ def main():
     # times came out equal). 16k-row groups restore the many-split layout
     # a 100 TB dataset written by any distributed engine would have.
     def write(name, select):
+        if table_filter is not None and name not in table_filter:
+            return
         con.sql(f"COPY ({select}) TO '{dst}/{name}.parquet' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
@@ -180,13 +287,14 @@ def main():
     # DuckDB's parquet writer downcasts TIMESTAMP_NS to us (v1.0) —
     # rewrite events through pyarrow to restore the source layout's
     # TIMESTAMP(NANOS) physical type (parquet 2.6)
-    ev = pq.read_table(f"{dst}/events.parquet")
-    idx = ev.schema.get_field_index("ts")
-    ev = ev.set_column(idx, pa.field("ts", pa.timestamp("ns")),
-                       ev.column("ts").cast(pa.timestamp("ns")))
-    pq.write_table(ev, f"{dst}/events.parquet", version="2.6",
-                   row_group_size=16384)
-    print("events: ts restored to timestamp[ns]")
+    if table_filter is None or "events" in table_filter:
+        ev = pq.read_table(f"{dst}/events.parquet")
+        idx = ev.schema.get_field_index("ts")
+        ev = ev.set_column(idx, pa.field("ts", pa.timestamp("ns")),
+                           ev.column("ts").cast(pa.timestamp("ns")))
+        pq.write_table(ev, f"{dst}/events.parquet", version="2.6",
+                       row_group_size=16384)
+        print("events: ts restored to timestamp[ns]")
     # letters-only, injective for i <= 675: 'zzq' + base-26(i) as 2 letters
     sfx = ("chr(CAST(97 + i // 26 AS INTEGER)) || "
            "chr(CAST(97 + i % 26 AS INTEGER))")
