@@ -30,13 +30,12 @@ object SkewBench {
   private val DefaultSpot = Seq(
     "q44_sessionize",      // giant per-user sessionize window partition
     "q107_transitions",    // per-user lag window, same hot user
-    "q20_rank_window",     // per-key rank window over events
     "q76_theta_rank_join", // bucketized rank join, hot value bucket
     "q77_theta_agg_join",
     "q78_theta_band_join",
     "q37_minhash_lsh_pairs", // banding hot-bucket guard, worst case
-    "q53_lsh_neardup",
-    "q71_dedup_corpus",    // exact-collapse prepass + guard end-to-end
+    "q71_dedup_corpus",    // banding guard end-to-end (hot bucket is
+                           // byte-distinct, so exact-collapse can't help)
     "q141_curriculum",     // per-source rank window, hot source
     "q144_gini")           // per-source rank window + agg, hot source
 

@@ -167,19 +167,28 @@ def make_skew(src, dst, copies=10, hot_frac=0.2):
     # byte-distinct (the dedup exact-collapse prepass cannot fold them)
     # but token-identical under the [a-z]+ tokenizer — every band bucket
     # of the shared signature goes hot simultaneously, the banding
-    # hot-bucket guard's worst case by construction.
+    # hot-bucket guard's worst case by construction. NON-hot rows get
+    # the normal injective per-copy token suffix (same as replication
+    # mode) so the hot key is the fixture's ONLY anomaly — without it,
+    # every copy would be a byte-identical replica and the dedup legs
+    # would measure the exact-collapse prepass, not the hot bucket.
     hot_doc = (f"'{hot_text}' || ' ' || "
                f"CAST(doc_id + i*{STRIDE} AS VARCHAR)")
+    sfx = ("chr(CAST(97 + i // 26 AS INTEGER)) || "
+           "chr(CAST(97 + i % 26 AS INTEGER))")
+    cold_doc = (f"regexp_replace(text, '([A-Za-z]+)', "
+                f"'\\1zzq' || {sfx}, 'g')")
     write("documents", f"""
         SELECT doc_id + i*{STRIDE} AS doc_id,
                CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
-                    THEN {hot_doc} ELSE text END AS text,
+                    THEN {hot_doc} ELSE {cold_doc} END AS text,
                lang,
                CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
                     THEN 'hot_source' ELSE source END AS source,
                CASE WHEN hash(doc_id + i*{STRIDE}) % 100 < {hot_pct}
                     THEN CAST(length({hot_doc}) AS BIGINT)
-                    ELSE n_chars END AS n_chars
+                    ELSE CAST(length({cold_doc}) AS BIGINT)
+               END AS n_chars
         FROM {t('documents')} {cp}""")
     hot_rows = con.sql(f"""SELECT count(*) FROM '{dst}/documents.parquet'
         WHERE source = 'hot_source'""").fetchone()[0]
