@@ -13,10 +13,13 @@ import graft.streaming.{DocDedup, EmbDedup}
   * event-time TTL timers — in fixed-size micro-batches and report
   * rows/sec as one JSON line (the BENCH_rN_stream.json artifact).
   * `op=emb` (VERDICT r8 #4) runs the EMBEDDING twin instead:
-  * [[EmbDedup.probesTtl]] — scan-local hyperplane-SimHash banding →
-  * the same RocksDB TTL bucket state, with full vectors + norms in the
-  * member lists (a heavier state row than the doc variant's signature,
-  * the part this leg measures).
+  * [[EmbDedup.incrementalCandidatesTtl]] — scan-local hyperplane-SimHash
+  * banding → single-representative RocksDB TTL bucket state, the exact
+  * mirror of the doc leg's operator. `op=embprobe` runs the heavier
+  * best-match VERDICT feeder [[EmbDedup.probesTtl]] instead (full
+  * vectors + norms in per-bucket member LISTS, one probe per arrival
+  * per band — O(cap) state work where the rep path is O(1); bench both
+  * to see the contract's price).
   *
   * Texts cycle through the sf0.01 documents fixture (real token
   * distributions, including its hot LSH buckets) under fresh ids with
@@ -27,7 +30,7 @@ import graft.streaming.{DocDedup, EmbDedup}
   * batch — commit latency included, the honest ingest number).
   *
   * Usage: StreamBench [rows=50000] [batchSize=5000] [sfDir=sf0.01 path]
-  *                    [op=doc|emb]
+  *                    [op=doc|emb|embprobe]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -85,12 +88,15 @@ object StreamBench {
           DocDedup.TsDoc(id, texts((id % texts.length).toInt),
             new Timestamp(t0ms + id * 10L))
         }))
-      case "emb" =>
+      case "emb" | "embprobe" =>
         val vecs = Tables.embeddings(spark, sfDir)
           .orderBy("vec_id").select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble))
         val in = MemoryStream[EmbDedup.VecTs]
-        val q = EmbDedup.probesTtl(in.toDF())
+        val pipe =
+          if (op == "emb") EmbDedup.incrementalCandidatesTtl(in.toDF()).toDF()
+          else EmbDedup.probesTtl(in.toDF()).toDF()
+        val q = pipe
           .writeStream.format("noop")
           .option("checkpointLocation", checkpoint)
           .start()
@@ -99,7 +105,7 @@ object StreamBench {
           EmbDedup.VecTs(id, vecs((id % vecs.length).toInt),
             new Timestamp(t0ms + id * 10L))
         }))
-      case other => sys.error(s"unknown op '$other' (doc|emb)")
+      case other => sys.error(s"unknown op '$other' (doc|emb|embprobe)")
     }
 
     val start = System.nanoTime()
@@ -122,8 +128,11 @@ object StreamBench {
     // store creation — fixed costs a long-running ingest amortizes away)
     val steady =
       if (bs.size > 1) (rows - batchSize) / bs.tail.sum else rps
-    val opName =
-      if (op == "emb") "EmbDedup.probesTtl" else "incrementalCandidatesTtl"
+    val opName = op match {
+      case "emb" => "EmbDedup.incrementalCandidatesTtl"
+      case "embprobe" => "EmbDedup.probesTtl"
+      case _ => "incrementalCandidatesTtl"
+    }
     println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"$opName","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"sf":"$sfDir"}""")
     spark.stop()
   }

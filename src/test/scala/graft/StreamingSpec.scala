@@ -1019,6 +1019,90 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EmbDedup.incrementalCandidatesTtl (single-rep): matches, expiry, " +
+    "zero-norm, and kill/restart replay == uninterrupted run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import streaming.EmbDedup
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val va = Seq(1.0, 2.0, 3.0, 4.0)
+      val far = Seq(-4.0, 3.0, -2.0, 1.0)
+      // batch A: vec 1 claims; zero-norm vec 9 must neither claim nor
+      //   match; vec 2 matches the rep at cos 1 on every band.
+      // batch B (after RESTART): vec 6 matches the RESTORED rep (if
+      //   state were lost it would silently re-claim instead).
+      // batch C: watermark driven past the timers by vec 3 (t=100) →
+      //   buckets expire except bands where vec 3 collided (activity
+      //   re-arms); vec 4 re-claims, vec 5 matches vec 4 there.
+      val batches = Seq(
+        Seq(EmbDedup.VecTs(9, Seq(0.0, 0.0, 0.0, 0.0), ts(0)),
+          EmbDedup.VecTs(1, va, ts(0)), EmbDedup.VecTs(2, va, ts(10))),
+        Seq(EmbDedup.VecTs(6, va, ts(35)), EmbDedup.VecTs(3, far, ts(100))),
+        Seq(EmbDedup.VecTs(4, va, ts(110)), EmbDedup.VecTs(5, va, ts(111))))
+
+      val root = java.nio.file.Files.createTempDirectory("embrepttl").toString
+      val (src, out, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+      batches.foreach { b =>
+        b.toDF().coalesce(1).write.mode("append").parquet(src)
+        val q = EmbDedup.incrementalCandidatesTtl(
+            spark.readStream.schema(batches.head.toDF().schema).parquet(src),
+            threshold = 0.8, ttlMs = 30L * 60000, lateness = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      def matchSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "band", "dup_of", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 10000) / 10000)).toSet
+      val restarted = matchSet(spark.read.parquet(out))
+
+      val in = MemoryStream[EmbDedup.VecTs]
+      val q2 = EmbDedup.incrementalCandidatesTtl(in.toDF(),
+          threshold = 0.8, ttlMs = 30L * 60000, lateness = "10 minutes")
+        .writeStream.format("memory").queryName("embrepuninterrupted")
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b: _*); q2.processAllAvailable() }
+      q2.stop()
+      val continuous = matchSet(spark.table("embrepuninterrupted"))
+
+      assert(restarted == continuous,
+        s"restart drift: only-restarted=${restarted -- continuous} " +
+          s"only-continuous=${continuous -- restarted}")
+      def matched(id: Long): Map[Int, Long] =
+        restarted.filter(_._1 == id).map(t => t._2 -> t._3).toMap
+      // zero-norm vec 9 never claims: vec 1 is every bucket's rep, so
+      // vec 2 and (post-restart) vec 6 match it on ALL 16 bands at cos 1
+      assert(matched(2L).size == 16 && matched(2L).values.toSet == Set(1L),
+        s"vec 2 must match vec 1 on all bands: ${matched(2L)}")
+      assert(matched(6L).size == 16 && matched(6L).values.toSet == Set(1L),
+        s"vec 6 must match the RESTORED rep on all bands: ${matched(6L)}")
+      assert(restarted.forall(_._1 != 9L), "zero-norm must never match")
+      // expiry: vec 4 matches vec 1 only on bands vec 3's arrival kept
+      // alive; vec 5 matches vec 4 on the expired (re-claimed) bands
+      val kept = matched(4L).keySet
+      assert(kept.size < 8 && matched(4L).values.forall(_ == 1L),
+        s"vec 4 must match vec 1 only on activity-kept bands: ${matched(4L)}")
+      val m5 = matched(5L)
+      assert(m5.size == 16 && m5.filter(_._2 == 4L).keySet == m5.keySet -- kept,
+        s"vec 5 must match vec 4 exactly on the expired bands: $m5 (kept $kept)")
+    } finally {
+      providerBefore match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("embedding dedup with event-time TTL: bucket members age out") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
