@@ -411,6 +411,90 @@ object Advanced {
       .orderBy("user_id", "sid")
   }
 
+  /** q158: SKEW-SAFE sessionization — q44's exact output (same oracle
+    * text, hash-identical rows) with the unsplittable hot-user window
+    * partition eliminated. The r9 Zipf stress (SKEW_r09.json) showed
+    * q44 is the one pattern nothing absorbs: a user owning 20% of
+    * events lands one window partition, AQE cannot split a window
+    * partition, and at 100 TB that task is the job.
+    *
+    * Rewrite: partition the per-user stream into EVENT-TIME CHUNKS
+    * (1 day), so the hot user becomes |active days| ordinary tasks.
+    *  - within-(user, chunk) lag gives every row's previous ts except
+    *    chunk-first rows, which take the previous ACTIVE chunk's max ts
+    *    from a chunk-level boundary table (lag over the user's chunks —
+    *    a table of user-days, not events, so its window is tiny);
+    *    sessions spanning chunk gaps stitch correctly because only
+    *    active chunks appear in the boundary table;
+    *  - session ids = the q94 two-level prefix sum: within-chunk
+    *    running break count + the user's cumulative prior-chunk break
+    *    total joined back — no global per-user scan anywhere;
+    *  - sessions are pre-aggregated per (user, chunk, sid) on the SAME
+    *    (user, chunk) exchange, so the only data that reaches the final
+    *    (user, sid) merge is one row per partial session.
+    * ONE event-sized exchange (on (user, chunk)) — same count as q44's
+    * (on user) — plus two chunk-level small-table windows; the boundary
+    * and offset joins are un-hinted (AQE broadcasts the user-day tables
+    * while small). Cost of skew safety: the chunk-level bookkeeping;
+    * at even task sizes it benches ≈ q44, under a Zipf-hot user its
+    * max task drops by the chunk fan-out (measured in SKEW_r09b). */
+  val q158_sessionize_skewsafe = QueryDef(
+    "q158_sessionize_skewsafe",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sid
+      |  FROM e)
+      |SELECT user_id, sid, COUNT(*) AS n,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+    val chunkUs = 86400000000L // one event-time day per chunk
+    val ev = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("chunk", floor(col("us") / chunkUs))
+    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val cum2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wChunks = Window.partitionBy("user_id").orderBy("chunk")
+    // chunk-level boundary + offset tables: one row per ACTIVE user-day
+    val bounds = ev.groupBy("user_id", "chunk").agg(max("us").as("cmax"))
+      .withColumn("prev_cmax", lag("cmax", 1).over(wChunks))
+      .select("user_id", "chunk", "prev_cmax")
+    val withBrk = ev
+      .withColumn("prev_us", lag("us", 1).over(w2))
+      .join(bounds, Seq("user_id", "chunk"))
+      .withColumn("eff_prev", coalesce(col("prev_us"), col("prev_cmax")))
+      .withColumn("brk",
+        when(col("eff_prev").isNull ||
+          col("us") - col("eff_prev") > 1800000000L, 1L).otherwise(0L))
+    val offsets = withBrk.groupBy("user_id", "chunk")
+      .agg(sum("brk").as("cbrks"))
+      .withColumn("offset", coalesce(
+        sum("cbrks").over(
+          wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "chunk", "offset")
+    withBrk
+      .withColumn("sid", sum("brk").over(cum2) + lit(0L))
+      .join(offsets, Seq("user_id", "chunk"))
+      .withColumn("sid", col("sid") + col("offset"))
+      .groupBy("user_id", "chunk", "sid") // partial sessions, same exchange
+      .agg(count(lit(1)).as("pn"), min("ts").as("pmn"), max("ts").as("pmx"))
+      .groupBy("user_id", "sid") // session-level rows only
+      .agg(sum("pn").as("n"),
+        date_format(min("pmn"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(max("pmx"), "yyyy-MM-dd HH:mm:ss").as("s_end"))
+      .orderBy("user_id", "sid")
+  }
+
   /** q45: full cube with grouping indicators (A7 — rollup is q10). */
   val q45_cube = QueryDef(
     "q45_cube",
@@ -2413,5 +2497,5 @@ object Advanced {
       q131_cooccur_lift, q142_window_funnel, q143_user_growth,
       q147_stickiness, q149_auc, q150_ks_test, q152_changepoint,
       q153_benford, q154_seq_pattern, q155_scd2, q156_bad_records,
-      q157_ab_test)
+      q157_ab_test, q158_sessionize_skewsafe)
 }

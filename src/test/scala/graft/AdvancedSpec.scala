@@ -277,4 +277,43 @@ class AdvancedSpec extends SparkSpec {
       .collect()(0).getDouble(1)
     assert(p50 == 2.0)
   }
+
+  test("q158 skew-safe sessionize == q44 on the fixture") {
+    val want = Advanced.q44_sessionize.build(spark, sf0001).collect().toSeq
+    val got = Advanced.q158_sessionize_skewsafe.build(spark, sf0001)
+      .collect().toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
+
+  test("q158 chunk stitching: sessions crossing midnight and empty days") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: one session crossing midnight (23:50 -> 00:10, gap 20 min),
+    // a >30-min break WITHIN day 1, then a new session after TWO empty
+    // days (the boundary lag must take the last ACTIVE chunk's max, not
+    // chunk-1); user 2: a same-ts tie broken by event_id, as in q44.
+    val rows = Seq(
+      (1L, 10L, t("2024-03-01 23:50:00")),
+      (1L, 11L, t("2024-03-02 00:10:00")), // same session, new chunk
+      (1L, 12L, t("2024-03-02 09:00:00")), // new session (gap 8h50m)
+      (1L, 13L, t("2024-03-05 00:05:00")), // new session after empty days
+      (2L, 20L, t("2024-03-01 12:00:00")),
+      (2L, 21L, t("2024-03-01 12:00:00")), // tie: same ts, higher id
+      (2L, 22L, t("2024-03-01 12:20:00")))
+      .toDF("user_id", "event_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("q158stitch").toString
+    rows.write.parquet(s"$dir/events.parquet")
+    val got = Advanced.q158_sessionize_skewsafe.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, "2024-03-01 23:50:00", "2024-03-02 00:10:00"),
+      (1L, 2L, 1L, "2024-03-02 09:00:00", "2024-03-02 09:00:00"),
+      (1L, 3L, 1L, "2024-03-05 00:05:00", "2024-03-05 00:05:00"),
+      (2L, 1L, 3L, "2024-03-01 12:00:00", "2024-03-01 12:20:00")), got)
+    // and the rewrite equals the straight q44 window form on the same data
+    val want = Advanced.q44_sessionize.build(spark, dir).collect().toSeq
+    assert(Advanced.q158_sessionize_skewsafe.build(spark, dir)
+      .collect().toSeq == want)
+  }
 }
