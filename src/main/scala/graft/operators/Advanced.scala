@@ -432,12 +432,19 @@ object Advanced {
     *  - sessions are pre-aggregated per (user, chunk, sid) on the SAME
     *    (user, chunk) exchange, so the only data that reaches the final
     *    (user, sid) merge is one row per partial session.
-    * ONE event-sized exchange (on (user, chunk)) — same count as q44's
-    * (on user) — plus two chunk-level small-table windows; the boundary
-    * and offset joins are un-hinted (AQE broadcasts the user-day tables
-    * while small). Cost of skew safety: the chunk-level bookkeeping;
-    * at even task sizes it benches ≈ q44, under a Zipf-hot user its
-    * max task drops by the chunk fan-out (measured in SKEW_r09b). */
+    * Exchange budget (ShuffleAudit, AQE off: 6 shuffles + 2
+    * broadcasts, vs q44's 2 shuffles) — but only ONE is event-sized,
+    * the (user, chunk) window exchange, same as q44's (user) one: the
+    * bounds/offsets agg exchanges carry map-side-combined user-DAY
+    * rows, their two wChunks windows re-key that same small table by
+    * user, the final (user, sid) agg exchange carries one row per
+    * partial session, and the boundary/offset joins broadcast
+    * (un-hinted — AQE or static estimates pick broadcast while the
+    * user-day table is small, shuffle when it is not). Cost of skew
+    * safety: that chunk-level bookkeeping — ~2× wall on EVEN data
+    * (frozen 1.29 s vs q44's 0.62 at sf0.1); under a Zipf-hot user the
+    * max task drops by the chunk fan-out and the wall flips in q158's
+    * favor (measured crossover in SKEW_r09b.json / BASELINE.md). */
   val q158_sessionize_skewsafe = QueryDef(
     "q158_sessionize_skewsafe",
     """WITH e AS (
