@@ -622,12 +622,18 @@ object Advanced {
     * counts if it occurs AFTER the previous one (strict event-order
     * state machine, not bag-of-events).
     *
-    * Implementation: one groupBy(user_id) collects the time-ordered
-    * event-code array, then an `aggregate` HOF folds the state machine
-    * per row (depth advances iff the next code equals depth+1). The
-    * 100 TB posture: ONE shuffle by user_id; per-user state is a bounded
-    * array (events per user), and the fold is scan-local — the classic
-    * alternative (3 self-joins on ts ranges) shuffles the table 3×. */
+    * Implementation: [[funnelDepthChunked]] — the q158 skew-safe
+    * template applied to the funnel DFA (VERDICT r9 #1: the old
+    * whole-history `collect_list` materialized a Zipf-hot user's 4M-row
+    * stream as ONE array in ONE task). The depth fold is a monotone
+    * function over a 4-state DFA, so each (user, event-time day) chunk
+    * composes to a 4-vector (out-depth per in-depth) and the per-user
+    * stitch indexes through the user-DAY-sized vector table — bounded
+    * by active days, never by history; all-integer, bit-exact. The
+    * 100 TB posture: the only event-sized exchange is the (user, chunk)
+    * collect; the classic alternative (3 self-joins on ts ranges)
+    * shuffles the table 3×. [[funnelDepth]] remains the dense
+    * single-fold reference the specs cross-check against. */
   val q62_funnel = QueryDef(
     "q62_funnel",
     // Oracle formulation note: the greedy fold (advance iff the next code
@@ -660,10 +666,16 @@ object Advanced {
       |       LEFT JOIN p2 ON u.user_id = p2.user_id
       |       LEFT JOIN p3 ON u.user_id = p3.user_id
       |ORDER BY u.user_id""".stripMargin) { (s, d) =>
-    funnelDepth(Tables.events(s, d))
+    funnelDepthChunked(Tables.events(s, d))
   }
 
-  /** Per-user funnel state machine behind [[q62_funnel]]; takes any
+  /** Per-user funnel state machine — the dense single-fold reference
+    * form: one groupBy(user_id) collects the whole time-ordered code
+    * array, one `aggregate` HOF folds it (depth advances iff the next
+    * code equals depth+1). Kept as the spec cross-check oracle for
+    * [[funnelDepthChunked]] (and the historical q62 shape); the
+    * registry query uses the chunked form because this one holds a
+    * hot user's ENTIRE history in one task. Takes any
     * (user_id, ts, event_id, event_type) frame so specs can hand-build
     * orderings. */
   def funnelDepth(events: DataFrame): DataFrame =
@@ -681,6 +693,44 @@ object Advanced {
           (acc, x) => when(x === acc + 1, acc + 1).otherwise(acc))
           .as("funnel_depth"))
       .orderBy("user_id")
+
+  /** Skew-safe [[funnelDepth]] on the q158 template: the funnel DFA's
+    * depth is monotone over 4 states, so a chunk of the stream composes
+    * to a 4-VECTOR — the out-depth for each possible in-depth 0..3 —
+    * computed by folding the chunk's code array once with a 4-element
+    * accumulator. Per (user, EVENT-TIME DAY) chunk: one keyed exchange
+    * collects the day's ordered codes (struct-sorted on (ts, event_id))
+    * and the vector fold is a scan-local `aggregate` HOF; the per-user
+    * stitch indexes depth through the user-DAY-sized vector table in
+    * chunk order (gap days compose as identity by absence). Max task is
+    * bounded by rows-per-user-DAY instead of rows-per-user; all
+    * arithmetic is integral, so results are bit-exact vs the dense
+    * fold (pinned in AdvancedSpec, incl. cross-midnight stage order). */
+  def funnelDepthChunked(events: DataFrame): DataFrame = {
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+      .groupBy("user_id", "chunk")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("code")))).as("evs"))
+      .select(col("user_id"), col("chunk"),
+        aggregate(transform(col("evs"), e => e.getField("code")),
+          array(lit(0L), lit(1L), lit(2L), lit(3L)),
+          (acc, x) => transform(acc, a => when(x === a + 1, a + 1).otherwise(a)))
+          .as("vec"))
+      .groupBy("user_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("chunk"), col("vec")))),
+        lit(0L),
+        (acc, c) => element_at(c.getField("vec"), (acc + 1).cast("int")))
+        .as("funnel_depth"))
+      .orderBy("user_id")
+  }
 
   /** q70: SLIDING window in batch (T2's batch twin — T1 tumbling has
     * q22, T3 session has q44; this closes the last §2.10 row with no
@@ -1370,13 +1420,30 @@ object Advanced {
   /** q107: Markov transition matrix — per-user event streams folded
     * into (src → dst) transition counts with per-source probabilities
     * and a next-event rank: the session-path / next-action model a
-    * behavioural pipeline trains. ONE shuffle keyed by user orders each
-    * stream (lag over (ts, event_id) — the unique id breaks timestamp
-    * ties deterministically), and everything after operates on the
-    * transition MATRIX, which is |event types|² rows — at 100 TB the
-    * data-sized work is exactly one exchange, and the matrix-sized aggs
-    * and windows move a few hundred rows no matter how many events fed
-    * them. */
+    * behavioural pipeline trains.
+    *
+    * SKEW-SAFE per-user lag on the q158 template (VERDICT r9 #1: the
+    * plain per-user lag window was the hot-user scale-killer — a Zipf
+    * user owning 40% of events was one unsplittable window task, and
+    * AQE cannot split a window partition). The per-user stream is
+    * chunked by EVENT-TIME DAY, so the hot user becomes |active days|
+    * ordinary tasks:
+    *  - within-(user, chunk) lag gives every row's src except
+    *    chunk-first rows, which take the previous ACTIVE chunk's LAST
+    *    event_type from a chunk-level boundary table (`max_by` over
+    *    the same (user, chunk) agg key, then a lag over the user's
+    *    chunks — a table of user-DAYS, not events);
+    *  - the user's first-ever event has a NULL boundary src and is
+    *    filtered, exactly as the plain lag's NULL.
+    * The only event-sized exchange is the (user, chunk) window one
+    * (same size as the old (user) one); the boundary agg map-side
+    * combines to user-day rows and joins back un-hinted (AQE
+    * broadcasts it while small, shuffles when not). Everything after
+    * operates on the transition MATRIX — |event types|² rows — so the
+    * matrix-sized aggs and windows move a few hundred rows no matter
+    * how many events fed them. Stitch edge cases (chunk-first rows,
+    * empty days between active days, same-ts ties) are pinned in
+    * AdvancedSpec; skew2 A/B in SKEW_r10.json. */
   val q107_transitions = QueryDef(
     "q107_transitions",
     """WITH seq AS (
@@ -1391,12 +1458,24 @@ object Advanced {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY src
       |                          ORDER BY n DESC, dst) AS BIGINT) AS rk
       |FROM t ORDER BY src, rk""".stripMargin) { (s, d) =>
-    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val ev = Tables.events(s, d)
+      .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs))
+    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val wChunks = Window.partitionBy("user_id").orderBy("chunk")
     val wSrc = Window.partitionBy("src")
     val wRk = Window.partitionBy("src").orderBy(col("n").desc, col("dst"))
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        lag("event_type", 1).over(wSeq).as("src"))
+    // boundary table: one row per ACTIVE user-day — the day's last type
+    val bounds = ev.groupBy("user_id", "chunk")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("clast"))
+      .withColumn("prev_clast", lag("clast", 1).over(wChunks))
+      .select("user_id", "chunk", "prev_clast")
+    ev
+      .withColumn("prev_et", lag("event_type", 1).over(w2))
+      .join(bounds, Seq("user_id", "chunk"))
+      .select(coalesce(col("prev_et"), col("prev_clast")).as("src"),
+        col("event_type"))
       .where(col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
@@ -1579,16 +1658,28 @@ object Advanced {
 
   /** q112: per-user EWMA (α = 0.3) over the time-ordered event stream —
     * the smoothing fold behind rate limiting, anomaly baselines, and
-    * metric dashboards. An EWMA is inherently sequential, so the honest
-    * distributed shape is q62's: ONE shuffle keyed by user collects the
-    * ordered value array (struct-sorted on (ts, event_id) — the unique
-    * id breaks timestamp ties deterministically), and the fold runs as
-    * a codegen'd `aggregate` HOF, scan-local. Both engines fold the
-    * SAME value sequence left-to-right with the same IEEE double ops
-    * (first element as seed — ewma₁ = v₁), so results match bit-for-bit
-    * before the display rounding. Per-user state is the user's history;
-    * for unbounded streams the incremental form is one multiply-add per
-    * arrival (the T6 mapGroupsWithState shape). */
+    * metric dashboards. An EWMA is inherently sequential, but it is a
+    * LINEAR recurrence (rᵢ = 0.3·xᵢ + 0.7·rᵢ₋₁), so a chunk of the
+    * series composes to one affine map r ↦ scale·r + offset with
+    * scale = 0.7^k and offset the chunk's own weighted fold — the
+    * carry that makes the q158 skew-safe template apply (VERDICT r9
+    * #1: the old whole-history `collect_list` materialized a Zipf-hot
+    * user's 4M-row stream as ONE array in ONE task).
+    *
+    * Shape: per (user, EVENT-TIME DAY) chunk, ONE keyed exchange
+    * collects the day's ordered values (struct-sorted on
+    * (ts, event_id) — the unique id breaks ties deterministically)
+    * and two scan-local `aggregate` HOFs fold them into (a) the
+    * day-starts-the-series EWMA (first element as seed — ewma₁ = v₁)
+    * and (b) the (scale, offset) affine carry; the per-user stitch
+    * then folds the user-DAY-sized carry table in chunk order —
+    * bounded by active days, never by history. Per-chunk folds are
+    * the exact FP sequence; the cross-chunk affine regrouping can
+    * differ from a flat left fold by O(#days · ulp) — invisible under
+    * the declared ROUND(·, 4) output (hash-checked at every tested
+    * SF; same class as the q08 summation-order note). For unbounded
+    * streams the incremental form is one multiply-add per arrival
+    * (the T6 mapGroupsWithState shape). */
   val q112_ewma = QueryDef(
     "q112_ewma",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1599,19 +1690,42 @@ object Advanced {
       |SELECT user_id, CAST(length(vs) AS BIGINT) AS n,
       |  ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
       |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val chunks = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy("user_id")
+        round(col("value") * 100).cast("long").as("cents"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+      .groupBy("user_id", "chunk")
       .agg(array_sort(collect_list(
         struct(col("ts"), col("event_id"), col("cents")))).as("rows"))
-      .select(col("user_id"),
+      .select(col("user_id"), col("chunk"),
         transform(col("rows"), r => r.getField("cents").cast("double"))
           .as("vs"))
-      .select(col("user_id"), size(col("vs")).cast("long").as("n"),
-        round(aggregate(
+      .select(col("user_id"), col("chunk"),
+        size(col("vs")).cast("long").as("cn"),
+        // this chunk as the START of the series: first element seeds
+        aggregate(
           slice(col("vs"), lit(2), size(col("vs"))), element_at(col("vs"), 1),
-          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 4).as("ewma"))
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("efirst"),
+        // this chunk applied to a prior ewma r: r ↦ s·r + o
+        aggregate(col("vs"),
+          struct(lit(1.0).as("s"), lit(0.0).as("o")),
+          (acc, x) => struct(
+            (lit(0.7) * acc.getField("s")).as("s"),
+            (lit(0.7) * acc.getField("o") + lit(0.3) * x).as("o"))).as("so"))
+    chunks
+      .groupBy("user_id")
+      .agg(sum("cn").as("n"),
+        aggregate(
+          array_sort(collect_list(struct(col("chunk"), col("efirst"),
+            col("so.s").as("s"), col("so.o").as("o")))),
+          struct(lit(false).as("has"), lit(0.0).as("r")),
+          (acc, c) => struct(lit(true).as("has"),
+            when(acc.getField("has"),
+              c.getField("s") * acc.getField("r") + c.getField("o"))
+              .otherwise(c.getField("efirst")).as("r")))
+          .getField("r").as("raw"))
+      .select(col("user_id"), col("n"), round(col("raw"), 4).as("ewma"))
       .orderBy("user_id")
   }
 
@@ -1900,14 +2014,16 @@ object Advanced {
     * report itself — per-depth user counts plus the "reached ≥ depth"
     * cumulative — not per-user rows.
     *
-    * Scale posture: ONE shuffle keyed by user builds each user's
-    * time-ordered (tsm, code) array (bounded by per-user activity, as
-    * q62); the window-clock fold is a scan-local `aggregate` HOF over
-    * a (depth, anchor) struct accumulator; the report aggregate and
-    * its cumulative window touch ≤ 4 rows. The oracle is the
-    * independent positional min-join chain (first view; first click
-    * after it within Δ; first purchase after THAT within Δ), so the
-    * fold and the join formulation check each other. */
+    * Scale posture: [[funnelDepthsChunked]] — the q158 skew-safe
+    * template with a threshold/continuation carry (see its scaladoc);
+    * the only event-sized exchange is the (user, event-time day)
+    * collect, the per-user stitch folds a user-DAY-sized summary
+    * table, and the report aggregate and its cumulative window touch
+    * ≤ 4 rows. The oracle is the independent positional min-join chain
+    * (first view; first click after it within Δ; first purchase after
+    * THAT within Δ), so the fold and the join formulation check each
+    * other; [[funnelDepths]] remains the dense single-fold reference
+    * the specs (and the streaming twin's goldens) cross-check. */
   /** Per-user greedy window-funnel depth — the fold q142 aggregates
     * into its report, factored out because it is ALSO the contract the
     * streaming twin ([[graft.streaming.EventOps.funnelDepthsTws]]) is
@@ -1942,6 +2058,85 @@ object Advanced {
                 x.getField("tsm").as("anchor")))
               .otherwise(acc))
           .getField("d").as("depth"))
+
+  /** Skew-safe [[funnelDepths]] on the q158 template (VERDICT r9 #1).
+    * The window-clock DFA state is (depth, anchor) with a CONTINUOUS
+    * anchor, so a chunk cannot be tabulated like [[funnelDepthChunked]]'s
+    * 4-vector — but timestamps are monotone within a sorted chunk, which
+    * collapses the transition function to one threshold per depth:
+    * from (d ≥ 1, anchor a), the chunk advances iff its FIRST
+    * code-(d+1) event tsm t_{d+1} satisfies t_{d+1} ≤ a + Δ (any later
+    * candidate has a larger tsm, so if the first misses the deadline
+    * they all do), and on advance the continuation is the ANCHOR-FREE
+    * deterministic fold from (d+1, t_{d+1}) — precomputable per chunk.
+    * From depth 0 the first advance ignores the clock entirely, so the
+    * whole chunk effect is one precomputed fold.
+    *
+    * Per (user, EVENT-TIME DAY) chunk, ONE keyed exchange collects the
+    * day's ordered (tsm, event_id, code) array; three scan-local
+    * `aggregate` HOFs fold the chunk from each live entry state
+    * (c0 = fold from depth 0; c1/c2 = folds seeded at the first code-2
+    * / code-3 event), plus the two thresholds t2/t3. The per-user
+    * stitch folds the user-DAY-sized summary table in chunk order:
+    * depth 0 → c0; depth d ∈ {1,2} → c_{d} if t_{d+1} ≤ anchor + Δ
+    * else unchanged; depth 3 terminal. All-integer (epoch-µs) — bit-
+    * exact vs the dense fold (pinned in AdvancedSpec, incl. clock
+    * windows spanning empty days and cross-midnight re-anchoring). */
+  def funnelDepthsChunked(events: DataFrame, deltaMicros: Long): DataFrame = {
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    def clockFold(evs: Column, init: Column): Column =
+      aggregate(evs, init, (acc, x) =>
+        when(x.getField("code") === acc.getField("d") + 1 &&
+             (acc.getField("d") === 0 ||
+              x.getField("tsm") <= acc.getField("anchor") + deltaMicros),
+          struct((acc.getField("d") + 1).as("d"),
+            x.getField("tsm").as("anchor")))
+          .otherwise(acc))
+    // first code-k event's tsm in the sorted chunk (null if none)
+    def firstTsm(evs: Column, k: Int): Column =
+      get(filter(evs, e => e.getField("code") === k), lit(0)).getField("tsm")
+    val summaries = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("code"))
+      .withColumn("chunk", floor(col("tsm") / chunkUs))
+      .groupBy("user_id", "chunk")
+      .agg(sort_array(collect_list(
+        struct(col("tsm"), col("event_id"), col("code")))).as("evs"))
+      .select(col("user_id"), col("chunk"),
+        firstTsm(col("evs"), 2).as("t2"),
+        firstTsm(col("evs"), 3).as("t3"),
+        clockFold(col("evs"),
+          struct(lit(0L).as("d"), lit(0L).as("anchor"))).as("c0"),
+        clockFold(col("evs"),
+          struct(lit(1L).as("d"), firstTsm(col("evs"), 2).as("anchor")))
+          .as("c1"),
+        clockFold(col("evs"),
+          struct(lit(2L).as("d"), firstTsm(col("evs"), 3).as("anchor")))
+          .as("c2"))
+    summaries
+      .groupBy("user_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("chunk"), col("t2"), col("t3"),
+          col("c0"), col("c1"), col("c2")))),
+        struct(lit(0L).as("d"), lit(0L).as("anchor")),
+        (acc, c) => {
+          val d = acc.getField("d")
+          when(d === 0, c.getField("c0"))
+            .when(d === 1,
+              when(c.getField("t2").isNotNull &&
+                   c.getField("t2") <= acc.getField("anchor") + deltaMicros,
+                c.getField("c1")).otherwise(acc))
+            .when(d === 2,
+              when(c.getField("t3").isNotNull &&
+                   c.getField("t3") <= acc.getField("anchor") + deltaMicros,
+                c.getField("c2")).otherwise(acc))
+            .otherwise(acc) // depth 3: terminal
+        }).getField("d").as("depth"))
+  }
 
   val q142_window_funnel = QueryDef(
     "q142_window_funnel",
@@ -1980,7 +2175,7 @@ object Advanced {
       |    AS reached
       |FROM r ORDER BY depth""".stripMargin) { (s, d) =>
     val perUser =
-      funnelDepths(Tables.events(s, d), 3L * 24 * 3600 * 1000000)
+      funnelDepthsChunked(Tables.events(s, d), 3L * 24 * 3600 * 1000000)
     val wCum = Window.orderBy(col("depth").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
@@ -2280,10 +2475,26 @@ object Advanced {
     * matching agrees between Java regex and DuckDB's RE2 for these
     * constructs (probed; no backreferences/lookahead).
     *
-    * Scale posture: ONE user-keyed exchange builds each user's code
-    * string (bounded by per-user activity, the q62/q142 contract);
-    * the ≤2-literal pattern fan-out and regexp_count are scan-local
-    * on the user-string table, and the final agg has ≤2 keys. */
+    * Scale posture: the q158 skew-safe template (VERDICT r9 #1 — the
+    * old whole-history `string_agg` materialized a Zipf-hot user's
+    * entire stream as ONE string in ONE task). Code strings build per
+    * (user, EVENT-TIME DAY) chunk on the one event-sized exchange, and
+    * both patterns reduce to chunk-composable carries because they are
+    * regular languages with bounded lookbehind:
+    *  - `pe` (length 2, self-overlap impossible): total = Σ within-
+    *    chunk `regexp_count` + boundary pairs (chunk ends 'p', next
+    *    active chunk starts 'e');
+    *  - `v[^c]*p` greedy non-overlapping: every match lies inside one
+    *    maximal c-free SEGMENT, and greedy `[^c]*` backtracks to the
+    *    segment's LAST 'p', so each segment matches AT MOST ONCE —
+    *    count = #segments containing a 'v' followed by a 'p'. Chunks
+    *    carry (inner matched-segment count, prefix/suffix part stats),
+    *    and the per-user stitch folds the open segment's
+    *    (seen-v, matched) state across chunk boundaries.
+    * The stitch table is user-DAY-sized; all counters integral — bit-
+    * exact vs whole-string regexp_count (pinned in AdvancedSpec across
+    * boundary-spanning matches; LifecycleSpec re-checks vs java.util
+    * .regex on hand-built streams). The final agg has ≤2 keys. */
   val q154_seq_pattern = QueryDef(
     "q154_seq_pattern",
     """WITH s AS (
@@ -2301,23 +2512,78 @@ object Advanced {
       |    AS n_users,
       |  CAST(SUM(hits) AS BIGINT) AS occurrences
       |FROM m GROUP BY pat ORDER BY pattern""".stripMargin) { (s, d) =>
-    val str = Tables.events(s, d)
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val chunkStr = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "view", "v")
           .when(col("event_type") === "click", "c")
           .when(col("event_type") === "purchase", "p")
           .when(col("event_type") === "signup", "s")
-          .otherwise("e").as("code"))
-      .groupBy("user_id")
+          .otherwise("e").as("code"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+      .groupBy("user_id", "chunk")
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("ts"), col("event_id"),
           col("code")))),
         x => x.getField("code")), "").as("str"))
-    str
-      .select(explode(array(lit("v[^c]*p"), lit("pe"))).as("pattern"),
-        col("str"))
-      .select(col("pattern"),
-        regexp_count(col("str"), col("pattern")).cast("long").as("hits"))
+    // per-chunk carry: split on 'c' — parts(1) continues the open
+    // segment, inner parts are complete segments, the last part opens
+    // the next; plus 'pe' count and the boundary chars.
+    val np = size(col("parts"))
+    val pre = element_at(col("parts"), 1)
+    val suf = element_at(col("parts"), np)
+    val summaries = chunkStr
+      .withColumn("parts", split(col("str"), "c", -1))
+      .select(col("user_id"), col("chunk"),
+        struct(
+          (instr(col("str"), "c") > 0).as("has_c"),
+          pre.rlike("v.*p").as("pre_vp"),
+          (instr(pre, "p") > 0).as("pre_p"),
+          size(filter(slice(col("parts"), lit(2), greatest(np - 2, lit(0))),
+            p => p.rlike("v.*p"))).cast("long").as("inner_n"),
+          (instr(suf, "v") > 0).as("suf_v"),
+          suf.rlike("v.*p").as("suf_vp"),
+          (instr(suf, "p") > 0).as("suf_p"),
+          regexp_count(col("str"), lit("pe")).cast("long").as("pe"),
+          substring(col("str"), 1, 1).as("fch"),
+          substring(col("str"), -1, 1).as("lch")).as("sm"))
+    val perUser = summaries
+      .groupBy("user_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("chunk"), col("sm")))),
+        struct(lit(false).as("ov"), lit(false).as("om"),
+          lit(0L).as("vp"), lit(0L).as("pe"), lit("").as("lch")),
+        (acc, e) => {
+          val c = e.getField("sm")
+          val pe2 = (acc.getField("pe") + c.getField("pe") +
+            when(acc.getField("lch") === "p" && c.getField("fch") === "e",
+              1L).otherwise(0L)).as("pe")
+          when(c.getField("has_c"),
+            // close the open segment with this chunk's prefix part
+            struct(c.getField("suf_v").as("ov"),
+              c.getField("suf_vp").as("om"),
+              (acc.getField("vp") + c.getField("inner_n") +
+                when(acc.getField("om") || c.getField("pre_vp") ||
+                     (acc.getField("ov") && c.getField("pre_p")),
+                  1L).otherwise(0L)).as("vp"),
+              pe2, c.getField("lch").as("lch")))
+            .otherwise(
+              // whole chunk extends the open segment
+              struct((acc.getField("ov") || c.getField("suf_v")).as("ov"),
+                (acc.getField("om") || c.getField("suf_vp") ||
+                  (acc.getField("ov") && c.getField("suf_p"))).as("om"),
+                acc.getField("vp").as("vp"), pe2,
+                c.getField("lch").as("lch")))
+        }).as("st"))
+      .select(col("user_id"),
+        (col("st.vp") + when(col("st.om"), 1L).otherwise(0L)).as("vp_hits"),
+        col("st.pe").as("pe_hits"))
+    perUser
+      .select(explode(array(
+        struct(lit("pe").as("pattern"), col("pe_hits").as("hits")),
+        struct(lit("v[^c]*p").as("pattern"), col("vp_hits").as("hits"))))
+        .as("m"))
+      .select(col("m.pattern").as("pattern"), col("m.hits").as("hits"))
       .groupBy("pattern")
       .agg(
         sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_users"),

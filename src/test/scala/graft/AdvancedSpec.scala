@@ -316,4 +316,199 @@ class AdvancedSpec extends SparkSpec {
     assert(Advanced.q158_sessionize_skewsafe.build(spark, dir)
       .collect().toSeq == want)
   }
+
+  // ------------------------------------------------------------------
+  // Round-10 hot-user chunk-stitch rewrites (VERDICT r9 #1): each of
+  // q107/q112/q62/q142/q154 now runs on the q158 event-time-day chunk
+  // template; these tests pin the stitch edges (chunk-first rows, empty
+  // days, cross-midnight state, boundary-spanning matches) against the
+  // dense whole-history reference on hand-built streams.
+  // ------------------------------------------------------------------
+
+  /** Writes an events fixture and returns its dir. */
+  private def eventsDir(rows: Seq[(Long, Long, Timestamp, String, Double)])
+      : String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunkstitch").toString
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("q107 chunk stitch: boundary src from previous ACTIVE day; " +
+    "first-ever event filtered; == dense lag on the fixture") {
+    val dir = eventsDir(Seq(
+      // user 1: day-1 last event 'click' must be day-2 first row's src,
+      // across an empty day 2024-03-02 -> 2024-03-03; same-ts tie on
+      // day 1 broken by event_id ('view' id 10 then 'click' id 11)
+      (1L, 10L, t("2024-03-01 23:59:00"), "view", 1.0),
+      (1L, 11L, t("2024-03-01 23:59:00"), "click", 1.0),
+      (1L, 12L, t("2024-03-03 00:00:30"), "purchase", 1.0),
+      // user 2: single event — no transition at all
+      (2L, 20L, t("2024-03-01 08:00:00"), "view", 1.0),
+      // user 3: every event on a different day (all srcs are stitched)
+      (3L, 30L, t("2024-03-01 10:00:00"), "view", 1.0),
+      (3L, 31L, t("2024-03-02 10:00:00"), "click", 1.0),
+      (3L, 32L, t("2024-03-04 10:00:00"), "purchase", 1.0)))
+    val got = Advanced.q107_transitions.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // user 1 and user 3 each contribute view→click and click→purchase;
+    // user 1's click→purchase crosses the empty day (stitched boundary),
+    // user 3's transitions are ALL stitched (one event per day)
+    assert(got.toSet == Set(
+      ("view", "click", 2L), ("click", "purchase", 2L)), got)
+    // dense single-window reference on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val dense = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy("src", "event_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.toSet == dense)
+  }
+
+  test("q62 chunked funnel == dense fold: stages split across days, " +
+    "empty gap days, out-of-order stages") {
+    val dir = eventsDir(Seq(
+      // user 1: view d1 / click d2 / purchase d4 (empty d3) -> 3
+      (1L, 10L, t("2024-03-01 12:00:00"), "view", 1.0),
+      (1L, 11L, t("2024-03-02 12:00:00"), "click", 1.0),
+      (1L, 12L, t("2024-03-04 12:00:00"), "purchase", 1.0),
+      // user 2: purchase d1 BEFORE view d2 / click d3 -> 2
+      (2L, 20L, t("2024-03-01 12:00:00"), "purchase", 1.0),
+      (2L, 21L, t("2024-03-02 12:00:00"), "view", 1.0),
+      (2L, 22L, t("2024-03-03 12:00:00"), "click", 1.0),
+      // user 3: noise only -> 0
+      (3L, 30L, t("2024-03-01 12:00:00"), "error", 1.0),
+      // user 4: all three stages cross ONE midnight in order -> 3
+      (4L, 40L, t("2024-03-01 23:59:58"), "view", 1.0),
+      (4L, 41L, t("2024-03-01 23:59:59"), "click", 1.0),
+      (4L, 42L, t("2024-03-02 00:00:01"), "purchase", 1.0)))
+    val ev = Tables.events(spark, dir)
+    val got = Advanced.funnelDepthChunked(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 3L)), got)
+    assert(got == Advanced.funnelDepth(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("q112 chunked EWMA == plain left fold across day chunks") {
+    val rows = Seq(
+      (1L, 10L, t("2024-03-01 10:00:00"), "view", 1.00),
+      (1L, 11L, t("2024-03-01 23:59:59"), "view", 2.50),
+      (1L, 12L, t("2024-03-02 00:00:01"), "view", 7.25), // new chunk
+      (1L, 13L, t("2024-03-05 09:00:00"), "view", 0.75), // empty days gap
+      (2L, 20L, t("2024-03-01 10:00:00"), "view", 3.00)) // single event
+    val dir = eventsDir(rows)
+    val got = Advanced.q112_ewma.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val want = rows.groupBy(_._1).toList.sortBy(_._1).map { case (u, rs) =>
+      val vs = rs.sortBy(r => (r._3.getTime, r._2))
+        .map(r => math.round(r._5 * 100).toDouble)
+      val raw = vs.tail.foldLeft(vs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      (u, vs.size.toLong, raw)
+    }
+    assert(got.map(g => (g._1, g._2)) == want.map(w => (w._1, w._2)))
+    got.zip(want).foreach { case (g, w) =>
+      // cross-chunk affine regrouping may differ from the flat fold by
+      // O(#days · ulp); the displayed ROUND(·,4) must still agree
+      assert(math.abs(g._3 - BigDecimal(w._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"user ${g._1}: got ${g._3} want ${w._3}")
+    }
+  }
+
+  test("q142 chunked clock fold == dense: conversion windows spanning " +
+    "empty days, deadline misses, greedy re-anchoring") {
+    val delta = 3L * 24 * 3600 * 1000000
+    val dir = eventsDir(Seq(
+      // user 1: view d1, click d3 23:00 (within 3d), purchase d8 (late) -> 2
+      (1L, 10L, t("2024-03-01 00:10:00"), "view", 1.0),
+      (1L, 11L, t("2024-03-03 23:00:00"), "click", 1.0),
+      (1L, 12L, t("2024-03-08 10:00:00"), "purchase", 1.0),
+      // user 2: view d1, first click d6 misses the deadline; so does the
+      // later one (monotone tsm — the chunk threshold rule) -> 1
+      (2L, 20L, t("2024-03-01 12:00:00"), "view", 1.0),
+      (2L, 21L, t("2024-03-06 12:00:00"), "click", 1.0),
+      (2L, 22L, t("2024-03-07 12:00:00"), "click", 1.0),
+      // user 3: re-anchoring — click d2 re-anchors, purchase d4 is within
+      // 3d of the CLICK though 3d+ after the view -> 3
+      (3L, 30L, t("2024-03-01 06:00:00"), "view", 1.0),
+      (3L, 31L, t("2024-03-02 06:00:00"), "click", 1.0),
+      (3L, 32L, t("2024-03-04 18:00:00"), "purchase", 1.0),
+      // user 4: stage-2 candidate BEFORE the anchor's day (click d1
+      // before view d2) must not count; the d3 click does -> 2
+      (4L, 40L, t("2024-03-01 12:00:00"), "click", 1.0),
+      (4L, 41L, t("2024-03-02 12:00:00"), "view", 1.0),
+      (4L, 42L, t("2024-03-03 12:00:00"), "click", 1.0)))
+    val ev = Tables.events(spark, dir)
+    val got = Advanced.funnelDepthsChunked(ev, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 2L)), got)
+    val dense = Advanced.funnelDepths(ev, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == dense)
+    // and on real data: chunked == dense at sf0.001
+    val sfGot = Advanced.funnelDepthsChunked(
+      Tables.events(spark, sf0001), delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val sfDense = Advanced.funnelDepths(
+      Tables.events(spark, sf0001), delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sfGot == sfDense)
+  }
+
+  test("q154 chunked segment carry == whole-string regexp_count: " +
+    "matches and 'pe' pairs spanning chunk boundaries") {
+    val dir = eventsDir(Seq(
+      // user 1: 'v' d1, 'p' d3 — one segment across an empty day -> vp 1
+      (1L, 10L, t("2024-03-01 12:00:00"), "view", 1.0),
+      (1L, 11L, t("2024-03-03 12:00:00"), "purchase", 1.0),
+      // user 2: "vp"|"vp" adjacent days, no click — ONE segment, greedy
+      // [^c]* consumes through the LAST p -> vp 1 (not 2)
+      (2L, 20L, t("2024-03-01 10:00:00"), "view", 1.0),
+      (2L, 21L, t("2024-03-01 11:00:00"), "purchase", 1.0),
+      (2L, 22L, t("2024-03-02 10:00:00"), "view", 1.0),
+      (2L, 23L, t("2024-03-02 11:00:00"), "purchase", 1.0),
+      // user 3: "vp" d1, CLICK d2 splits, "vp" d3 -> vp 2; plus the d3
+      // purchase is followed next day by an error -> pe across boundary
+      (3L, 30L, t("2024-03-01 10:00:00"), "view", 1.0),
+      (3L, 31L, t("2024-03-01 11:00:00"), "purchase", 1.0),
+      (3L, 32L, t("2024-03-02 10:00:00"), "click", 1.0),
+      (3L, 33L, t("2024-03-03 10:00:00"), "view", 1.0),
+      (3L, 34L, t("2024-03-03 11:00:00"), "purchase", 1.0),
+      (3L, 35L, t("2024-03-04 00:00:05"), "error", 1.0),
+      // user 4: click-only + noise -> nothing
+      (4L, 40L, t("2024-03-01 10:00:00"), "click", 1.0),
+      (4L, 41L, t("2024-03-02 10:00:00"), "error", 1.0)))
+    val got = Advanced.q154_seq_pattern.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("pe", 1L, 1L), ("v[^c]*p", 3L, 4L)), got)
+    // dense whole-string reference (the pre-r10 shape) on the same data
+    val dense = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e").as("code"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("code")))), x => x.getField("code")), "").as("str"))
+      .select(explode(array(lit("v[^c]*p"), lit("pe"))).as("pattern"),
+        col("str"))
+      .select(col("pattern"),
+        regexp_count(col("str"), col("pattern")).cast("long").as("hits"))
+      .groupBy("pattern")
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_users"),
+        sum("hits").as("occurrences"))
+      .orderBy("pattern")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == dense)
+  }
 }

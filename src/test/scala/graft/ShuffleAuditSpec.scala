@@ -45,8 +45,9 @@ class ShuffleAuditSpec extends SparkSpec {
                            // top-20 is TakeOrdered (no sort shuffle)
     "q61_length_outliers" -> 2, // per-lang band agg + output sort; the
                                 // flagging join is broadcast
-    "q62_funnel" -> 2,     // ONE user_id shuffle; the state-machine fold
-                           // is scan-local (vs 3x self-join formulation)
+    "q62_funnel" -> 3,     // r10 skew-safe: ONE event-sized (user, day)
+                           // shuffle; the DFA-vector stitch re-keys
+                           // user-DAY rows (vs 3x self-join formulation)
     "q76_theta_rank_join" -> 5, // ONE data shuffle (bucket window) + orderBy;
                                 // the other exchanges move only the ≤nBuckets
                                 // prefix rows (bucket agg + bounded global
@@ -150,10 +151,12 @@ class ShuffleAuditSpec extends SparkSpec {
     "q106_retention" -> 3, // ONE user-keyed collect_set exchange (the
                            // only data-sized one), the matrix-sized
                            // (cohort, week) agg + orderBy
-    "q107_transitions" -> 4, // user-keyed lag window (the only
-                             // data-sized exchange) + (src, dst) agg;
-                             // the src-keyed prob/rank windows + orderBy
-                             // move |event types|^2 rows only
+    "q107_transitions" -> 6, // r10 skew-safe chunk stitch: the ONLY
+                             // event-sized exchange is the (user, day)
+                             // lag window; the boundary agg/lag/join
+                             // move user-DAY rows, and the (src, dst)
+                             // agg + prob/rank windows + orderBy move
+                             // |event types|^2 rows only
     "q108_ohlc" -> 2,      // min_by/max_by keep OHLC inside ONE hash
                            // agg exchange (no window sort) + orderBy
     "q109_winnow" -> 2,    // gram explode + hash are scan-local; ONE
@@ -173,9 +176,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q111_histogram" -> 3, // 1-row bounds agg (broadcast back) + the
                            // <=20-key histogram agg + orderBy; bucket
                            // math is scan-local integer arithmetic
-    "q112_ewma" -> 2,      // ONE user-keyed collect exchange; the EWMA
-                           // fold is a codegen aggregate HOF, scan-local
-                           // (+ orderBy)
+    "q112_ewma" -> 3,      // r10 skew-safe: ONE event-sized (user, day)
+                           // collect exchange; the affine-carry stitch
+                           // re-keys user-DAY rows; + orderBy
     "q113_char_entropy" -> 1, // no explode, no agg: 26 replace-counts +
                               // the entropy fold are all scan-local HOFs
                               // — orderBy is the only exchange
@@ -280,10 +283,11 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // global index window; pos is a
                                   // FORMULA — no global data window,
                                   // top-100 is TakeOrdered
-    "q142_window_funnel" -> 3,    // ONE user-keyed exchange (the
-                                  // (depth, anchor) clock fold is
-                                  // scan-local, as q62) + the ≤4-row
-                                  // report agg + its cum window/sort
+    "q142_window_funnel" -> 4,    // r10 skew-safe: ONE event-sized
+                                  // (user, day) exchange (clock folds
+                                  // scan-local) + the user-DAY stitch
+                                  // re-key + the ≤4-row report agg +
+                                  // its cum window/sort
     "q143_user_growth" -> 3,      // user-keyed min agg + day-keyed
                                   // count + the DAYS-sized running
                                   // sum (calendar-bounded, q130
@@ -326,9 +330,10 @@ class ShuffleAuditSpec extends SparkSpec {
     "q153_benford" -> 2,          // digit extraction scan-local into
                                   // ONE 9-key agg; all double math on
                                   // the 9-row digit table
-    "q154_seq_pattern" -> 3,      // ONE user-keyed exchange builds the
-                                  // code strings; pattern fan-out +
-                                  // regexp_count scan-local, ≤2-key
+    "q154_seq_pattern" -> 4,      // r10 skew-safe: ONE event-sized
+                                  // (user, day) exchange builds day
+                                  // code strings; segment-carry stitch
+                                  // re-keys user-DAY rows; ≤2-key
                                   // final agg + orderBy
     "q155_scd2" -> 2,             // ONE user-keyed exchange serves the
                                   // change-detect lag AND the post-
