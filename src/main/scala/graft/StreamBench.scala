@@ -12,14 +12,18 @@ import graft.streaming.{DocDedup, EmbDedup}
   * scan-local MinHash banding → RocksDB-backed per-bucket state with
   * event-time TTL timers — in fixed-size micro-batches and report
   * rows/sec as one JSON line (the BENCH_rN_stream.json artifact).
-  * `op=emb` (VERDICT r8 #4) runs the EMBEDDING twin instead:
+  * `op=embrep` (VERDICT r8 #4) runs the EMBEDDING twin instead:
   * [[EmbDedup.incrementalCandidatesTtl]] — scan-local hyperplane-SimHash
   * banding → single-representative RocksDB TTL bucket state, the exact
   * mirror of the doc leg's operator. `op=embprobe` runs the heavier
   * best-match VERDICT feeder [[EmbDedup.probesTtl]] instead (full
   * vectors + norms in per-bucket member LISTS, one probe per arrival
   * per band — O(cap) state work where the rep path is O(1); bench both
-  * to see the contract's price).
+  * to see the contract's price). The bare `op=emb` name is REJECTED:
+  * it meant probesTtl in BENCH_r08_stream.json and
+  * incrementalCandidatesTtl in BENCH_r09_stream.json (ADVICE r9 —
+  * compare artifacts by their JSON `op` field, which always recorded
+  * the real operator, never by the CLI flag).
   *
   * Texts cycle through the sf0.01 documents fixture (real token
   * distributions, including its hot LSH buckets) under fresh ids with
@@ -30,7 +34,7 @@ import graft.streaming.{DocDedup, EmbDedup}
   * batch — commit latency included, the honest ingest number).
   *
   * Usage: StreamBench [rows=50000] [batchSize=5000] [sfDir=sf0.01 path]
-  *                    [op=doc|emb|embprobe]
+  *                    [op=doc|embrep|embprobe]
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -88,13 +92,16 @@ object StreamBench {
           DocDedup.TsDoc(id, texts((id % texts.length).toInt),
             new Timestamp(t0ms + id * 10L))
         }))
-      case "emb" | "embprobe" =>
+      case "emb" =>
+        sys.error("op 'emb' is ambiguous (probesTtl in r8 artifacts, " +
+          "incrementalCandidatesTtl in r9) — use 'embrep' or 'embprobe'")
+      case "embrep" | "embprobe" =>
         val vecs = Tables.embeddings(spark, sfDir)
           .orderBy("vec_id").select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble))
         val in = MemoryStream[EmbDedup.VecTs]
         val pipe =
-          if (op == "emb") EmbDedup.incrementalCandidatesTtl(in.toDF()).toDF()
+          if (op == "embrep") EmbDedup.incrementalCandidatesTtl(in.toDF()).toDF()
           else EmbDedup.probesTtl(in.toDF()).toDF()
         val q = pipe
           .writeStream.format("noop")
@@ -105,7 +112,7 @@ object StreamBench {
           EmbDedup.VecTs(id, vecs((id % vecs.length).toInt),
             new Timestamp(t0ms + id * 10L))
         }))
-      case other => sys.error(s"unknown op '$other' (doc|emb|embprobe)")
+      case other => sys.error(s"unknown op '$other' (doc|embrep|embprobe)")
     }
 
     val start = System.nanoTime()
@@ -129,7 +136,7 @@ object StreamBench {
     val steady =
       if (bs.size > 1) (rows - batchSize) / bs.tail.sum else rps
     val opName = op match {
-      case "emb" => "EmbDedup.incrementalCandidatesTtl"
+      case "embrep" => "EmbDedup.incrementalCandidatesTtl"
       case "embprobe" => "EmbDedup.probesTtl"
       case _ => "incrementalCandidatesTtl"
     }

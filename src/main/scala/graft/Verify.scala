@@ -126,6 +126,16 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    if (!preexisting) spark.stop()
+    if (!preexisting) {
+      spark.stop()
+      // Hard-exit (VERDICT r9 #7): a finished Verify JVM could hang on
+      // shutdown AFTER the final artifact write (non-daemon threads left
+      // by timed-out query futures / state-store maintenance), turning
+      // unattended sweeps into "kill it and proceed" babysitting. Every
+      // artifact is on disk and the session is stopped — exiting is the
+      // correct unconditional last step. (Skipped when the caller owns
+      // the session: a preexisting-session embedder keeps its JVM.)
+      System.exit(0)
+    }
   }
 }

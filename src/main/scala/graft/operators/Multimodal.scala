@@ -126,10 +126,77 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** RIFF/WAVE magic — what [[decodeKernel]] dispatches on for audio. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** REAL audio decode via the JDK's WAV codec (`javax.sound.sampled` —
+    * no external dependency, the audio sibling of [[decodePng]]): payload
+    * → actual PCM samples. Expects the fixture contract (16-bit signed
+    * mono little-endian — what [[encodeWav]] writes; a codec-zoo binding
+    * would transcode other layouts at this same boundary). Features fold
+    * the REAL samples: sample i's amplitude (normalized to [-1, 1))
+    * accumulates into bin `i % dim`. For audio the MediaFeature
+    * (width, height) axes carry (sample rate Hz, sample count) — the
+    * duration pair. Deterministic because PCM WAV is lossless:
+    * decode(encode(samples)) == samples whatever wrote the container. */
+  private[graft] def decodeWav(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"fixture contract is 16-bit signed mono LE PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    val emb = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      val s = (((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+      emb(i % dim) += s / 32768.0f
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, n, emb)
+  }
+
+  /** Deterministic WAV generator for the media fixture (the audio
+    * sibling of [[encodePng]]): `nSamples` 16-bit mono samples at
+    * `sampleRate` Hz, each mixed from (seed, i) through a 64-bit LCG,
+    * written through the JDK WAV encoder. Samples (not container bytes)
+    * are the determinism contract — PCM is lossless, so
+    * decode(encode(s)) == s regardless of encoder version. */
+  private[graft] def encodeWav(seed: Long, sampleRate: Int,
+                               nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val m = seed * 6364136223846793005L + i * 3202034522624059733L +
+        1442695040888963407L
+      val s = ((m >>> 24) & 0xffffL).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** The per-payload kernel: REAL PNG decode when the payload carries
-    * the PNG magic, deterministic stub otherwise (audio/video). */
+    * the PNG magic, REAL WAV decode on RIFF/WAVE, deterministic stub
+    * otherwise (video — no JDK codec exists for it). */
   private[operators] def decodeKernel(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
-    if (isPng(bytes)) decodePng(bytes, dim) else decodeStub(bytes, dim)
+    if (isPng(bytes)) decodePng(bytes, dim)
+    else if (isWav(bytes)) decodeWav(bytes, dim)
+    else decodeStub(bytes, dim)
 
   /** Decode + feature-extract in partition-local batches: one
     * mapPartitions pass, no shuffle; the iterator IS the batch stream
@@ -228,6 +295,25 @@ object Multimodal {
     }
   }
 
+  /** [[mediaWithImages]] with REAL payloads for the audio kind too:
+    * every `kind == "audio"` row carries an actual 16-bit mono PCM WAV
+    * (deterministic samples from the media_id via [[encodeWav]], rate
+    * `8000 · (1 + id%3)` Hz, `32 + id%97` samples); image rows keep
+    * their real PNGs, video rows the fake byte payloads (the one kind
+    * with no JDK codec). This is the fixture q159 decodes. */
+  def mediaWithCodecs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaWithImages(spark, dir).map { r =>
+      if (r.kind == "audio") {
+        val bytes = encodeWav(r.media_id,
+          8000 * (1 + (r.media_id % 3).toInt), 32 + (r.media_id % 97).toInt)
+        r.copy(bytes = bytes,
+          meta = MediaMeta("audio", bytes.length.toLong,
+            bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      } else r
+    }
+  }
+
   /** q36 (declared): metadata projection — the deterministic part of the
     * pipeline, oracled in DuckDB over the same bytes. */
   val q36_media_meta = QueryDef(
@@ -266,5 +352,25 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q36_media_meta, q39_media_features)
+  /** q159: decoded AUDIO features — the q39 pattern with the audio stub
+    * demoted to a real kernel (VERDICT r9 #4): WAV payloads decode to
+    * actual PCM through `javax.sound.sampled`, and the output carries
+    * the decoded sample rate, sample count, duration, and the real-
+    * sample amplitude fold. No SQL engine can decode WAV, so the driver
+    * records a rows-only check; sample-rate/duration determinism and
+    * decode(encode(s)) == s are MultimodalSpec's job. */
+  val q159_audio_features = QueryDef.unchecked("q159_audio_features") { (s, d) =>
+    decodeFeatures(mediaWithCodecs(s, d)).toDF()
+      .where(col("kind") === "audio")
+      .select(col("media_id"),
+        col("width").as("sample_rate"),
+        col("height").as("n_samples"),
+        round(col("height") * lit(1000.0) / col("width"), 4).as("dur_ms"),
+        round(aggregate(col("embedding"),
+          lit(0.0d), (a, x) => a + x.cast("double")), 4).as("emb_sum"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q36_media_meta, q39_media_features,
+    q159_audio_features)
 }

@@ -51,8 +51,12 @@ object EmbDedup {
 
   // public: the state-encoder's generated code calls the accessors.
   // `v` is a primitive array (same Catalyst schema as Seq[Double] —
-  // ArrayType(double) — so checkpoints are unaffected; only the
-  // deserializer changes, from per-element boxing to an array copy).
+  // ArrayType(double) — so checkpoints are unaffected BY THIS ENCODER
+  // CHANGE; the r9 armedState addition is a separate migration, handled
+  // by VecBucketProcessorTtl's legacy-timer sweep + stale-orphan guard).
+  // WARNING: the Array field makes equals/hashCode REFERENCE-based on
+  // these row classes (also BandRowV/BandRowVTs/VecRepT) — compare via
+  // rep_id / java.util.Arrays.equals, never ==, distinct, or Set/Map.
   case class VecRep(rep_id: Long, v: Array[Double], nrm: Double)
 
   /** [[Vec]] with an event time — the TTL variant's incoming shape. */
@@ -224,7 +228,17 @@ object EmbDedup {
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.vec_id))
       val out = Seq.newBuilder[Probe]
       val stored = scala.collection.mutable.ArrayBuffer.empty[VecRep]
+      val hadArmed = armedState.exists()
       members.get().foreach(stored += _)
+      // Checkpoint migration (ADVICE r9): a bucket restored from a
+      // pre-armedState checkpoint has a LIVE timer the armed cache never
+      // saw — armed=0 would skip deleteTimer and the orphan would fire at
+      // the old target, clearing members that newer activity re-armed.
+      // Members-without-armed can only mean that legacy shape, so sweep
+      // the timer store ONCE here (the per-arrival cost the cache avoids
+      // is fine on a one-time migration path).
+      if (!hadArmed && stored.nonEmpty)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
       sorted.foreach { r =>
         val rn = norm(r.v)
         val (bestId, bestCos, replayed, exactDup) =
@@ -257,6 +271,11 @@ object EmbDedup {
 
     override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[Probe] = {
+      // Stale-orphan guard (defense in depth for the migration case
+      // above): if a LATER target is armed, this firing is a leftover
+      // legacy timer — the bucket is still live, don't clear it.
+      if (armedState.exists() && armedState.get() > expired.getExpiryTimeInMs())
+        return Iterator.empty
       members.clear()
       armedState.clear() // a re-claimed bucket must re-arm from scratch
       Iterator.empty

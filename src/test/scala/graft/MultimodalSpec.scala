@@ -90,6 +90,64 @@ class MultimodalSpec extends SparkSpec {
     feats.foreach { case (id, f) => assert(again(id) == f.embedding.toSeq) }
   }
 
+  test("REAL WAV decode: JDK codec round-trips the generated samples — " +
+    "sample rate and duration pinned, features from actual PCM") {
+    for (id <- Seq(1L, 4L, 7L, 100L, 499L)) {
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val n = 32 + (id % 97).toInt
+      val bytes = Multimodal.encodeWav(id, rate, n)
+      assert(Multimodal.isWav(bytes), s"payload for id=$id lacks RIFF/WAVE")
+      assert(!Multimodal.isPng(bytes))
+      val (dRate, dN, emb) = Multimodal.decodeWav(bytes, 16)
+      assert((dRate, dN) == (rate, n),
+        s"id=$id decoded ${(dRate, dN)}, want ${(rate, n)}")
+      // amplitude fold over the real samples, recomputed independently
+      // from the LCG sample formula (the lossless-PCM contract:
+      // decode(encode(s)) == s)
+      val want = new Array[Float](16)
+      for (i <- 0 until n) {
+        val m = id * 6364136223846793005L + i * 3202034522624059733L +
+          1442695040888963407L
+        want(i % 16) += ((m >>> 24) & 0xffffL).toShort / 32768.0f
+      }
+      assert(emb.toSeq == want.toSeq, s"id=$id feature mismatch")
+    }
+  }
+
+  test("mediaWithCodecs: audio rows are real WAVs decoded by the kernel, " +
+    "image rows stay real PNGs, video rides the stub; q159 shape") {
+    val media = Multimodal.mediaWithCodecs(spark, sf0001)
+    val rows = media.collect()
+    assert(rows.exists(_.kind == "audio") && rows.exists(_.kind == "video"))
+    rows.foreach { r =>
+      r.kind match {
+        case "audio" =>
+          assert(Multimodal.isWav(r.bytes), s"audio row ${r.media_id} not WAV")
+          assert(r.meta.n_bytes == r.bytes.length.toLong)
+        case "image" => assert(Multimodal.isPng(r.bytes))
+        case _ =>
+          assert(!Multimodal.isWav(r.bytes) && !Multimodal.isPng(r.bytes))
+      }
+    }
+    // per-row and batched kernels agree across ALL THREE dispatch arms
+    def key(f: Multimodal.MediaFeature) =
+      (f.media_id, f.kind, f.width, f.height, f.embedding.toSeq)
+    val perRow = Multimodal.decodeFeatures(media, dim = 16).collect()
+    val batched = Multimodal.decodeFeaturesBatched(media, dim = 16,
+      batchSize = 7).collect().map(key).toSet
+    assert(perRow.map(key).toSet == batched)
+    // audio features carry (sample rate, sample count) per the fixture
+    // formula — the q159 sample-rate/duration pin
+    perRow.filter(_.kind == "audio").foreach { f =>
+      assert(f.width == 8000 * (1 + (f.media_id % 3).toInt) &&
+        f.height == 32 + (f.media_id % 97).toInt,
+        s"audio ${f.media_id} decoded ${(f.width, f.height)} off-formula")
+    }
+    // the registry query: one row per audio-kind document, rows > 0
+    val q = SparkEntry.queries("q159_audio_features")(spark, sf0001).collect()
+    assert(q.length == rows.count(_.kind == "audio") && q.nonEmpty)
+  }
+
   test("frameSample emits n frames per row") {
     val media = Multimodal.mediaFromDocuments(spark, sf0001).limit(5)
     val rows = Multimodal.frameSample(media, nFrames = 4)

@@ -51,8 +51,10 @@ def main():
         # operator memory on the heavy sf10 oracles and aborts tiny
         # allocations at ~14 GB RSS with 120 GB free (q84 repro); 8
         # threads + a high limit + spill completes the same query in 65 s.
-        c.sql("SET threads=8")
-        c.sql("SET memory_limit='90GB'")
+        # Both knobs are host tuning (this box has 100+GB) — override via
+        # ORACLE_THREADS / ORACLE_MEMLIMIT on smaller machines (ADVICE r9).
+        c.sql(f"SET threads={int(os.environ.get('ORACLE_THREADS', '8'))}")
+        c.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEMLIMIT', '90GB')}'")
         for t in ["region","nation","customer","supplier","part","orders",
                   "lineitem","events","documents","embeddings"]:
             p = f"{sf_dir}/{t}.parquet"
