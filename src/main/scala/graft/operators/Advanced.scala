@@ -1733,12 +1733,25 @@ object Advanced {
     * monitoring/quality pipeline runs where q112's EWMA is too
     * outlier-sensitive: per user, the median of the trailing 7 values
     * in (ts, event_id) order. A median is holistic — no built-in Spark
-    * window form — so the declared shape keeps the holistic state
-    * FRAME-BOUNDED: `collect_list` over the ROWS frame holds ≤ 7
-    * values per row (constant state however long the user's history),
-    * sorted and mid-picked scan-locally after the ONE user-keyed
-    * window exchange. Midpoint of an even frame is averaged exactly in
-    * integer-cents doubles, matching DuckDB's MEDIAN interpolation. */
+    * window form — so the shape keeps the holistic state FRAME-BOUNDED:
+    * a `collect_list` over the ROWS frame holds ≤ 7 values per row,
+    * sorted and mid-picked scan-locally.
+    *
+    * SKEW-SAFE on the q158 template (VERDICT r9 #2: the r10 skew2
+    * stress measured the plain per-user frame window at 8.6× median
+    * max-task — the frame bounds STATE, but the hot user's partition
+    * is still ONE unsplittable window task). The per-user stream
+    * chunks by EVENT-TIME DAY; a row's trailing-7 frame can reach at
+    * most 6 values behind the chunk boundary, so the carry is each
+    * chunk's incoming TAIL — the last ≤6 values of everything before
+    * it, built by ONE per-user fold over the user-DAY-sized per-chunk
+    * tails (`lastN(concat(run, tail), 6)`) and joined back. Each row
+    * then takes the last 7 of (carry ++ within-chunk trailing frame)
+    * — exactly its trailing window whether or not it crosses days
+    * (sparse users spanning many near-empty days work because the run
+    * tail accumulates ACROSS chunks, pinned in AdvancedSpec). Midpoint
+    * of an even frame is averaged exactly in integer-cents doubles,
+    * matching DuckDB's MEDIAN interpolation. */
   val q115_rolling_median = QueryDef(
     "q115_rolling_median",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1750,13 +1763,52 @@ object Advanced {
       |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val wFrame = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(-6, Window.currentRow)
-    val nArr = size(col("arr"))
-    Tables.events(s, d)
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val wFrame2 = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id").rowsBetween(-6, Window.currentRow)
+    val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("arr", sort_array(collect_list(col("cents")).over(wFrame)))
+        round(col("value") * 100).cast("long").as("cents"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+    // last ≤n elements, positive-start form (negative slice starts error
+    // when |start| exceeds the array size)
+    def lastN(a: Column, n: Int): Column =
+      slice(a, greatest(size(a) - (n - 1), lit(1)), lit(n))
+    // per-chunk tail: the day's last ≤6 cents in (ts, event_id) order
+    val tails = ev.groupBy("user_id", "chunk")
+      .agg(transform(
+        lastN(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("cents")))), 6),
+        t => t.getField("cents")).as("tail6"))
+    // incoming carry per chunk: last ≤6 values of ALL prior chunks —
+    // one fold over the user's chunk-sorted tails, emitting
+    // (chunk, carry) pairs; `run` accumulates across sparse chunks
+    val carries = tails.groupBy("user_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("chunk"), col("tail6")))),
+        struct(
+          expr("CAST(array() AS array<struct<chunk:bigint,carry:array<bigint>>>)")
+            .as("out"),
+          expr("CAST(array() AS array<bigint>)").as("run")),
+        (acc, c) => struct(
+          concat(acc.getField("out"),
+            array(struct(c.getField("chunk").as("chunk"),
+              acc.getField("run").as("carry")))).as("out"),
+          lastN(concat(acc.getField("run"), c.getField("tail6")), 6)
+            .as("run")))
+        .getField("out").as("pairs"))
+      .select(col("user_id"), explode(col("pairs")).as("p"))
+      .select(col("user_id"), col("p.chunk").as("chunk"),
+        col("p.carry").as("carry"))
+    val withWin = ev
+      // collect_list over a ROWS frame iterates in the window's sort
+      // order, so warr is the within-chunk trailing slice, time-ordered
+      .withColumn("warr", collect_list(col("cents")).over(wFrame2))
+      .join(carries, Seq("user_id", "chunk"))
+      .withColumn("cat", concat(col("carry"), col("warr")))
+      .withColumn("arr", sort_array(lastN(col("cat"), 7)))
+    val nArr = size(col("arr"))
+    withWin
       .select(col("user_id"), col("event_id"),
         nArr.cast("long").as("n_win"),
         when(nArr % 2 === 1,
@@ -1772,13 +1824,22 @@ object Advanced {
     * IRREGULARLY sampled series, where q112's EWMA assumes arrival-count
     * decay: each observation is weighted by how long it was "in force"
     * (milliseconds until the user's next event; the open-ended last
-    * observation carries no weight). One user-keyed exchange serves both
-    * the `lead` window and the final per-user aggregate (subset rule),
-    * plus the output sort. Determinism across engines: values become
-    * integer cents and durations integer milliseconds BEFORE any
-    * arithmetic, so numerator and denominator are exact integer sums in
-    * any order — the only float op is the final division, identical
-    * bit-for-bit in both engines. */
+    * observation carries no weight).
+    *
+    * SKEW-SAFE per-user lead on the q158 template (VERDICT r9 #2: the
+    * r10 skew2 stress measured the plain per-user lead window at ~5×
+    * median max-task — q107's lag class, mirrored): within-(user,
+    * event-time day) lead covers every row except chunk-LAST rows,
+    * which take the next ACTIVE chunk's FIRST ts from a user-DAY-sized
+    * boundary table (lead of the per-chunk min ts over the user's
+    * chunks). The only event-sized exchange is the (user, chunk)
+    * window; the final per-user aggregate map-side-combines on that
+    * same partitioning, so its exchange moves user-sized rows.
+    * Determinism across engines: values become integer cents and
+    * durations integer milliseconds BEFORE any arithmetic, so
+    * numerator and denominator are exact integer sums in any order —
+    * the only float op is the final division, identical bit-for-bit
+    * in both engines. */
   val q118_twap = QueryDef(
     "q118_twap",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1794,12 +1855,23 @@ object Advanced {
       |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100, 4) AS twap
       |FROM w WHERE dur IS NOT NULL AND dur > 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, d)
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+        round(col("value") * 100).cast("long").as("cents"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val wChunks = Window.partitionBy("user_id").orderBy("chunk")
+    // boundary table: one row per ACTIVE user-day — the NEXT day's first ts
+    val bounds = ev.groupBy("user_id", "chunk").agg(min("ts").as("cmin"))
+      .withColumn("next_cmin", lead("cmin", 1).over(wChunks))
+      .select("user_id", "chunk", "next_cmin")
+    ev
+      .withColumn("next_in", lead("ts", 1).over(w2))
+      .join(bounds, Seq("user_id", "chunk"))
       .withColumn("dur",
-        unix_millis(lead("ts", 1).over(w)) - unix_millis(col("ts")))
+        unix_millis(coalesce(col("next_in"), col("next_cmin"))) -
+          unix_millis(col("ts")))
       .where(col("dur").isNotNull && col("dur") > 0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -2600,11 +2672,23 @@ object Advanced {
     * current row. The q40 as-of join is the read side of exactly this
     * table.
     *
-    * Scale posture: ONE user-keyed exchange serves both windows — the
-    * change-detect lag and, because the filter preserves partitioning
-    * AND sort order, the post-filter lead (no second exchange, the
-    * q44 subset rule); everything else is scan-local. Version numbers
-    * come from the same ordering. */
+    * Scale posture: SKEW-SAFE on the q158 template (VERDICT r9 #2: the
+    * r10 skew2 stress measured the plain per-user lag+rank+lead shape
+    * at ~7× median max-task — one hot user, one unsplittable window
+    * partition). All three windows chunk by EVENT-TIME DAY:
+    *  - change-detect lag = q107's exact stitch (within-day lag +
+    *    boundary table carrying the previous ACTIVE day's last state);
+    *  - version = the q94/q158 two-level prefix sum (within-day
+    *    row_number over change rows + prior-day change-count offsets);
+    *  - valid_to lead = q118's stitch mirrored over the CHANGE table
+    *    (within-day lead + the next change-bearing day's first change
+    *    ts — days whose events all collapsed are skipped correctly
+    *    because only chunks WITH changes appear in that boundary
+    *    table).
+    * The only event-sized exchange is the (user, day) lag window; the
+    * change-table windows re-key chunk-bounded change rows, and the
+    * boundary/offset tables are user-DAY-sized. Version numbers come
+    * from the same (ts, event_id) ordering as before. */
   val q155_scd2 = QueryDef(
     "q155_scd2",
     """WITH c AS (
@@ -2628,16 +2712,42 @@ object Advanced {
       |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, d)
+    val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type").as("state"),
         col("ts"), col("event_id"),
-        lag("event_type", 1).over(w).as("prev"))
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val wChunks = Window.partitionBy("user_id").orderBy("chunk")
+    // q107's boundary stitch: the previous ACTIVE day's last state
+    val bounds = ev.groupBy("user_id", "chunk")
+      .agg(max_by(col("state"), struct(col("ts"), col("event_id")))
+        .as("clast"))
+      .withColumn("prev_clast", lag("clast", 1).over(wChunks))
+      .select("user_id", "chunk", "prev_clast")
+    val changes = ev
+      .withColumn("prev_in", lag("state", 1).over(w2))
+      .join(bounds, Seq("user_id", "chunk"))
+      .withColumn("prev", coalesce(col("prev_in"), col("prev_clast")))
       .where(col("prev").isNull || col("prev") =!= col("state"))
-      .select(col("user_id"), col("state"),
-        row_number().over(w).cast("long").as("version"),
-        col("ts").as("valid_from"),
-        lead("ts", 1).over(w).as("valid_to"))
+      .select("user_id", "state", "ts", "event_id", "chunk")
+    // per change-bearing day: version offsets (prior-day change counts)
+    // and the NEXT change-bearing day's first change ts (q118 mirrored)
+    val meta = changes.groupBy("user_id", "chunk")
+      .agg(count(lit(1)).as("cn"), min("ts").as("cmin"))
+      .withColumn("offset", coalesce(
+        sum("cn").over(
+          wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("next_cmin", lead("cmin", 1).over(wChunks))
+      .select("user_id", "chunk", "offset", "next_cmin")
+    changes
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("next_in", lead("ts", 1).over(w2))
+      .join(meta, Seq("user_id", "chunk"))
+      .select(col("user_id"),
+        (col("rn") + col("offset")).cast("long").as("version"),
+        col("state"), col("ts").as("valid_from"),
+        coalesce(col("next_in"), col("next_cmin")).as("valid_to"))
       .select(col("user_id"), col("version"), col("state"),
         date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
           .as("valid_from"),

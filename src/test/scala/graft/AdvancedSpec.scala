@@ -422,6 +422,47 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q115 chunked trailing-median == dense frame window: carries " +
+    "spanning many sparse days, frames straddling midnight") {
+    // user 1: ONE value per day for 9 days — every trailing-7 window
+    // after day 7 spans SEVEN chunks (the run tail must accumulate
+    // across chunks, not just read the previous day's);
+    // user 2: 10 same-day values then 3 the next day (partial carry).
+    val rows =
+      (1 to 9).map(dd => (1L, 100L + dd,
+        t(f"2024-03-0$dd 12:00:00"), "view", dd * 1.0)) ++
+      (1 to 10).map(i => (2L, 200L + i,
+        t(f"2024-03-01 10:${i}%02d:00"), "view", i * 3.0)) ++
+      (1 to 3).map(i => (2L, 220L + i,
+        t(f"2024-03-02 08:0$i:00"), "view", i * 7.0))
+    val dir = eventsDir(rows)
+    val got = Advanced.q115_rolling_median.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // dense single-window reference (the pre-r10 shape) on the same data
+    val wFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val nArr = size(col("arr"))
+    val dense = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(wFrame)))
+      .select(col("user_id"), col("event_id"), nArr.cast("long").as("n_win"),
+        when(nArr % 2 === 1,
+          element_at(col("arr"), ((nArr + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(col("arr"), (nArr / 2).cast("int")) +
+            element_at(col("arr"), (nArr / 2 + 1).cast("int")))
+            .cast("double") / 2).as("med"))
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == dense, s"first diff: ${got.zip(dense).find(p => p._1 != p._2)}")
+    // spot-pin: user 1's 8th row (day 8) has a FULL window of days 2-8
+    assert(got.find(r => r._1 == 1L && r._2 == 108L)
+      .contains((1L, 108L, 7L, 500.0)))
+  }
+
   test("q142 chunked clock fold == dense: conversion windows spanning " +
     "empty days, deadline misses, greedy re-anchoring") {
     val delta = 3L * 24 * 3600 * 1000000
@@ -460,6 +501,90 @@ class AdvancedSpec extends SparkSpec {
       Tables.events(spark, sf0001), delta).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(sfGot == sfDense)
+  }
+
+  test("q118 chunked lead == dense: spans crossing empty days, " +
+    "same-ts spans excluded, open-ended last observation dropped") {
+    val dir = eventsDir(Seq(
+      // user 1: span crossing two empty days (d1 -> d4), then a same-ts
+      // tie (dur 0, excluded), then the open-ended last event
+      (1L, 10L, t("2024-03-01 12:00:00"), "view", 2.0),
+      (1L, 11L, t("2024-03-04 06:00:00"), "view", 4.0),
+      (1L, 12L, t("2024-03-04 06:00:00"), "view", 6.0), // tie with id 11
+      (1L, 13L, t("2024-03-05 06:00:00"), "view", 8.0), // last: no span
+      // user 2: single event -> no spans at all, absent from output
+      (2L, 20L, t("2024-03-01 08:00:00"), "view", 1.0)))
+    val got = Advanced.q118_twap.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // spans: d1->d4 (dur 237600000 ms, cents 200), 11->13? no: the tied
+    // row 11 leads to row 12 (dur 0, excluded); row 12 leads to row 13
+    // (dur 86400000 ms, cents 600). TWAP over the two surviving spans.
+    val n = 237600000L + 86400000L
+    val twap = BigDecimal((200.0 * 237600000L + 600.0 * 86400000L) / n / 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, n, twap)), got)
+    // dense single-window reference on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val dense = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dur",
+        unix_millis(lead("ts", 1).over(w)) - unix_millis(col("ts")))
+      .where(col("dur").isNotNull && col("dur") > 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"), sum("dur").as("total_ms"),
+        round(sum(col("cents") * col("dur")).cast("double") /
+          sum(col("dur")) / 100, 4).as("twap"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == dense)
+  }
+
+  test("q155 chunked SCD2 == dense: changes across midnight, versions " +
+    "offset across days, valid_to skipping change-less days") {
+    val dir = eventsDir(Seq(
+      // user 1: state runs crossing days — 'view' spans d1-d2 (the d2
+      // rows must NOT open a new version), change to 'click' late d2,
+      // then days of repeated 'click' (change-less d3), change on d5
+      (1L, 10L, t("2024-03-01 10:00:00"), "view", 1.0),
+      (1L, 11L, t("2024-03-02 09:00:00"), "view", 1.0),
+      (1L, 12L, t("2024-03-02 22:00:00"), "click", 1.0),
+      (1L, 13L, t("2024-03-03 11:00:00"), "click", 1.0),
+      (1L, 14L, t("2024-03-05 07:00:00"), "purchase", 1.0),
+      // user 2: same-ts tie — the event_id order decides the run
+      (2L, 20L, t("2024-03-01 12:00:00"), "view", 1.0),
+      (2L, 21L, t("2024-03-01 12:00:00"), "click", 1.0)))
+    val got = Advanced.q155_scd2.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, "view", "2024-03-01 10:00:00", "2024-03-02 22:00:00", 0L),
+      (1L, 2L, "click", "2024-03-02 22:00:00", "2024-03-05 07:00:00", 0L),
+      (1L, 3L, "purchase", "2024-03-05 07:00:00", "current", 1L),
+      (2L, 1L, "view", "2024-03-01 12:00:00", "2024-03-01 12:00:00", 0L),
+      (2L, 2L, "click", "2024-03-01 12:00:00", "current", 1L)), got)
+    // dense single-window reference on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val dense = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"), lag("event_type", 1).over(w).as("prev"))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"),
+        row_number().over(w).cast("long").as("version"),
+        col("ts").as("valid_from"), lead("ts", 1).over(w).as("valid_to"))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("current")).as("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == dense)
   }
 
   test("q154 chunked segment carry == whole-string regexp_count: " +

@@ -170,9 +170,11 @@ class ShuffleAuditSpec extends SparkSpec {
                               // freq agg + doc_id window + candidate
                               // distinct + intersection agg + orderBy
                               // (sizes/prefix joins broadcast at test SF)
-    "q115_rolling_median" -> 2, // ONE user-keyed window exchange; the
-                                // <=7-element frame collect + mid-pick
-                                // are scan-local (+ orderBy)
+    "q115_rolling_median" -> 4, // r10 skew-safe: ONE event-sized
+                                // (user, day) window exchange; the
+                                // tail agg + carry fold re-key
+                                // user-DAY rows; <=7-element frames
+                                // stay scan-local (+ orderBy)
     "q111_histogram" -> 3, // 1-row bounds agg (broadcast back) + the
                            // <=20-key histogram agg + orderBy; bucket
                            // math is scan-local integer arithmetic
@@ -335,11 +337,12 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // code strings; segment-carry stitch
                                   // re-keys user-DAY rows; ≤2-key
                                   // final agg + orderBy
-    "q155_scd2" -> 2,             // ONE user-keyed exchange serves the
-                                  // change-detect lag AND the post-
-                                  // filter lead (filter preserves
-                                  // partitioning+order, q44 subset
-                                  // rule) + orderBy
+    "q155_scd2" -> 5,             // r10 skew-safe: ONE event-sized
+                                  // (user, day) lag exchange; the
+                                  // boundary/offset tables move
+                                  // user-DAY rows, the change-table
+                                  // windows move chunk-bounded change
+                                  // rows + orderBy
     "q156_bad_records" -> 2,      // mangle + PERMISSIVE parse are
                                   // scan-local; ONE |types|-keyed agg
                                   // with map-side partials + orderBy
