@@ -54,8 +54,10 @@ object PlanDump {
       "q147_stickiness" -> "DAU/WAU via ONE Expand-based multi-distinct aggregate over the exploded cover-day table — no DAU⋈WAU join, no range self-join of event-sized relations; Expand doubles rows, the join formulation re-shuffled the activity table twice more",
       "q149_auc" -> "ROC-AUC as a rank-sum on the SCORE HISTOGRAM: one value-keyed agg touches the corpus, the cumulative-negatives window runs on histogram-sized data — the global row-rank sort and the pos×neg pair join both never appear",
       "q151_jw_vocab" -> "native jaro_winkler codegen kernel inside the conditioned vocab self-join (BroadcastNestedLoopJoin over the Heaps-law vocab, never documents); a UDF here would box two strings per pair",
-      "q154_seq_pattern" -> "sequence-pattern matching: ONE user-keyed exchange builds code strings via sort_array/collect_list, the pattern fan-out and regexp_count run scan-locally, the final agg has ≤2 keys",
-      "q158_sessionize_skewsafe" -> "q44's output with the unsplittable hot-user window partition chunked by event-time day: the ONLY event-sized exchange is the (user, chunk) window; boundary/offset tables are map-side-combined user-DAY rows whose joins broadcast; partial sessions pre-aggregate on the same exchange so the final (user, sid) merge moves session-level rows only")
+      "q154_seq_pattern" -> "sequence-pattern matching, r10 skew-safe: ONE event-sized (user, event-time day) exchange builds day code strings; the segment-carry summaries (split on 'c', prefix/inner/suffix stats, pe boundary chars) are scan-local projections; the per-user stitch folds a user-DAY-sized table, the final agg has ≤2 keys",
+      "q158_sessionize_skewsafe" -> "q44's output with the unsplittable hot-user window partition chunked by event-time day: the ONLY event-sized exchange is the (user, chunk) window; boundary/offset tables are map-side-combined user-DAY rows whose joins broadcast; partial sessions pre-aggregate on the same exchange so the final (user, sid) merge moves session-level rows only",
+      "q107_transitions" -> "the r10 lag-stitch template: within-(user, day) lag + a user-DAY boundary table (max_by last state, day-level lag) joined back un-hinted — the hot user is |active days| tasks; everything after the (src, dst) agg moves |event types|² rows",
+      "q115_rolling_median" -> "the r10 carry-fold template: within-(user, day) trailing frame + each day's incoming TAIL from one per-user fold over per-day tails — the frame-bounded holistic median keeps constant state AND a bounded max task")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"
