@@ -28,8 +28,13 @@ import org.apache.spark.sql.SparkSession
   */
 object SkewBench {
   private val DefaultSpot = Seq(
-    "q44_sessionize",      // giant per-user sessionize window partition
-    "q107_transitions",    // per-user lag window, same hot user
+    "q44_sessionize",      // the documented even-data twin: its hot-user
+                           // window partition is the family's unbounded
+                           // reference point (q158 is the fix)
+    "q158_sessionize_skewsafe", // and the chunked fix, for the A/B
+    // the r10 chunk-stitch family (each bounded by rows/user-DAY):
+    "q62_funnel", "q107_transitions", "q112_ewma", "q115_rolling_median",
+    "q118_twap", "q142_window_funnel", "q154_seq_pattern", "q155_scd2",
     "q76_theta_rank_join", // bucketized rank join, hot value bucket
     "q77_theta_agg_join",
     "q78_theta_band_join",

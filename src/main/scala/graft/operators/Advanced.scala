@@ -2145,28 +2145,43 @@ object Advanced {
     * whole chunk effect is one precomputed fold.
     *
     * Per (user, EVENT-TIME DAY) chunk, ONE keyed exchange collects the
-    * day's ordered (tsm, event_id, code) array; three scan-local
-    * `aggregate` HOFs fold the chunk from each live entry state
-    * (c0 = fold from depth 0; c1/c2 = folds seeded at the first code-2
-    * / code-3 event), plus the two thresholds t2/t3. The per-user
-    * stitch folds the user-DAY-sized summary table in chunk order:
+    * day's ordered (tsm, event_id, code) array; ONE scan-local
+    * `aggregate` HOF folds all three live entry states simultaneously
+    * (c0 = fold from depth 0; s1/s2 = folds that idle until the first
+    * code-2 / code-3 event seeds them, which also records the
+    * thresholds t2/t3 — a single traversal where the first version ran
+    * three folds plus two extract passes). The per-user stitch folds
+    * the user-DAY-sized summary table in chunk order:
     * depth 0 → c0; depth d ∈ {1,2} → c_{d} if t_{d+1} ≤ anchor + Δ
     * else unchanged; depth 3 terminal. All-integer (epoch-µs) — bit-
     * exact vs the dense fold (pinned in AdvancedSpec, incl. clock
     * windows spanning empty days and cross-midnight re-anchoring). */
   def funnelDepthsChunked(events: DataFrame, deltaMicros: Long): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    def clockFold(evs: Column, init: Column): Column =
-      aggregate(evs, init, (acc, x) =>
-        when(x.getField("code") === acc.getField("d") + 1 &&
-             (acc.getField("d") === 0 ||
-              x.getField("tsm") <= acc.getField("anchor") + deltaMicros),
-          struct((acc.getField("d") + 1).as("d"),
+    // one windowed-DFA step from (d, a) over event x
+    def clockStep(d: Column, a: Column, x: Column): Column =
+      when(x.getField("code") === d + 1 &&
+           (d === 0 || x.getField("tsm") <= a + deltaMicros),
+        struct((d + 1).as("d"), x.getField("tsm").as("anchor")))
+        .otherwise(struct(d.as("d"), a.as("anchor")))
+    // All three entry states fold in ONE pass (the r10 follow-up to the
+    // first three-fold version — the clock folds were the family's
+    // heaviest uniform per-chunk cost at skew2). s1/s2 idle until their
+    // seed event appears: the first code-(d+1) event both records the
+    // threshold tsm t AND is accepted (it trivially meets its own
+    // deadline), exactly what seeding clockFold at (d, t) produced.
+    val nullT = lit(null).cast("bigint")
+    def seededStep(s: Column, code: Int, x: Column): Column =
+      when(s.getField("t").isNull,
+        when(x.getField("code") === code,
+          struct(x.getField("tsm").as("t"), lit(code.toLong).as("d"),
             x.getField("tsm").as("anchor")))
-          .otherwise(acc))
-    // first code-k event's tsm in the sorted chunk (null if none)
-    def firstTsm(evs: Column, k: Int): Column =
-      get(filter(evs, e => e.getField("code") === k), lit(0)).getField("tsm")
+          .otherwise(s))
+        .otherwise {
+          val st = clockStep(s.getField("d"), s.getField("anchor"), x)
+          struct(s.getField("t").as("t"), st.getField("d").as("d"),
+            st.getField("anchor").as("anchor"))
+        }
     val summaries = events
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
         col("event_id"),
@@ -2179,15 +2194,25 @@ object Advanced {
       .agg(sort_array(collect_list(
         struct(col("tsm"), col("event_id"), col("code")))).as("evs"))
       .select(col("user_id"), col("chunk"),
-        firstTsm(col("evs"), 2).as("t2"),
-        firstTsm(col("evs"), 3).as("t3"),
-        clockFold(col("evs"),
-          struct(lit(0L).as("d"), lit(0L).as("anchor"))).as("c0"),
-        clockFold(col("evs"),
-          struct(lit(1L).as("d"), firstTsm(col("evs"), 2).as("anchor")))
+        aggregate(col("evs"),
+          struct(
+            struct(lit(0L).as("d"), lit(0L).as("anchor")).as("c0"),
+            struct(nullT.as("t"), lit(1L).as("d"), nullT.as("anchor"))
+              .as("s1"),
+            struct(nullT.as("t"), lit(2L).as("d"), nullT.as("anchor"))
+              .as("s2")),
+          (acc, x) => struct(
+            clockStep(acc.getField("c0").getField("d"),
+              acc.getField("c0").getField("anchor"), x).as("c0"),
+            seededStep(acc.getField("s1"), 2, x).as("s1"),
+            seededStep(acc.getField("s2"), 3, x).as("s2"))).as("f"))
+      .select(col("user_id"), col("chunk"),
+        col("f.s1.t").as("t2"),
+        col("f.s2.t").as("t3"),
+        col("f.c0").as("c0"),
+        struct(col("f.s1.d").as("d"), col("f.s1.anchor").as("anchor"))
           .as("c1"),
-        clockFold(col("evs"),
-          struct(lit(2L).as("d"), firstTsm(col("evs"), 3).as("anchor")))
+        struct(col("f.s2.d").as("d"), col("f.s2.anchor").as("anchor"))
           .as("c2"))
     summaries
       .groupBy("user_id")
