@@ -395,9 +395,17 @@ object Advanced {
       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+    sessionize(Tables.events(s, d))
+  }
+
+  /** The q44 plan as a library function: dense per-user sessionization
+    * — one user-keyed window exchange, fastest on EVEN key
+    * distributions, max task linear in the hottest user's row count.
+    * Output: (user_id, sid, n, s_start, s_end) ordered. */
+  def sessionize(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("brk",
         when(col("prev").isNull ||
@@ -465,8 +473,16 @@ object Advanced {
       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+    sessionizeChunked(Tables.events(s, d))
+  }
+
+  /** The q158 plan as a library function: skew-safe chunked
+    * sessionization — max task bounded by rows-per-user-DAY, ~2× the
+    * dense plan's wall on even data (see BASELINE). Output schema and
+    * rows identical to [[sessionize]]. */
+  def sessionizeChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk
-    val ev = Tables.events(s, d)
+    val ev = events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("chunk", floor(col("us") / chunkUs))
     val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
@@ -501,6 +517,40 @@ object Advanced {
         date_format(max("pmx"), "yyyy-MM-dd HH:mm:ss").as("s_end"))
       .orderBy("user_id", "sid")
   }
+
+  /** Estimated row count of the HOTTEST user, from a deterministic
+    * hash sample (no rand() — reproducible across runs/retries): one
+    * scan-local filter + a map-side-combined count, and the driver
+    * reads ONE row (the max). The [[sessionizeAuto]] decision input;
+    * public so callers can route OTHER per-user operators the same
+    * way. `sampleMod` keeps 1-in-`sampleMod` events. */
+  def hottestKeyRows(events: DataFrame, sampleMod: Int = 100): Long = {
+    val est = events
+      .where(pmod(hash(col("event_id")), lit(sampleMod)) === 0)
+      .groupBy("user_id").count()
+      .agg(max("count")).first()
+    if (est.isNullAt(0)) 0L else est.getLong(0) * sampleMod
+  }
+
+  /** Sessionize with the plan picked by MEASURED key skew — the
+    * exact/LSH `dedupCorpus(method="auto")` pattern applied to window
+    * skew (NOTES r10 candidate): a hash-sampled per-user count probe
+    * (one cheap pass, one driver row) estimates the hottest user's
+    * volume; below `hotKeyRowThreshold` the dense [[sessionize]] plan
+    * wins (~2× less wall on even data), above it the chunked
+    * [[sessionizeChunked]] plan bounds the max task by rows-per-user-
+    * DAY (at skew2's 4M-row hot user it wins wall 1.9× AND max task
+    * 5.1× — BASELINE "SKEW2 STRESS"). The default threshold is the
+    * measured crossover's order of magnitude: chunk bookkeeping costs
+    * ~1 extra wall at ~1M hot rows and wins beyond it. Both plans
+    * produce IDENTICAL rows (hash-proven at five SFs), so the switch
+    * never changes results, only the physical plan. */
+  def sessionizeAuto(events: DataFrame,
+                     hotKeyRowThreshold: Long = 1000000L,
+                     sampleMod: Int = 100): DataFrame =
+    if (hottestKeyRows(events, sampleMod) >= hotKeyRowThreshold)
+      sessionizeChunked(events)
+    else sessionize(events)
 
   /** q45: full cube with grouping indicators (A7 — rollup is q10). */
   val q45_cube = QueryDef(

@@ -317,6 +317,39 @@ class AdvancedSpec extends SparkSpec {
       .collect().toSeq == want)
   }
 
+  test("sessionizeAuto: measured key skew picks the plan; rows identical " +
+    "either way") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // skewed: user 1 owns 30 rows; uniform: 6 users x 2 rows
+    val skewed = (1 to 30).map(i =>
+      (1L, i.toLong, t(f"2024-03-01 10:$i%02d:00"))) :+
+      (2L, 100L, t("2024-03-01 09:00:00"))
+    val uniform = (1 to 6).flatMap(u => Seq(
+      (u.toLong, u * 10L, t("2024-03-01 10:00:00")),
+      (u.toLong, u * 10L + 1, t("2024-03-01 10:05:00"))))
+    val sk = skewed.toDF("user_id", "event_id", "ts")
+    val un = uniform.toDF("user_id", "event_id", "ts")
+    // sampleMod=1 keeps every row -> the probe is exact, no variance
+    assert(Advanced.hottestKeyRows(sk, sampleMod = 1) == 30L)
+    assert(Advanced.hottestKeyRows(un, sampleMod = 1) == 2L)
+    val autoSk = Advanced.sessionizeAuto(sk, hotKeyRowThreshold = 10,
+      sampleMod = 1)
+    val autoUn = Advanced.sessionizeAuto(un, hotKeyRowThreshold = 10,
+      sampleMod = 1)
+    // plan choice: the chunked plan carries the chunk attribute
+    assert(autoSk.queryExecution.analyzed.toString.contains("chunk"))
+    assert(!autoUn.queryExecution.analyzed.toString.contains("chunk"))
+    // and BOTH choices produce exactly the dense plan's rows
+    assert(autoSk.collect().toSeq == Advanced.sessionize(sk).collect().toSeq)
+    assert(autoUn.collect().toSeq == Advanced.sessionize(un).collect().toSeq)
+    // empty input: probe returns 0, dense plan, no NPE
+    val empty = Seq.empty[(Long, Long, Timestamp)]
+      .toDF("user_id", "event_id", "ts")
+    assert(Advanced.hottestKeyRows(empty, sampleMod = 1) == 0L)
+    assert(Advanced.sessionizeAuto(empty).collect().isEmpty)
+  }
+
   // ------------------------------------------------------------------
   // Round-10 hot-user chunk-stitch rewrites (VERDICT r9 #1): each of
   // q107/q112/q62/q142/q154 now runs on the q158 event-time-day chunk
