@@ -540,13 +540,17 @@ object Advanced {
     * wins (~2× less wall on even data), above it the chunked
     * [[sessionizeChunked]] plan bounds the max task by rows-per-user-
     * DAY (at skew2's 4M-row hot user it wins wall 1.9× AND max task
-    * 5.1× — BASELINE "SKEW2 STRESS"). The default threshold is the
-    * measured crossover's order of magnitude: chunk bookkeeping costs
-    * ~1 extra wall at ~1M hot rows and wins beyond it. Both plans
-    * produce IDENTICAL rows (hash-proven at five SFs), so the switch
-    * never changes results, only the physical plan. */
+    * 5.1× — BASELINE "SKEW2 STRESS"). The default threshold comes from
+    * the measured CROSSOVER_r10 ladder (hot user at 0.5M/1M/2M/4M rows
+    * over 10M events): the dense wall grows with the hot key (3.2 /
+    * 3.7 / 5.2 / 15.2 s) while the chunked wall is flat bookkeeping
+    * (~9–11 s), crossing between 2M and 4M — 2.5M errs slightly toward
+    * task-boundedness, since the dense max task is already 2 s and
+    * growing linearly at 2M. Both plans produce IDENTICAL rows
+    * (hash-proven at five SFs), so the switch never changes results,
+    * only the physical plan. */
   def sessionizeAuto(events: DataFrame,
-                     hotKeyRowThreshold: Long = 1000000L,
+                     hotKeyRowThreshold: Long = 2500000L,
                      sampleMod: Int = 100): DataFrame =
     if (hottestKeyRows(events, sampleMod) >= hotKeyRowThreshold)
       sessionizeChunked(events)
