@@ -1514,23 +1514,33 @@ object Advanced {
       |FROM t ORDER BY src, rk""".stripMargin) { (s, d) =>
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
     val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs))
-    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    // boundary rows ride the SAME window as the data instead of joining
+    // back (the q40 asof union pattern): each ACTIVE user-day's last
+    // event_type becomes a side=0 pseudo-row that sorts FIRST in the
+    // NEXT active chunk, so a plain within-chunk lag hands chunk-first
+    // rows their stitched src and the pseudo-rows drop on output.
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
+    val w2 = Window.partitionBy("user_id", "chunk")
+      .orderBy("side", "ts", "event_id")
     val wSrc = Window.partitionBy("src")
     val wRk = Window.partitionBy("src").orderBy(col("n").desc, col("dst"))
-    // boundary table: one row per ACTIVE user-day — the day's last type
-    val bounds = ev.groupBy("user_id", "chunk")
+    val pseudo = ev.groupBy("user_id", "chunk")
       .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
         .as("clast"))
-      .withColumn("prev_clast", lag("clast", 1).over(wChunks))
-      .select("user_id", "chunk", "prev_clast")
-    ev
-      .withColumn("prev_et", lag("event_type", 1).over(w2))
-      .join(bounds, Seq("user_id", "chunk"))
-      .select(coalesce(col("prev_et"), col("prev_clast")).as("src"),
-        col("event_type"))
-      .where(col("src").isNotNull)
+      .select(col("user_id"),
+        lead("chunk", 1).over(wChunks).as("chunk"), // lands in the NEXT active day
+        lit(0).as("side"),
+        lit(null).cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("clast").as("event_type"))
+      .where(col("chunk").isNotNull)
+    ev.withColumn("side", lit(1))
+      .select("user_id", "chunk", "side", "ts", "event_id", "event_type")
+      .unionByName(pseudo)
+      .withColumn("src", lag("event_type", 1).over(w2))
+      .where(col("side") === 1 && col("src").isNotNull)
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"), col("n"),
@@ -1914,19 +1924,28 @@ object Advanced {
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
-    val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    // boundary rows ride the SAME window instead of joining back (the
+    // q107 union pattern, mirrored for lead): each ACTIVE user-day's
+    // first ts becomes a side=2 pseudo-row that sorts LAST in the
+    // PREVIOUS active chunk, so a plain within-chunk lead hands
+    // chunk-last rows their stitched next-ts; pseudo-rows drop on
+    // output (their own lead is null and they carry no cents).
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
-    // boundary table: one row per ACTIVE user-day — the NEXT day's first ts
-    val bounds = ev.groupBy("user_id", "chunk").agg(min("ts").as("cmin"))
-      .withColumn("next_cmin", lead("cmin", 1).over(wChunks))
-      .select("user_id", "chunk", "next_cmin")
-    ev
-      .withColumn("next_in", lead("ts", 1).over(w2))
-      .join(bounds, Seq("user_id", "chunk"))
+    val w2 = Window.partitionBy("user_id", "chunk")
+      .orderBy("side", "ts", "event_id")
+    val pseudo = ev.groupBy("user_id", "chunk").agg(min("ts").as("cmin"))
+      .select(col("user_id"),
+        lag("chunk", 1).over(wChunks).as("chunk"), // lands in the PREVIOUS active day
+        lit(2).as("side"), col("cmin").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("cents"))
+      .where(col("chunk").isNotNull)
+    ev.withColumn("side", lit(1))
+      .select("user_id", "chunk", "side", "ts", "event_id", "cents")
+      .unionByName(pseudo)
       .withColumn("dur",
-        unix_millis(coalesce(col("next_in"), col("next_cmin"))) -
-          unix_millis(col("ts")))
-      .where(col("dur").isNotNull && col("dur") > 0)
+        unix_millis(lead("ts", 1).over(w2)) - unix_millis(col("ts")))
+      .where(col("side") === 1 && col("dur").isNotNull && col("dur") > 0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_spans"),
         sum("dur").as("total_ms"),
@@ -2798,17 +2817,26 @@ object Advanced {
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
     val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
-    // q107's boundary stitch: the previous ACTIVE day's last state
-    val bounds = ev.groupBy("user_id", "chunk")
+    // q107's union boundary stitch: the previous ACTIVE day's last
+    // state rides the window as a side=0 pseudo-row instead of a join
+    val w2s = Window.partitionBy("user_id", "chunk")
+      .orderBy("side", "ts", "event_id")
+    val pseudo = ev.groupBy("user_id", "chunk")
       .agg(max_by(col("state"), struct(col("ts"), col("event_id")))
         .as("clast"))
-      .withColumn("prev_clast", lag("clast", 1).over(wChunks))
-      .select("user_id", "chunk", "prev_clast")
-    val changes = ev
-      .withColumn("prev_in", lag("state", 1).over(w2))
-      .join(bounds, Seq("user_id", "chunk"))
-      .withColumn("prev", coalesce(col("prev_in"), col("prev_clast")))
-      .where(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"),
+        lead("chunk", 1).over(wChunks).as("chunk"),
+        lit(0).as("side"),
+        lit(null).cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("clast").as("state"))
+      .where(col("chunk").isNotNull)
+    val changes = ev.withColumn("side", lit(1))
+      .select("user_id", "chunk", "side", "ts", "event_id", "state")
+      .unionByName(pseudo)
+      .withColumn("prev", lag("state", 1).over(w2s))
+      .where(col("side") === 1 &&
+        (col("prev").isNull || col("prev") =!= col("state")))
       .select("user_id", "state", "ts", "event_id", "chunk")
     // per change-bearing day: version offsets (prior-day change counts)
     // and the NEXT change-bearing day's first change ts (q118 mirrored)

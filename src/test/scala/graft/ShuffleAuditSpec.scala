@@ -337,12 +337,15 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // code strings; segment-carry stitch
                                   // re-keys user-DAY rows; ≤2-key
                                   // final agg + orderBy
-    "q155_scd2" -> 5,             // r10 skew-safe: ONE event-sized
-                                  // (user, day) lag exchange; the
-                                  // boundary/offset tables move
-                                  // user-DAY rows, the change-table
-                                  // windows move chunk-bounded change
-                                  // rows + orderBy
+    "q155_scd2" -> 6,             // r10 skew-safe: ONE event-sized
+                                  // (user, day) lag exchange (union
+                                  // boundary form — the pseudo-row
+                                  // side re-exchanges user-DAY rows
+                                  // where the join form broadcast,
+                                  // measured par wall / smaller max
+                                  // task); offset/next tables move
+                                  // user-DAY rows, change-table
+                                  // windows chunk-bounded + orderBy
     "q156_bad_records" -> 2,      // mangle + PERMISSIVE parse are
                                   // scan-local; ONE |types|-keyed agg
                                   // with map-side partials + orderBy
