@@ -56,7 +56,7 @@ object PlanDump {
       "q151_jw_vocab" -> "native jaro_winkler codegen kernel inside the conditioned vocab self-join (BroadcastNestedLoopJoin over the Heaps-law vocab, never documents); a UDF here would box two strings per pair",
       "q154_seq_pattern" -> "sequence-pattern matching, r10 skew-safe: ONE event-sized (user, event-time day) exchange builds day code strings; the segment-carry summaries (split on 'c', prefix/inner/suffix stats, pe boundary chars) are scan-local projections; the per-user stitch folds a user-DAY-sized table, the final agg has ≤2 keys",
       "q158_sessionize_skewsafe" -> "q44's output with the unsplittable hot-user window partition chunked by event-time day: the ONLY event-sized exchange is the (user, chunk) window; boundary/offset tables are map-side-combined user-DAY rows whose joins broadcast; partial sessions pre-aggregate on the same exchange so the final (user, sid) merge moves session-level rows only",
-      "q107_transitions" -> "the r10 lag-stitch template: within-(user, day) lag + a user-DAY boundary table (max_by last state, day-level lag) joined back un-hinted — the hot user is |active days| tasks; everything after the (src, dst) agg moves |event types|² rows",
+      "q107_transitions" -> "the r10 lag-stitch template, union form: within-(user, day) lag with the previous ACTIVE day's last state riding the SAME window as a side=0 pseudo-row (no boundary join-back — zero Join nodes in this plan); the hot user is |active days| tasks; everything after the (src, dst) agg moves |event types|² rows",
       "q115_rolling_median" -> "the r10 carry-fold template: within-(user, day) trailing frame + each day's incoming TAIL from one per-user fold over per-day tails — the frame-bounded holistic median keeps constant state AND a bounded max task")
 
     val out = new StringBuilder
