@@ -99,7 +99,8 @@ object SqlEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q13_join4" ->
       """SELECT /*+ BROADCAST(nation) */ n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100e0, 2)
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -107,7 +108,8 @@ object SqlEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q14_join5_region" ->
       """SELECT /*+ BROADCAST(nation, region) */ n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100e0, 2)
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -247,7 +247,9 @@ object Relational {
     * small dims; nation is explicitly broadcast (25 rows at any SF). */
   val q13_join4 = QueryDef(
     "q13_join4",
-    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name,
+      |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2)
+      |    AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -258,7 +260,10 @@ object Relational {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // exact integer cents (q08/q09 rule; flaked one cent at the r10
+      // sf10 sweep — 1.3e11 summed over 60M float products)
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")) / 100.0, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -266,7 +271,9 @@ object Relational {
     * tiny region dim prunes nations BEFORE the fact join (broadcast). */
   val q14_join5_region = QueryDef(
     "q14_join5_region",
-    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name,
+      |  ROUND(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2)
+      |    AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -282,7 +289,10 @@ object Relational {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // exact integer cents (q08/q09 rule; flaked one cent at the r10
+      // sf10 sweep — 1.3e11 summed over 60M float products)
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")) / 100.0, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
