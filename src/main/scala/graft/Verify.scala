@@ -135,7 +135,12 @@ object Verify {
       // artifact is on disk and the session is stopped — exiting is the
       // correct unconditional last step. (Skipped when the caller owns
       // the session: a preexisting-session embedder keeps its JVM.)
-      System.exit(0)
+      // Status reflects the sweep (ADVICE r10): non-zero when any query
+      // failed or timed out, so orchestrators need not parse stderr.
+      // The driver's correctness gate reads the parquet outputs +
+      // oracle_sql.json regardless of the code, so this only ADDS
+      // signal; a clean sweep still exits 0.
+      System.exit(if (failedNames.nonEmpty) 1 else 0)
     }
   }
 }

@@ -395,7 +395,7 @@ object Advanced {
       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS s_end
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, sid""".stripMargin) { (s, d) =>
-    sessionize(Tables.events(s, d))
+    sessionizeAuto(Tables.events(s, d), probeCacheKey = Some(d))
   }
 
   /** The q44 plan as a library function: dense per-user sessionization
@@ -521,40 +521,171 @@ object Advanced {
   /** Estimated row count of the HOTTEST user, from a deterministic
     * hash sample (no rand() — reproducible across runs/retries): one
     * scan-local filter + a map-side-combined count, and the driver
-    * reads ONE row (the max). The [[sessionizeAuto]] decision input;
+    * reads ONE row (the max). The [[routeBySkew]] decision input;
     * public so callers can route OTHER per-user operators the same
-    * way. `sampleMod` keeps 1-in-`sampleMod` events. */
+    * way. `sampleMod` keeps 1-in-`sampleMod` events.
+    *
+    * Contract and cost notes (ADVICE r10):
+    *  - the sample hashes struct(user_id, event_id, ts), so it stays
+    *    usable even when event_id repeats ACROSS users; within one
+    *    user the (event_id, ts) pair must vary for the sample to be
+    *    unbiased — a frame where a user's rows are byte-identical on
+    *    both columns is all-or-nothing for that user. The fixture
+    *    contract (unique event_id) is the ideal case.
+    *  - this is an EAGER action that re-evaluates the full input
+    *    lineage (one extra scan per UNCACHED call). Callers routing
+    *    several operators over the same table should pass a
+    *    `probeCacheKey` to the auto variants (or cache/checkpoint
+    *    `events`) so the probe runs once per table, not per query. */
   def hottestKeyRows(events: DataFrame, sampleMod: Int = 100): Long = {
     val est = events
-      .where(pmod(hash(col("event_id")), lit(sampleMod)) === 0)
+      .where(pmod(hash(struct(col("user_id"), col("event_id"), col("ts"))),
+        lit(sampleMod)) === 0)
       .groupBy("user_id").count()
       .agg(max("count")).first()
     if (est.isNullAt(0)) 0L else est.getLong(0) * sampleMod
   }
 
-  /** Sessionize with the plan picked by MEASURED key skew — the
+  /** Process-wide memo for [[hottestKeyRows]] probes, keyed by an
+    * EXPLICIT caller-chosen key (the registry passes the fixture dir):
+    * eight routed registry queries over the same events table then pay
+    * ONE probe scan per JVM, not eight (VERDICT r10 #1's batch-probe
+    * note). An explicit key rather than plan identity because two
+    * `spark.read.parquet(dir)` calls build distinct file indexes — plan
+    * equality would silently never hit. Callers mutating a table
+    * in-place mid-JVM must use a fresh key (the registry's fixture dirs
+    * are immutable). Bounded: one entry per (table, sampleMod) pair. */
+  private val hotKeyProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
+
+  /** [[hottestKeyRows]] through the process-wide memo. */
+  def hottestKeyRowsCached(events: DataFrame, cacheKey: String,
+                           sampleMod: Int = 100): Long =
+    hotKeyProbeCache.computeIfAbsent((cacheKey, sampleMod),
+      _ => java.lang.Long.valueOf(hottestKeyRows(events, sampleMod)))
+      .longValue()
+
+  /** Measured-skew crossover default, from the CROSSOVER_r10 ladder
+    * (hot user at 0.5M/1M/2M/4M rows over 10M events, sessionize): the
+    * dense wall grows with the hot key (3.2/3.7/5.2/15.2 s) while the
+    * chunked wall is flat bookkeeping (~9–11 s), crossing between 2M
+    * and 4M — 2.5M errs slightly toward task-boundedness, since the
+    * dense max task is already 2 s and growing linearly at 2M. The
+    * whole events-window family shares the ladder's cost structure
+    * (same one event-sized exchange + user-DAY bookkeeping; even-data
+    * chunk tax 1.3–2.8×, BASELINE r10 re-freeze), so the family
+    * default is this measured value, overridable per call. */
+  val defaultHotKeyRowThreshold: Long = 2500000L
+
+  /** Route a per-user event operator between its DENSE plan (fastest
+    * on even keys; max task linear in the hottest user's rows) and its
+    * CHUNKED q158-template plan (max task bounded by rows-per-user-DAY;
+    * 1.3–2.8× bookkeeping tax on even data) by MEASURED key skew — the
     * exact/LSH `dedupCorpus(method="auto")` pattern applied to window
-    * skew (NOTES r10 candidate): a hash-sampled per-user count probe
-    * (one cheap pass, one driver row) estimates the hottest user's
-    * volume; below `hotKeyRowThreshold` the dense [[sessionize]] plan
-    * wins (~2× less wall on even data), above it the chunked
-    * [[sessionizeChunked]] plan bounds the max task by rows-per-user-
-    * DAY (at skew2's 4M-row hot user it wins wall 1.9× AND max task
-    * 5.1× — BASELINE "SKEW2 STRESS"). The default threshold comes from
-    * the measured CROSSOVER_r10 ladder (hot user at 0.5M/1M/2M/4M rows
-    * over 10M events): the dense wall grows with the hot key (3.2 /
-    * 3.7 / 5.2 / 15.2 s) while the chunked wall is flat bookkeeping
-    * (~9–11 s), crossing between 2M and 4M — 2.5M errs slightly toward
-    * task-boundedness, since the dense max task is already 2 s and
-    * growing linearly at 2M. Both plans produce IDENTICAL rows
-    * (hash-proven at five SFs), so the switch never changes results,
-    * only the physical plan. */
+    * skew. A hash-sampled per-user count probe ([[hottestKeyRows]] —
+    * one cheap pass, one driver row) estimates the hottest user's
+    * volume; at or above `hotKeyRowThreshold` the chunked plan runs (at
+    * skew2's 4M-row hot user it wins wall AND max task — BASELINE
+    * "SKEW2 STRESS"), below it the dense plan keeps the even-data cost.
+    * Both plans produce IDENTICAL rows for every routed operator
+    * (hash-proven at five SFs; stitch edges pinned in AdvancedSpec), so
+    * the switch never changes results, only the physical plan.
+    * `probeCacheKey` batches the probe across queries over the same
+    * table ([[hottestKeyRowsCached]]). */
+  def routeBySkew(events: DataFrame,
+                  dense: DataFrame => DataFrame,
+                  chunked: DataFrame => DataFrame,
+                  hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                  sampleMod: Int = 100,
+                  probeCacheKey: Option[String] = None): DataFrame = {
+    val hot = probeCacheKey match {
+      case Some(k) => hottestKeyRowsCached(events, k, sampleMod)
+      case None    => hottestKeyRows(events, sampleMod)
+    }
+    if (hot >= hotKeyRowThreshold) chunked(events) else dense(events)
+  }
+
+  /** [[sessionize]] vs [[sessionizeChunked]] by measured skew — see
+    * [[routeBySkew]]. The q44 registry entry routes through this. */
   def sessionizeAuto(events: DataFrame,
-                     hotKeyRowThreshold: Long = 2500000L,
-                     sampleMod: Int = 100): DataFrame =
-    if (hottestKeyRows(events, sampleMod) >= hotKeyRowThreshold)
-      sessionizeChunked(events)
-    else sessionize(events)
+                     hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                     sampleMod: Int = 100,
+                     probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, sessionize, sessionizeChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[funnelDepth]] vs [[funnelDepthChunked]] by measured skew — see
+    * [[routeBySkew]]. The q62 registry entry routes through this. */
+  def funnelDepthAuto(events: DataFrame,
+                      hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                      sampleMod: Int = 100,
+                      probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, funnelDepth, funnelDepthChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[funnelDepths]] vs [[funnelDepthsChunked]] by measured skew — see
+    * [[routeBySkew]]. The q142 registry entry routes through this. */
+  def funnelDepthsAuto(events: DataFrame, deltaMicros: Long,
+                       hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                       sampleMod: Int = 100,
+                       probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, funnelDepths(_, deltaMicros),
+      funnelDepthsChunked(_, deltaMicros),
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[transitions]] vs [[transitionsChunked]] by measured skew — see
+    * [[routeBySkew]]. The q107 registry entry routes through this. */
+  def transitionsAuto(events: DataFrame,
+                      hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                      sampleMod: Int = 100,
+                      probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, transitions, transitionsChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[ewma]] vs [[ewmaChunked]] by measured skew — see
+    * [[routeBySkew]]. The q112 registry entry routes through this. */
+  def ewmaAuto(events: DataFrame,
+               hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+               sampleMod: Int = 100,
+               probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, ewma, ewmaChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[rollingMedian]] vs [[rollingMedianChunked]] by measured skew —
+    * see [[routeBySkew]]. The q115 registry entry routes through this. */
+  def rollingMedianAuto(events: DataFrame,
+                        hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                        sampleMod: Int = 100,
+                        probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, rollingMedian, rollingMedianChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[twap]] vs [[twapChunked]] by measured skew — see
+    * [[routeBySkew]]. The q118 registry entry routes through this. */
+  def twapAuto(events: DataFrame,
+               hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+               sampleMod: Int = 100,
+               probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, twap, twapChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[seqPattern]] vs [[seqPatternChunked]] by measured skew — see
+    * [[routeBySkew]]. The q154 registry entry routes through this. */
+  def seqPatternAuto(events: DataFrame,
+                     hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                     sampleMod: Int = 100,
+                     probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, seqPattern, seqPatternChunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
+
+  /** [[scd2]] vs [[scd2Chunked]] by measured skew — see
+    * [[routeBySkew]]. The q155 registry entry routes through this. */
+  def scd2Auto(events: DataFrame,
+               hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+               sampleMod: Int = 100,
+               probeCacheKey: Option[String] = None): DataFrame =
+    routeBySkew(events, scd2, scd2Chunked,
+      hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** q45: full cube with grouping indicators (A7 — rollup is q10). */
   val q45_cube = QueryDef(
@@ -676,18 +807,19 @@ object Advanced {
     * counts if it occurs AFTER the previous one (strict event-order
     * state machine, not bag-of-events).
     *
-    * Implementation: [[funnelDepthChunked]] — the q158 skew-safe
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[funnelDepth]] (one per-user collect + single fold), a
+    * Zipf-hot key runs [[funnelDepthChunked]] — the q158 skew-safe
     * template applied to the funnel DFA (VERDICT r9 #1: the old
     * whole-history `collect_list` materialized a Zipf-hot user's 4M-row
     * stream as ONE array in ONE task). The depth fold is a monotone
     * function over a 4-state DFA, so each (user, event-time day) chunk
     * composes to a 4-vector (out-depth per in-depth) and the per-user
     * stitch indexes through the user-DAY-sized vector table — bounded
-    * by active days, never by history; all-integer, bit-exact. The
-    * 100 TB posture: the only event-sized exchange is the (user, chunk)
-    * collect; the classic alternative (3 self-joins on ts ranges)
-    * shuffles the table 3×. [[funnelDepth]] remains the dense
-    * single-fold reference the specs cross-check against. */
+    * by active days, never by history; all-integer, bit-exact either
+    * way. The 100 TB posture: in both forms the only event-sized
+    * exchange is the keyed collect; the classic alternative (3
+    * self-joins on ts ranges) shuffles the table 3×. */
   val q62_funnel = QueryDef(
     "q62_funnel",
     // Oracle formulation note: the greedy fold (advance iff the next code
@@ -720,7 +852,7 @@ object Advanced {
       |       LEFT JOIN p2 ON u.user_id = p2.user_id
       |       LEFT JOIN p3 ON u.user_id = p3.user_id
       |ORDER BY u.user_id""".stripMargin) { (s, d) =>
-    funnelDepthChunked(Tables.events(s, d))
+    funnelDepthAuto(Tables.events(s, d), probeCacheKey = Some(d))
   }
 
   /** Per-user funnel state machine — the dense single-fold reference
@@ -1476,28 +1608,13 @@ object Advanced {
     * and a next-event rank: the session-path / next-action model a
     * behavioural pipeline trains.
     *
-    * SKEW-SAFE per-user lag on the q158 template (VERDICT r9 #1: the
-    * plain per-user lag window was the hot-user scale-killer — a Zipf
-    * user owning 40% of events was one unsplittable window task, and
-    * AQE cannot split a window partition). The per-user stream is
-    * chunked by EVENT-TIME DAY, so the hot user becomes |active days|
-    * ordinary tasks:
-    *  - within-(user, chunk) lag gives every row's src except
-    *    chunk-first rows, which take the previous ACTIVE chunk's LAST
-    *    event_type from a chunk-level boundary table (`max_by` over
-    *    the same (user, chunk) agg key, then a lag over the user's
-    *    chunks — a table of user-DAYS, not events);
-    *  - the user's first-ever event has a NULL boundary src and is
-    *    filtered, exactly as the plain lag's NULL.
-    * The only event-sized exchange is the (user, chunk) window one
-    * (same size as the old (user) one); the boundary agg map-side
-    * combines to user-day rows and joins back un-hinted (AQE
-    * broadcasts it while small, shuffles when not). Everything after
-    * operates on the transition MATRIX — |event types|² rows — so the
-    * matrix-sized aggs and windows move a few hundred rows no matter
-    * how many events fed them. Stitch edge cases (chunk-first rows,
-    * empty days between active days, same-ts ties) are pinned in
-    * AdvancedSpec; skew2 A/B in SKEW_r10.json. */
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[transitions]] (one per-user lag window — the cheapest
+    * correct plan), a Zipf-hot key runs [[transitionsChunked]] (the
+    * q158 template; max task bounded by rows-per-user-DAY — skew2 A/B
+    * in SKEW_r10.json). Identical rows either way; stitch edge cases
+    * (chunk-first rows, empty days between active days, same-ts ties)
+    * are pinned in AdvancedSpec. */
   val q107_transitions = QueryDef(
     "q107_transitions",
     """WITH seq AS (
@@ -1512,15 +1629,47 @@ object Advanced {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY src
       |                          ORDER BY n DESC, dst) AS BIGINT) AS rk
       |FROM t ORDER BY src, rk""".stripMargin) { (s, d) =>
+    transitionsAuto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q107 plan as a library function, DENSE form: one per-user lag
+    * window feeds the matrix-sized aggregation — fastest on even keys,
+    * max task linear in the hottest user's rows. Everything after the
+    * lag operates on the transition MATRIX (|event types|² rows), so
+    * the aggs and windows move a few hundred rows no matter how many
+    * events fed them. */
+  def transitions(events: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wSrc = Window.partitionBy("src")
+    val wRk = Window.partitionBy("src").orderBy(col("n").desc, col("dst"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(wSeq).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wSrc), 4).as("p"),
+        row_number().over(wRk).cast("long").as("rk"))
+      .orderBy("src", "rk")
+  }
+
+  /** The q107 plan, CHUNKED (q158 template, VERDICT r9 #1): the
+    * per-user stream is chunked by EVENT-TIME DAY, so the hot user
+    * becomes |active days| ordinary tasks. Boundary rows ride the SAME
+    * window as the data instead of joining back (the q40 asof union
+    * pattern): each ACTIVE user-day's last event_type becomes a side=0
+    * pseudo-row that sorts FIRST in the NEXT active chunk, so a plain
+    * within-chunk lag hands chunk-first rows their stitched src and
+    * the pseudo-rows drop on output; the user's first-ever event has a
+    * NULL boundary src and is filtered, exactly as the plain lag's
+    * NULL. The only event-sized exchange is the (user, chunk) window
+    * one (same size as the dense (user) one). */
+  def transitionsChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = Tables.events(s, d)
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs))
-    // boundary rows ride the SAME window as the data instead of joining
-    // back (the q40 asof union pattern): each ACTIVE user-day's last
-    // event_type becomes a side=0 pseudo-row that sorts FIRST in the
-    // NEXT active chunk, so a plain within-chunk lag hands chunk-first
-    // rows their stitched src and the pseudo-rows drop on output.
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
     val w2 = Window.partitionBy("user_id", "chunk")
       .orderBy("side", "ts", "event_id")
@@ -1730,20 +1879,11 @@ object Advanced {
     * #1: the old whole-history `collect_list` materialized a Zipf-hot
     * user's 4M-row stream as ONE array in ONE task).
     *
-    * Shape: per (user, EVENT-TIME DAY) chunk, ONE keyed exchange
-    * collects the day's ordered values (struct-sorted on
-    * (ts, event_id) — the unique id breaks ties deterministically)
-    * and two scan-local `aggregate` HOFs fold them into (a) the
-    * day-starts-the-series EWMA (first element as seed — ewma₁ = v₁)
-    * and (b) the (scale, offset) affine carry; the per-user stitch
-    * then folds the user-DAY-sized carry table in chunk order —
-    * bounded by active days, never by history. Per-chunk folds are
-    * the exact FP sequence; the cross-chunk affine regrouping can
-    * differ from a flat left fold by O(#days · ulp) — invisible under
-    * the declared ROUND(·, 4) output (hash-checked at every tested
-    * SF; same class as the q08 summation-order note). For unbounded
-    * streams the incremental form is one multiply-add per arrival
-    * (the T6 mapGroupsWithState shape). */
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[ewma]] — one per-user collect + flat fold, the exact
+    * FP sequence of the oracle — a Zipf-hot key runs [[ewmaChunked]].
+    * For unbounded streams the incremental form is one multiply-add
+    * per arrival (the T6 mapGroupsWithState shape). */
   val q112_ewma = QueryDef(
     "q112_ewma",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1754,8 +1894,47 @@ object Advanced {
       |SELECT user_id, CAST(length(vs) AS BIGINT) AS n,
       |  ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
       |FROM l ORDER BY user_id""".stripMargin) { (s, d) =>
+    ewmaAuto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q112 plan as a library function, DENSE form: one per-user
+    * collect builds the time-ordered cents array and a flat `aggregate`
+    * HOF folds it — the EXACT floating-point sequence of the oracle's
+    * list_reduce. Fastest on even keys; holds a user's whole history
+    * in one task. */
+  def ewma(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("cents")))).as("rows"))
+      .select(col("user_id"),
+        transform(col("rows"), r => r.getField("cents").cast("double"))
+          .as("vs"))
+      .select(col("user_id"), size(col("vs")).cast("long").as("n"),
+        round(aggregate(
+          slice(col("vs"), lit(2), size(col("vs"))), element_at(col("vs"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc), 4).as("ewma"))
+      .orderBy("user_id")
+
+  /** The q112 plan, CHUNKED (q158 template): per (user, EVENT-TIME DAY)
+    * chunk, ONE keyed exchange collects the day's ordered values
+    * (struct-sorted on (ts, event_id) — the unique id breaks ties
+    * deterministically) and two scan-local `aggregate` HOFs fold them
+    * into (a) the day-starts-the-series EWMA (first element as seed)
+    * and (b) the (scale, offset) affine carry; the per-user stitch
+    * then folds the user-DAY-sized carry table in chunk order — bounded
+    * by active days, never by history. Per-chunk folds are the exact FP
+    * sequence; the cross-chunk affine regrouping can differ from a flat
+    * left fold by O(#days · ulp) — invisible under the declared
+    * ROUND(·, 4) output (hash-checked at every tested SF; same class as
+    * the q08 summation-order note — ADVICE r10 records the residual
+    * half-boundary risk; if this ever flakes at a new SF, fold in
+    * scaled integers or compare with a driver-side tolerance). */
+  def ewmaChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val chunks = Tables.events(s, d)
+    val chunks = events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
@@ -1801,21 +1980,14 @@ object Advanced {
     * a `collect_list` over the ROWS frame holds ≤ 7 values per row,
     * sorted and mid-picked scan-locally.
     *
-    * SKEW-SAFE on the q158 template (VERDICT r9 #2: the r10 skew2
-    * stress measured the plain per-user frame window at 8.6× median
-    * max-task — the frame bounds STATE, but the hot user's partition
-    * is still ONE unsplittable window task). The per-user stream
-    * chunks by EVENT-TIME DAY; a row's trailing-7 frame can reach at
-    * most 6 values behind the chunk boundary, so the carry is each
-    * chunk's incoming TAIL — the last ≤6 values of everything before
-    * it, built by ONE per-user fold over the user-DAY-sized per-chunk
-    * tails (`lastN(concat(run, tail), 6)`) and joined back. Each row
-    * then takes the last 7 of (carry ++ within-chunk trailing frame)
-    * — exactly its trailing window whether or not it crosses days
-    * (sparse users spanning many near-empty days work because the run
-    * tail accumulates ACROSS chunks, pinned in AdvancedSpec). Midpoint
-    * of an even frame is averaged exactly in integer-cents doubles,
-    * matching DuckDB's MEDIAN interpolation. */
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[rollingMedian]] (one per-user frame window), a
+    * Zipf-hot key runs [[rollingMedianChunked]] (the q158 template —
+    * the r10 skew2 stress measured the plain frame window at 8.6×
+    * median max-task; the frame bounds STATE, but the hot user's
+    * partition is still ONE unsplittable window task). Midpoint of an
+    * even frame is averaged exactly in integer-cents doubles, matching
+    * DuckDB's MEDIAN interpolation in both forms. */
   val q115_rolling_median = QueryDef(
     "q115_rolling_median",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1827,10 +1999,47 @@ object Advanced {
       |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    rollingMedianAuto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q115 plan as a library function, DENSE form: ONE user-keyed
+    * window exchange; `collect_list` over the ROWS frame holds ≤ 7
+    * values per row (constant state however long the user's history),
+    * sorted and mid-picked scan-locally. */
+  def rollingMedian(events: DataFrame): DataFrame = {
+    val wFrame = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    val nArr = size(col("arr"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(wFrame)))
+      .select(col("user_id"), col("event_id"),
+        nArr.cast("long").as("n_win"),
+        when(nArr % 2 === 1,
+          element_at(col("arr"), ((nArr + 1) / 2).cast("int")).cast("double"))
+          .otherwise(
+            (element_at(col("arr"), (nArr / 2).cast("int")) +
+              element_at(col("arr"), (nArr / 2 + 1).cast("int")))
+              .cast("double") / 2).as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** The q115 plan, CHUNKED (q158 template): the per-user stream
+    * chunks by EVENT-TIME DAY; a row's trailing-7 frame can reach at
+    * most 6 values behind the chunk boundary, so the carry is each
+    * chunk's incoming TAIL — the last ≤6 values of everything before
+    * it, built by ONE per-user fold over the user-DAY-sized per-chunk
+    * tails (`lastN(concat(run, tail), 6)`) and joined back. Each row
+    * then takes the last 7 of (carry ++ within-chunk trailing frame)
+    * — exactly its trailing window whether or not it crosses days
+    * (sparse users spanning many near-empty days work because the run
+    * tail accumulates ACROSS chunks, pinned in AdvancedSpec). */
+  def rollingMedianChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
     val wFrame2 = Window.partitionBy("user_id", "chunk")
       .orderBy("ts", "event_id").rowsBetween(-6, Window.currentRow)
-    val ev = Tables.events(s, d)
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
@@ -1890,20 +2099,15 @@ object Advanced {
     * (milliseconds until the user's next event; the open-ended last
     * observation carries no weight).
     *
-    * SKEW-SAFE per-user lead on the q158 template (VERDICT r9 #2: the
-    * r10 skew2 stress measured the plain per-user lead window at ~5×
-    * median max-task — q107's lag class, mirrored): within-(user,
-    * event-time day) lead covers every row except chunk-LAST rows,
-    * which take the next ACTIVE chunk's FIRST ts from a user-DAY-sized
-    * boundary table (lead of the per-chunk min ts over the user's
-    * chunks). The only event-sized exchange is the (user, chunk)
-    * window; the final per-user aggregate map-side-combines on that
-    * same partitioning, so its exchange moves user-sized rows.
-    * Determinism across engines: values become integer cents and
-    * durations integer milliseconds BEFORE any arithmetic, so
-    * numerator and denominator are exact integer sums in any order —
-    * the only float op is the final division, identical bit-for-bit
-    * in both engines. */
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[twap]] (one per-user lead window), a Zipf-hot key runs
+    * [[twapChunked]] (the q158 template — the r10 skew2 stress
+    * measured the plain lead window at ~5× median max-task, q107's lag
+    * class mirrored). Determinism across engines: values become
+    * integer cents and durations integer milliseconds BEFORE any
+    * arithmetic, so numerator and denominator are exact integer sums
+    * in any order — the only float op is the final division, identical
+    * bit-for-bit in both engines and both forms. */
   val q118_twap = QueryDef(
     "q118_twap",
     """WITH e AS (SELECT user_id, ts, event_id,
@@ -1919,8 +2123,38 @@ object Advanced {
       |  ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100, 4) AS twap
       |FROM w WHERE dur IS NOT NULL AND dur > 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    twapAuto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q118 plan as a library function, DENSE form: ONE user-keyed
+    * exchange serves both the `lead` window and the final per-user
+    * aggregate (subset rule), plus the output sort. */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dur",
+        unix_millis(lead("ts", 1).over(w)) - unix_millis(col("ts")))
+      .where(col("dur").isNotNull && col("dur") > 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("dur").as("total_ms"),
+        round(sum(col("cents") * col("dur")).cast("double") /
+          sum(col("dur")) / 100, 4).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** The q118 plan, CHUNKED (q158 template): within-(user, event-time
+    * day) lead covers every row except chunk-LAST rows, which take the
+    * next ACTIVE chunk's FIRST ts via a boundary pseudo-row riding the
+    * SAME window (the q107 union pattern, mirrored for lead). The only
+    * event-sized exchange is the (user, chunk) window; the final
+    * per-user aggregate map-side-combines, so its exchange moves
+    * user-sized rows. */
+  def twapChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = Tables.events(s, d)
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
@@ -2159,16 +2393,16 @@ object Advanced {
     * report itself — per-depth user counts plus the "reached ≥ depth"
     * cumulative — not per-user rows.
     *
-    * Scale posture: [[funnelDepthsChunked]] — the q158 skew-safe
-    * template with a threshold/continuation carry (see its scaladoc);
-    * the only event-sized exchange is the (user, event-time day)
-    * collect, the per-user stitch folds a user-DAY-sized summary
-    * table, and the report aggregate and its cumulative window touch
-    * ≤ 4 rows. The oracle is the independent positional min-join chain
-    * (first view; first click after it within Δ; first purchase after
-    * THAT within Δ), so the fold and the join formulation check each
-    * other; [[funnelDepths]] remains the dense single-fold reference
-    * the specs (and the streaming twin's goldens) cross-check. */
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[funnelDepths]] (one per-user collect + clock fold), a
+    * Zipf-hot key runs [[funnelDepthsChunked]] — the q158 skew-safe
+    * template with a threshold/continuation carry (see its scaladoc).
+    * In both forms the report aggregate and its cumulative window
+    * touch ≤ 4 rows. The oracle is the independent positional min-join
+    * chain (first view; first click after it within Δ; first purchase
+    * after THAT within Δ), so the fold and the join formulation check
+    * each other; the streaming twin's goldens also pin
+    * [[funnelDepths]]. */
   /** Per-user greedy window-funnel depth — the fold q142 aggregates
     * into its report, factored out because it is ALSO the contract the
     * streaming twin ([[graft.streaming.EventOps.funnelDepthsTws]]) is
@@ -2345,7 +2579,8 @@ object Advanced {
       |    AS reached
       |FROM r ORDER BY depth""".stripMargin) { (s, d) =>
     val perUser =
-      funnelDepthsChunked(Tables.events(s, d), 3L * 24 * 3600 * 1000000)
+      funnelDepthsAuto(Tables.events(s, d), 3L * 24 * 3600 * 1000000,
+        probeCacheKey = Some(d))
     val wCum = Window.orderBy(col("depth").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
@@ -2645,11 +2880,14 @@ object Advanced {
     * matching agrees between Java regex and DuckDB's RE2 for these
     * constructs (probed; no backreferences/lookahead).
     *
-    * Scale posture: the q158 skew-safe template (VERDICT r9 #1 — the
-    * old whole-history `string_agg` materialized a Zipf-hot user's
-    * entire stream as ONE string in ONE task). Code strings build per
-    * (user, EVENT-TIME DAY) chunk on the one event-sized exchange, and
-    * both patterns reduce to chunk-composable carries because they are
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[seqPattern]] (one per-user string_agg + regexp_count —
+    * the oracle's own shape), a Zipf-hot key runs [[seqPatternChunked]]
+    * (the q158 template — the old whole-history `string_agg`
+    * materialized a Zipf-hot user's entire stream as ONE string in ONE
+    * task). In the chunked form, code strings build per (user,
+    * EVENT-TIME DAY) chunk on the one event-sized exchange, and both
+    * patterns reduce to chunk-composable carries because they are
     * regular languages with bounded lookbehind:
     *  - `pe` (length 2, self-overlap impossible): total = Σ within-
     *    chunk `regexp_count` + boundary pairs (chunk ends 'p', next
@@ -2682,8 +2920,44 @@ object Advanced {
       |    AS n_users,
       |  CAST(SUM(hits) AS BIGINT) AS occurrences
       |FROM m GROUP BY pat ORDER BY pattern""".stripMargin) { (s, d) =>
+    seqPatternAuto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q154 plan as a library function, DENSE form: one per-user
+    * collect builds the whole time-ordered code string and
+    * `regexp_count` runs each pattern over it — the oracle's own
+    * shape. Fastest on even keys; holds a user's whole history in one
+    * task (and one string). */
+  def seqPattern(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e").as("code"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("code")))),
+        x => x.getField("code")), "").as("str"))
+      .select(explode(array(lit("v[^c]*p"), lit("pe"))).as("pattern"),
+        col("str"))
+      .select(col("pattern"),
+        regexp_count(col("str"), col("pattern")).cast("long").as("hits"))
+      .groupBy("pattern")
+      .agg(
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_users"),
+        sum("hits").as("occurrences"))
+      .orderBy("pattern")
+
+  /** The q154 plan, CHUNKED (q158 template) — see the QueryDef
+    * scaladoc for the segment-carry algebra. Bit-exact vs
+    * [[seqPattern]] (pinned in AdvancedSpec across boundary-spanning
+    * matches). */
+  def seqPatternChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val chunkStr = Tables.events(s, d)
+    val chunkStr = events
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "view", "v")
           .when(col("event_type") === "click", "c")
@@ -2770,10 +3044,12 @@ object Advanced {
     * current row. The q40 as-of join is the read side of exactly this
     * table.
     *
-    * Scale posture: SKEW-SAFE on the q158 template (VERDICT r9 #2: the
-    * r10 skew2 stress measured the plain per-user lag+rank+lead shape
-    * at ~7× median max-task — one hot user, one unsplittable window
-    * partition). All three windows chunk by EVENT-TIME DAY:
+    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
+    * keys run [[scd2]] (ONE user-keyed exchange serving all three
+    * windows), a Zipf-hot key runs [[scd2Chunked]] (the q158 template
+    * — the r10 skew2 stress measured the plain per-user lag+rank+lead
+    * shape at ~7× median max-task). In the chunked form all three
+    * windows chunk by EVENT-TIME DAY:
     *  - change-detect lag = q107's exact stitch (within-day lag +
     *    boundary table carrying the previous ACTIVE day's last state);
     *  - version = the q94/q158 two-level prefix sum (within-day
@@ -2810,8 +3086,41 @@ object Advanced {
       |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    scd2Auto(Tables.events(s, d), probeCacheKey = Some(d))
+  }
+
+  /** The q155 plan as a library function, DENSE form: ONE user-keyed
+    * exchange serves all three windows — the change-detect lag and,
+    * because the filter preserves partitioning AND sort order, the
+    * post-filter row_number and lead (no second exchange, the q44
+    * subset rule); everything else is scan-local. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"),
+        lag("event_type", 1).over(w).as("prev"))
+      .where(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"),
+        row_number().over(w).cast("long").as("version"),
+        col("ts").as("valid_from"),
+        lead("ts", 1).over(w).as("valid_to"))
+      .select(col("user_id"), col("version"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("current")).as("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** The q155 plan, CHUNKED (q158 template) — see the QueryDef
+    * scaladoc for the three chunked windows. Bit-exact vs [[scd2]]
+    * (pinned in AdvancedSpec across midnight-crossing runs and
+    * change-less days). */
+  def scd2Chunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = Tables.events(s, d)
+    val ev = events
       .select(col("user_id"), col("event_type").as("state"),
         col("ts"), col("event_id"),
         floor(unix_micros(col("ts")) / chunkUs).as("chunk"))

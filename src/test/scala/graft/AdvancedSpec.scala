@@ -384,7 +384,8 @@ class AdvancedSpec extends SparkSpec {
       (3L, 30L, t("2024-03-01 10:00:00"), "view", 1.0),
       (3L, 31L, t("2024-03-02 10:00:00"), "click", 1.0),
       (3L, 32L, t("2024-03-04 10:00:00"), "purchase", 1.0)))
-    val got = Advanced.q107_transitions.build(spark, dir).collect()
+    val got = Advanced.transitionsChunked(Tables.events(spark, dir))
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     // user 1 and user 3 each contribute view→click and click→purchase;
     // user 1's click→purchase crosses the empty day (stitched boundary),
@@ -437,7 +438,7 @@ class AdvancedSpec extends SparkSpec {
       (1L, 13L, t("2024-03-05 09:00:00"), "view", 0.75), // empty days gap
       (2L, 20L, t("2024-03-01 10:00:00"), "view", 3.00)) // single event
     val dir = eventsDir(rows)
-    val got = Advanced.q112_ewma.build(spark, dir).collect()
+    val got = Advanced.ewmaChunked(Tables.events(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
     val want = rows.groupBy(_._1).toList.sortBy(_._1).map { case (u, rs) =>
       val vs = rs.sortBy(r => (r._3.getTime, r._2))
@@ -469,7 +470,8 @@ class AdvancedSpec extends SparkSpec {
       (1 to 3).map(i => (2L, 220L + i,
         t(f"2024-03-02 08:0$i:00"), "view", i * 7.0))
     val dir = eventsDir(rows)
-    val got = Advanced.q115_rolling_median.build(spark, dir).collect()
+    val got = Advanced.rollingMedianChunked(Tables.events(spark, dir))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     // dense single-window reference (the pre-r10 shape) on the same data
@@ -547,7 +549,7 @@ class AdvancedSpec extends SparkSpec {
       (1L, 13L, t("2024-03-05 06:00:00"), "view", 8.0), // last: no span
       // user 2: single event -> no spans at all, absent from output
       (2L, 20L, t("2024-03-01 08:00:00"), "view", 1.0)))
-    val got = Advanced.q118_twap.build(spark, dir).collect()
+    val got = Advanced.twapChunked(Tables.events(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     // spans: d1->d4 (dur 237600000 ms, cents 200), 11->13? no: the tied
@@ -590,7 +592,7 @@ class AdvancedSpec extends SparkSpec {
       // user 2: same-ts tie — the event_id order decides the run
       (2L, 20L, t("2024-03-01 12:00:00"), "view", 1.0),
       (2L, 21L, t("2024-03-01 12:00:00"), "click", 1.0)))
-    val got = Advanced.q155_scd2.build(spark, dir).collect()
+    val got = Advanced.scd2Chunked(Tables.events(spark, dir)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getString(3), r.getString(4), r.getLong(5))).toSeq
     assert(got == Seq(
@@ -643,7 +645,8 @@ class AdvancedSpec extends SparkSpec {
       // user 4: click-only + noise -> nothing
       (4L, 40L, t("2024-03-01 10:00:00"), "click", 1.0),
       (4L, 41L, t("2024-03-02 10:00:00"), "error", 1.0)))
-    val got = Advanced.q154_seq_pattern.build(spark, dir).collect()
+    val got = Advanced.seqPatternChunked(Tables.events(spark, dir))
+      .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("pe", 1L, 1L), ("v[^c]*p", 3L, 4L)), got)
     // dense whole-string reference (the pre-r10 shape) on the same data
@@ -668,5 +671,107 @@ class AdvancedSpec extends SparkSpec {
       .orderBy("pattern")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == dense)
+  }
+
+  test("routeBySkew: every routed operator picks chunked on a hot key, " +
+    "dense on uniform keys, with identical rows either way") {
+    import org.apache.spark.sql.DataFrame
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    // skewed: user 1 owns 40 rows over 3 days; user 2 has one
+    val skewed = (1 to 40).map(i => (1L, i.toLong,
+      t(f"2024-03-0${1 + i % 3}%d 10:${i % 60}%02d:00"),
+      types(i % 5), i * 1.5)) :+
+      (2L, 100L, t("2024-03-01 09:00:00"), "view", 2.0)
+    // uniform: 8 users x 3 rows over 2 days
+    val uniform = (1 to 8).flatMap(u => (0 to 2).map(i =>
+      (u.toLong, u * 10L + i, t(f"2024-03-0${1 + i % 2}%d 1$i:00:00"),
+        types((u + i) % 5), u * 1.0 + i)))
+    val dirSk = eventsDir(skewed)
+    val dirUn = eventsDir(uniform)
+    val evSk = Tables.events(spark, dirSk)
+    val evUn = Tables.events(spark, dirUn)
+    val delta = 3L * 24 * 3600 * 1000000
+    // (name, dense plan, auto with threshold 10 and an exact probe)
+    val cases: Seq[(String, DataFrame => DataFrame, DataFrame => DataFrame)] =
+      Seq(
+        ("sessionize", Advanced.sessionize,
+          Advanced.sessionizeAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("funnelDepth", Advanced.funnelDepth,
+          Advanced.funnelDepthAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("funnelDepths", Advanced.funnelDepths(_, delta),
+          Advanced.funnelDepthsAuto(_, delta,
+            hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("transitions", Advanced.transitions,
+          Advanced.transitionsAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("ewma", Advanced.ewma,
+          Advanced.ewmaAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("rollingMedian", Advanced.rollingMedian,
+          Advanced.rollingMedianAuto(_,
+            hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("twap", Advanced.twap,
+          Advanced.twapAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("seqPattern", Advanced.seqPattern,
+          Advanced.seqPatternAuto(_, hotKeyRowThreshold = 10, sampleMod = 1)),
+        ("scd2", Advanced.scd2,
+          Advanced.scd2Auto(_, hotKeyRowThreshold = 10, sampleMod = 1)))
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    cases.foreach { case (name, dense, auto) =>
+      val autoSk = auto(evSk)
+      val autoUn = auto(evUn)
+      // plan choice: the chunked plan carries the chunk attribute
+      assert(autoSk.queryExecution.analyzed.toString.contains("chunk"),
+        s"$name: skewed input should take the chunked plan")
+      assert(!autoUn.queryExecution.analyzed.toString.contains("chunk"),
+        s"$name: uniform input should take the dense plan")
+      // and BOTH choices produce exactly the dense plan's rows
+      assert(rows(autoSk) == rows(dense(evSk)), s"$name rows (skewed)")
+      assert(rows(autoUn) == rows(dense(evUn)), s"$name rows (uniform)")
+    }
+  }
+
+  test("chunked == dense for every routed operator on the real fixture " +
+    "(sf0.001)") {
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf0001)
+    val delta = 3L * 24 * 3600 * 1000000
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("sessionize", Advanced.sessionize(ev), Advanced.sessionizeChunked(ev)),
+      ("funnelDepth", Advanced.funnelDepth(ev),
+        Advanced.funnelDepthChunked(ev)),
+      ("funnelDepths", Advanced.funnelDepths(ev, delta),
+        Advanced.funnelDepthsChunked(ev, delta)),
+      ("transitions", Advanced.transitions(ev),
+        Advanced.transitionsChunked(ev)),
+      ("ewma", Advanced.ewma(ev), Advanced.ewmaChunked(ev)),
+      ("rollingMedian", Advanced.rollingMedian(ev),
+        Advanced.rollingMedianChunked(ev)),
+      ("twap", Advanced.twap(ev), Advanced.twapChunked(ev)),
+      ("seqPattern", Advanced.seqPattern(ev), Advanced.seqPatternChunked(ev)),
+      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev)))
+    pairs.foreach { case (name, dense, chunked) =>
+      val d = dense.collect().map(_.toString).sorted.toSeq
+      val c = chunked.collect().map(_.toString).sorted.toSeq
+      assert(d == c, s"$name: chunked != dense on the fixture")
+    }
+  }
+
+  test("hottestKeyRowsCached: one probe per cache key — a second call " +
+    "with the same key never rescans") {
+    import org.apache.spark.sql.DataFrame
+    val skewed = (1 to 25).map(i => (1L, i.toLong,
+      t(f"2024-03-01 10:${i % 60}%02d:00"), "view", 1.0))
+    val uniform = (1 to 5).map(u =>
+      (u.toLong, u * 10L, t("2024-03-01 10:00:00"), "view", 1.0))
+    val evSk = Tables.events(spark, eventsDir(skewed))
+    val evUn = Tables.events(spark, eventsDir(uniform))
+    val key = s"probe-cache-test-${System.nanoTime()}"
+    assert(Advanced.hottestKeyRowsCached(evSk, key, sampleMod = 1) == 25L)
+    // same key, DIFFERENT frame: the memo answers without scanning,
+    // so the (stale-by-design) skewed estimate comes back
+    assert(Advanced.hottestKeyRowsCached(evUn, key, sampleMod = 1) == 25L)
+    // a fresh key re-probes
+    assert(Advanced.hottestKeyRowsCached(evUn, key + "-2", sampleMod = 1)
+      == 1L)
   }
 }

@@ -45,9 +45,9 @@ class ShuffleAuditSpec extends SparkSpec {
                            // top-20 is TakeOrdered (no sort shuffle)
     "q61_length_outliers" -> 2, // per-lang band agg + output sort; the
                                 // flagging join is broadcast
-    "q62_funnel" -> 3,     // r10 skew-safe: ONE event-sized (user, day)
-                           // shuffle; the DFA-vector stitch re-keys
-                           // user-DAY rows (vs 3x self-join formulation)
+    "q62_funnel" -> 2,     // r11 auto-routed: the uniform fixture takes
+                           // the DENSE fold (user collect + orderBy);
+                           // the chunked twin is pinned below
     "q76_theta_rank_join" -> 5, // ONE data shuffle (bucket window) + orderBy;
                                 // the other exchanges move only the ≤nBuckets
                                 // prefix rows (bucket agg + bounded global
@@ -151,11 +151,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q106_retention" -> 3, // ONE user-keyed collect_set exchange (the
                            // only data-sized one), the matrix-sized
                            // (cohort, week) agg + orderBy
-    "q107_transitions" -> 6, // r10 skew-safe chunk stitch: the ONLY
-                             // event-sized exchange is the (user, day)
-                             // lag window; the boundary agg/lag/join
-                             // move user-DAY rows, and the (src, dst)
-                             // agg + prob/rank windows + orderBy move
+    "q107_transitions" -> 4, // r11 auto-routed dense: ONE event-sized
+                             // user lag window; the (src, dst) agg +
+                             // prob/rank windows + orderBy move
                              // |event types|^2 rows only
     "q108_ohlc" -> 2,      // min_by/max_by keep OHLC inside ONE hash
                            // agg exchange (no window sort) + orderBy
@@ -170,17 +168,14 @@ class ShuffleAuditSpec extends SparkSpec {
                               // freq agg + doc_id window + candidate
                               // distinct + intersection agg + orderBy
                               // (sizes/prefix joins broadcast at test SF)
-    "q115_rolling_median" -> 4, // r10 skew-safe: ONE event-sized
-                                // (user, day) window exchange; the
-                                // tail agg + carry fold re-key
-                                // user-DAY rows; <=7-element frames
-                                // stay scan-local (+ orderBy)
+    "q115_rolling_median" -> 2, // r11 auto-routed dense: ONE user
+                                // frame-window exchange (<=7-element
+                                // frames scan-local) + orderBy
     "q111_histogram" -> 3, // 1-row bounds agg (broadcast back) + the
                            // <=20-key histogram agg + orderBy; bucket
                            // math is scan-local integer arithmetic
-    "q112_ewma" -> 3,      // r10 skew-safe: ONE event-sized (user, day)
-                           // collect exchange; the affine-carry stitch
-                           // re-keys user-DAY rows; + orderBy
+    "q112_ewma" -> 2,      // r11 auto-routed dense: ONE user collect
+                           // exchange (flat fold scan-local) + orderBy
     "q113_char_entropy" -> 1, // no explode, no agg: 26 replace-counts +
                               // the entropy fold are all scan-local HOFs
                               // — orderBy is the only exchange
@@ -285,11 +280,10 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // global index window; pos is a
                                   // FORMULA — no global data window,
                                   // top-100 is TakeOrdered
-    "q142_window_funnel" -> 4,    // r10 skew-safe: ONE event-sized
-                                  // (user, day) exchange (clock folds
-                                  // scan-local) + the user-DAY stitch
-                                  // re-key + the ≤4-row report agg +
-                                  // its cum window/sort
+    "q142_window_funnel" -> 3,    // r11 auto-routed dense: ONE
+                                  // event-sized user collect (clock
+                                  // fold scan-local) + the ≤4-row
+                                  // report agg + its cum window/sort
     "q143_user_growth" -> 3,      // user-keyed min agg + day-keyed
                                   // count + the DAYS-sized running
                                   // sum (calendar-bounded, q130
@@ -332,20 +326,14 @@ class ShuffleAuditSpec extends SparkSpec {
     "q153_benford" -> 2,          // digit extraction scan-local into
                                   // ONE 9-key agg; all double math on
                                   // the 9-row digit table
-    "q154_seq_pattern" -> 4,      // r10 skew-safe: ONE event-sized
-                                  // (user, day) exchange builds day
-                                  // code strings; segment-carry stitch
-                                  // re-keys user-DAY rows; ≤2-key
-                                  // final agg + orderBy
-    "q155_scd2" -> 6,             // r10 skew-safe: ONE event-sized
-                                  // (user, day) lag exchange (union
-                                  // boundary form — the pseudo-row
-                                  // side re-exchanges user-DAY rows
-                                  // where the join form broadcast,
-                                  // measured par wall / smaller max
-                                  // task); offset/next tables move
-                                  // user-DAY rows, change-table
-                                  // windows chunk-bounded + orderBy
+    "q154_seq_pattern" -> 3,      // r11 auto-routed dense: ONE
+                                  // event-sized user exchange builds
+                                  // code strings; ≤2-key final agg +
+                                  // orderBy
+    "q155_scd2" -> 2,             // r11 auto-routed dense: ONE user
+                                  // exchange serves lag + post-filter
+                                  // row_number/lead (subset rule) +
+                                  // orderBy
     "q156_bad_records" -> 2,      // mangle + PERMISSIVE parse are
                                   // scan-local; ONE |types|-keyed agg
                                   // with map-side partials + orderBy
@@ -357,6 +345,41 @@ class ShuffleAuditSpec extends SparkSpec {
   pinned.foreach { case (name, budget) =>
     test(s"$name stays within its $budget-shuffle budget") {
       val got = shuffles(name)
+      assert(got <= budget, s"$name now shuffles $got times (budget $budget)")
+    }
+  }
+
+  // The skew (chunked) twins no longer run on the uniform fixture —
+  // routeBySkew picks the dense plan there — so their budgets are
+  // pinned on the library functions directly (r10-measured values):
+  // each chunked form keeps exactly ONE event-sized exchange, the
+  // (user, day) keyed one; everything else moves user-DAY rows.
+  private def shufflesOf(df: org.apache.spark.sql.DataFrame): Int = {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e }.size
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+  private lazy val chunkedDelta = 3L * 24 * 3600 * 1000000
+  private lazy val chunkedPinned: Seq[(String, Int,
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+    Seq(
+      ("sessionizeChunked", 6, graft.operators.Advanced.sessionizeChunked),
+      ("funnelDepthChunked", 3, graft.operators.Advanced.funnelDepthChunked),
+      ("funnelDepthsChunked", 2,
+        graft.operators.Advanced.funnelDepthsChunked(_, chunkedDelta)),
+      ("transitionsChunked", 6, graft.operators.Advanced.transitionsChunked),
+      ("ewmaChunked", 3, graft.operators.Advanced.ewmaChunked),
+      ("rollingMedianChunked", 4,
+        graft.operators.Advanced.rollingMedianChunked),
+      ("twapChunked", 5, graft.operators.Advanced.twapChunked),
+      ("seqPatternChunked", 4, graft.operators.Advanced.seqPatternChunked),
+      ("scd2Chunked", 6, graft.operators.Advanced.scd2Chunked))
+
+  chunkedPinned.foreach { case (name, budget, fn) =>
+    test(s"$name (skew path) stays within its $budget-shuffle budget") {
+      val got = shufflesOf(fn(Tables.events(spark, sf0001)))
       assert(got <= budget, s"$name now shuffles $got times (budget $budget)")
     }
   }
