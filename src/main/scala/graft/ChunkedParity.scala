@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Advanced
+
+/** Dense-vs-chunked parity harness for the routed events-window family
+  * (VERDICT r10 #3): the registry's auto-routing picks the DENSE plan on
+  * the uniform fixtures, so the chunked (union-pseudo-row / boundary-
+  * stitch) forms would never cross a REAL executor boundary in a
+  * registry sweep. This main runs BOTH forms of all nine routed
+  * operators on the given fixture and asserts row-for-row equality —
+  * point it at `local-cluster[2,8,2048]` (SPARK_GRAFT_MASTER) to prove
+  * the stitch survives real serialization + network shuffle, not just
+  * one local[n] heap.
+  *
+  * Usage: ChunkedParity <sfDir> [operator...]  → one OK/DIFF line per
+  * pair + a final JSON line; exits non-zero on any DIFF.
+  */
+object ChunkedParity {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf, "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = Tables.events(spark, sfDir)
+    val delta = 3L * 24 * 3600 * 1000000
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("sessionize", Advanced.sessionize(ev), Advanced.sessionizeChunked(ev)),
+      ("funnelDepth", Advanced.funnelDepth(ev),
+        Advanced.funnelDepthChunked(ev)),
+      ("funnelDepths", Advanced.funnelDepths(ev, delta),
+        Advanced.funnelDepthsChunked(ev, delta)),
+      ("transitions", Advanced.transitions(ev),
+        Advanced.transitionsChunked(ev)),
+      ("ewma", Advanced.ewma(ev), Advanced.ewmaChunked(ev)),
+      ("rollingMedian", Advanced.rollingMedian(ev),
+        Advanced.rollingMedianChunked(ev)),
+      ("twap", Advanced.twap(ev), Advanced.twapChunked(ev)),
+      ("seqPattern", Advanced.seqPattern(ev), Advanced.seqPatternChunked(ev)),
+      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev)))
+
+    var bad = 0
+    val results = pairs
+      .filter { case (n, _, _) => only.isEmpty || only(n) }
+      .map { case (name, dense, chunked) =>
+        // exceptAll both ways = exact multiset equality, computed
+        // DISTRIBUTED (no driver-side collect of data-sized results)
+        val extra = chunked.exceptAll(dense).count()
+        val missing = dense.exceptAll(chunked).count()
+        val n = dense.count()
+        val ok = extra == 0 && missing == 0
+        if (!ok) bad += 1
+        println(f"${if (ok) "OK  " else "DIFF"} $name%-14s rows=$n " +
+          s"extra=$extra missing=$missing")
+        s""""$name":{"rows":$n,"extra":$extra,"missing":$missing}"""
+      }
+    println(results.mkString(
+      s"""{"metric":"chunked_parity","sf":"$sfDir","master":"$master","pairs":{""",
+      ",", "}}"))
+    spark.stop()
+    System.exit(if (bad > 0) 1 else 0)
+  }
+}
