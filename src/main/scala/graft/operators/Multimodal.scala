@@ -9,14 +9,16 @@ import graft.{QueryDef, Tables}
   * image/audio/video as opaque `binary` columns with typed metadata,
   * processed in partition-local batches.
   *
-  * The IMAGE path is REAL: the JDK ships a PNG codec (`javax.imageio`),
-  * so PNG payloads are decoded to actual pixels ([[decodePng]]) and the
-  * q39 features derive from them. Audio/video kinds still go through a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — the container has
-  * no ffmpeg/soundfile — with the same signature and batch shape a real
-  * binding would have; [[decodeKernel]] dispatches on the payload's
-  * magic bytes, so swapping a stub for a codec changes nothing outside
-  * this file. Everything around the kernels — binary columns, metadata
+  * ALL THREE kinds now decode REAL payloads through JDK codecs: PNG
+  * pixels via `javax.imageio` ([[decodePng]], q39), WAV PCM via
+  * `javax.sound.sampled` ([[decodeWav]], q159), and multi-frame
+  * animated GIF via `javax.imageio`'s sequence reader ([[decodeGif]],
+  * q160 — the VIDEO kind; GIF with a full 256-gray palette is lossless,
+  * so frames round-trip exactly). The DETERMINISTIC STUB (`decodeStub`)
+  * remains only as the fallback arm for payloads no JDK codec claims
+  * (the plain-bytes fixture rows); [[decodeKernel]] dispatches on the
+  * payload's magic bytes, so swapping any arm for an external codec
+  * (ffmpeg/libvips) changes nothing outside this file. Everything around the kernels — binary columns, metadata
   * struct, typed Dataset encoders, mapPartitions batching,
   * partition-by-kind layout — is the real 100 TB plumbing: executors
   * stream batches of byte arrays, never the driver; feature vectors come
@@ -52,11 +54,10 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
-  // STUB: real AUDIO/VIDEO decoders (ffmpeg/soundfile) are absent in
-  // this container. This deterministic fake has the exact signature and
-  // per-batch call shape the real kernel would have; swapping it for a
-  // JNI/process-based codec changes nothing outside this function.
-  // (The IMAGE path below is NOT a stub — the JDK decodes PNG.)
+  // STUB (fallback arm only): payloads no JDK codec claims — the
+  // plain-bytes fixture rows — go through this deterministic fake with
+  // the exact signature and per-batch call shape a real kernel has.
+  // PNG, WAV, and animated-GIF payloads all decode REAL bytes above it.
   // ----------------------------------------------------------------
   private[operators] def decodeStub(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
     val w = 16 + (bytes.length % 64)          // fake "decoded" dimensions
@@ -190,12 +191,123 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** GIF87a/GIF89a magic — what [[decodeKernel]] dispatches on for
+    * video (animated GIF is the one multi-frame container the JDK
+    * decodes). */
+  private[graft] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  /** Exact 256-level gray palette: r == g == b == index, so a GIF
+    * frame's decoded getRGB channels recover the written sample bit-for-
+    * bit (an RGB raster would be quantized by the GIF writer — lossy;
+    * the identity palette is what makes decode(encode(f)) == f hold). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Deterministic animated-GIF generator for the media fixture (the
+    * video sibling of [[encodePng]]/[[encodeWav]]): `nFrames` frames of
+    * `w`×`h` 8-bit gray, each pixel mixed from (seed, frame, x, y)
+    * through a 64-bit LCG, written as ONE multi-image GIF through the
+    * JDK's sequence writer. Frame pixels (not container bytes) are the
+    * determinism contract — with the identity gray palette GIF is
+    * lossless, so decode(encode(frames)) == frames regardless of
+    * encoder version. */
+  private[graft] def encodeGif(seed: Long, w: Int, h: Int,
+                               nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = seed * 6364136223846793005L +
+            f * -7046029254386353131L + x * 2862933555777941757L +
+            y * 3202034522624059733L + 1442695040888963407L
+          raster.setSample(x, y, 0, ((m >>> 40) & 0xff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** REAL video decode via the JDK's GIF sequence reader: payload →
+    * every frame's actual raster. Frames written by [[encodeGif]] are
+    * full-screen with the identity gray palette, so each decoded frame
+    * stands alone (no delta compositing needed at this fixture
+    * contract; an ffmpeg binding would composite at this boundary). */
+  private[graft] def decodeGifFrames(
+      bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Video feature kernel: folds EVERY frame's luma into the feature
+    * bins (pixel (f, x, y) → bin `((f·h + y)·w + x) % dim`), returning
+    * frame-0 dimensions in the (width, height) axes — the q39 luma fold
+    * extended along the time axis. Frame count is surfaced separately
+    * by [[decodeVideoFeatures]]. */
+  private[graft] def decodeGif(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val frames = decodeGifFrames(bytes)
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val emb = new Array[Float](dim)
+    var f = 0
+    while (f < frames.length) {
+      val img = frames(f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.2126f * ((rgb >> 16) & 0xff) +
+            0.7152f * ((rgb >> 8) & 0xff) + 0.0722f * (rgb & 0xff)
+          emb(((f * h + y) * w + x) % dim) += luma / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    (w, h, emb)
+  }
+
   /** The per-payload kernel: REAL PNG decode when the payload carries
-    * the PNG magic, REAL WAV decode on RIFF/WAVE, deterministic stub
-    * otherwise (video — no JDK codec exists for it). */
+    * the PNG magic, REAL WAV decode on RIFF/WAVE, REAL multi-frame GIF
+    * decode on GIF87a/GIF89a, deterministic stub otherwise (payloads no
+    * JDK codec claims). */
   private[operators] def decodeKernel(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
     if (isPng(bytes)) decodePng(bytes, dim)
     else if (isWav(bytes)) decodeWav(bytes, dim)
+    else if (isGif(bytes)) decodeGif(bytes, dim)
     else decodeStub(bytes, dim)
 
   /** Decode + feature-extract in partition-local batches: one
@@ -295,12 +407,15 @@ object Multimodal {
     }
   }
 
-  /** [[mediaWithImages]] with REAL payloads for the audio kind too:
-    * every `kind == "audio"` row carries an actual 16-bit mono PCM WAV
-    * (deterministic samples from the media_id via [[encodeWav]], rate
-    * `8000 · (1 + id%3)` Hz, `32 + id%97` samples); image rows keep
-    * their real PNGs, video rows the fake byte payloads (the one kind
-    * with no JDK codec). This is the fixture q159 decodes. */
+  /** [[mediaWithImages]] with REAL payloads for the audio AND video
+    * kinds too: every `kind == "audio"` row carries an actual 16-bit
+    * mono PCM WAV (deterministic samples from the media_id via
+    * [[encodeWav]], rate `8000 · (1 + id%3)` Hz, `32 + id%97` samples),
+    * and every `kind == "video"` row an actual animated GIF
+    * (deterministic frames via [[encodeGif]], dims `8 + id%9` ×
+    * `8 + id%7`, `2 + id%4` frames); image rows keep their real PNGs.
+    * This is the fixture q159 and q160 decode — every kind through a
+    * real JDK codec. */
   def mediaWithCodecs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     mediaWithImages(spark, dir).map { r =>
@@ -310,8 +425,34 @@ object Multimodal {
         r.copy(bytes = bytes,
           meta = MediaMeta("audio", bytes.length.toLong,
             bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
+      } else if (r.kind == "video") {
+        val bytes = encodeGif(r.media_id,
+          8 + (r.media_id % 9).toInt, 8 + (r.media_id % 7).toInt,
+          2 + (r.media_id % 4).toInt)
+        r.copy(bytes = bytes,
+          meta = MediaMeta("video", bytes.length.toLong,
+            bytes.foldLeft(0L)((a, b) => a + (b & 0xff))))
       } else r
     }
+  }
+
+  /** Video features with the time axis surfaced: frame count, frame-0
+    * dimensions, and the all-frames luma fold — the decoded-video row a
+    * training pipeline filters and buckets on. Same partition-local
+    * mapPartitions shape as [[decodeFeatures]]; non-GIF rows are
+    * dropped (the caller selects the video kind). */
+  case class VideoFeature(media_id: Long, n_frames: Int, width: Int,
+                          height: Int, embedding: Array[Float])
+  def decodeVideoFeatures(media: Dataset[MediaRow],
+                          dim: Int = 64): Dataset[VideoFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      if (isGif(r.bytes)) {
+        val frames = decodeGifFrames(r.bytes)
+        val (w, h, emb) = decodeGif(r.bytes, dim)
+        Some(VideoFeature(r.media_id, frames.size, w, h, emb))
+      } else None
+    })
   }
 
   /** q36 (declared): metadata projection — the deterministic part of the
@@ -371,6 +512,21 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** q160: decoded VIDEO features — the q39→q159 pattern completed
+    * (VERDICT r10 #4): animated-GIF payloads decode to actual frame
+    * rasters through the JDK's GIF sequence reader, and the output
+    * carries the real frame count, frame dimensions, and the all-frames
+    * luma fold. No SQL engine can decode GIF, so the driver records a
+    * rows-only check; frame-count/dimension determinism and
+    * decode(encode(frames)) == frames are MultimodalSpec's job. */
+  val q160_video_features = QueryDef.unchecked("q160_video_features") { (s, d) =>
+    decodeVideoFeatures(mediaWithCodecs(s, d)).toDF()
+      .select(col("media_id"), col("n_frames"), col("width"), col("height"),
+        round(aggregate(col("embedding"),
+          lit(0.0d), (a, x) => a + x.cast("double")), 4).as("emb_sum"))
+      .orderBy("media_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q36_media_meta, q39_media_features,
-    q159_audio_features)
+    q159_audio_features, q160_video_features)
 }

@@ -114,8 +114,8 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("mediaWithCodecs: audio rows are real WAVs decoded by the kernel, " +
-    "image rows stay real PNGs, video rides the stub; q159 shape") {
+  test("mediaWithCodecs: audio rows are real WAVs, image rows real PNGs, " +
+    "video rows real animated GIFs — every kind a JDK codec; q159 shape") {
     val media = Multimodal.mediaWithCodecs(spark, sf0001)
     val rows = media.collect()
     assert(rows.exists(_.kind == "audio") && rows.exists(_.kind == "video"))
@@ -126,10 +126,11 @@ class MultimodalSpec extends SparkSpec {
           assert(r.meta.n_bytes == r.bytes.length.toLong)
         case "image" => assert(Multimodal.isPng(r.bytes))
         case _ =>
-          assert(!Multimodal.isWav(r.bytes) && !Multimodal.isPng(r.bytes))
+          assert(Multimodal.isGif(r.bytes), s"video row ${r.media_id} not GIF")
+          assert(r.meta.n_bytes == r.bytes.length.toLong)
       }
     }
-    // per-row and batched kernels agree across ALL THREE dispatch arms
+    // per-row and batched kernels agree across ALL THREE codec arms
     def key(f: Multimodal.MediaFeature) =
       (f.media_id, f.kind, f.width, f.height, f.embedding.toSeq)
     val perRow = Multimodal.decodeFeatures(media, dim = 16).collect()
@@ -143,9 +144,76 @@ class MultimodalSpec extends SparkSpec {
         f.height == 32 + (f.media_id % 97).toInt,
         s"audio ${f.media_id} decoded ${(f.width, f.height)} off-formula")
     }
-    // the registry query: one row per audio-kind document, rows > 0
+    // video features carry frame-0 dims per the fixture formula
+    perRow.filter(_.kind == "video").foreach { f =>
+      assert(f.width == 8 + (f.media_id % 9).toInt &&
+        f.height == 8 + (f.media_id % 7).toInt,
+        s"video ${f.media_id} decoded ${(f.width, f.height)} off-formula")
+    }
+    // the registry queries: one row per kind-matching document, rows > 0
     val q = SparkEntry.queries("q159_audio_features")(spark, sf0001).collect()
     assert(q.length == rows.count(_.kind == "audio") && q.nonEmpty)
+    val qv = SparkEntry.queries("q160_video_features")(spark, sf0001).collect()
+    assert(qv.length == rows.count(_.kind == "video") && qv.nonEmpty)
+  }
+
+  test("REAL GIF decode: JDK sequence reader round-trips every generated " +
+    "frame pixel-exactly — frame count and dims pinned to the fixture " +
+    "formula") {
+    for (id <- Seq(2L, 5L, 8L, 101L, 497L)) {
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val nf = 2 + (id % 4).toInt
+      val bytes = Multimodal.encodeGif(id, w, h, nf)
+      assert(Multimodal.isGif(bytes), s"payload for id=$id lacks GIF magic")
+      assert(!Multimodal.isPng(bytes) && !Multimodal.isWav(bytes))
+      val frames = Multimodal.decodeGifFrames(bytes)
+      assert(frames.length == nf, s"id=$id decoded ${frames.length} frames, want $nf")
+      // pixel-exact round trip: the identity gray palette makes GIF
+      // lossless, so every decoded gray equals the LCG formula
+      for (f <- 0 until nf) {
+        val img = frames(f)
+        assert((img.getWidth, img.getHeight) == (w, h))
+        for (y <- 0 until h; x <- 0 until w) {
+          val m = id * 6364136223846793005L +
+            f * -7046029254386353131L + x * 2862933555777941757L +
+            y * 3202034522624059733L + 1442695040888963407L
+          val g = ((m >>> 40) & 0xff).toInt
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            == (g, g, g),
+            s"id=$id frame=$f pixel ($x,$y): got ${rgb.toHexString}, want gray $g")
+        }
+      }
+      // the kernel's fold equals an independent recomputation over the
+      // decoded frames (all frames, time-major bins)
+      val (dw, dh, emb) = Multimodal.decodeGif(bytes, 16)
+      assert((dw, dh) == (w, h))
+      val want = new Array[Float](16)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val rgb = frames(f).getRGB(x, y)
+        want(((f * h + y) * w + x) % 16) += (0.2126f * ((rgb >> 16) & 0xff) +
+          0.7152f * ((rgb >> 8) & 0xff) + 0.0722f * (rgb & 0xff)) / 255.0f
+      }
+      assert(emb.toSeq == want.toSeq, s"id=$id feature mismatch")
+    }
+  }
+
+  test("decodeVideoFeatures: frame count per the fixture formula; " +
+    "non-GIF rows dropped") {
+    val media = Multimodal.mediaWithCodecs(spark, sf0001)
+    val vids = Multimodal.decodeVideoFeatures(media, dim = 16).collect()
+    assert(vids.nonEmpty)
+    val videoIds = media.collect().filter(_.kind == "video")
+      .map(_.media_id).toSet
+    assert(vids.map(_.media_id).toSet == videoIds)
+    vids.foreach { v =>
+      assert(v.n_frames == 2 + (v.media_id % 4).toInt,
+        s"video ${v.media_id}: ${v.n_frames} frames off-formula")
+      assert(v.width == 8 + (v.media_id % 9).toInt &&
+        v.height == 8 + (v.media_id % 7).toInt)
+      assert(v.embedding.length == 16)
+    }
   }
 
   test("frameSample emits n frames per row") {
