@@ -37,14 +37,22 @@ object Multimodal {
     * (UTF-8 bytes of the text, kind derived from doc_id) standing in for
     * real image/audio blobs. The column types and layout are the
     * production shape. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaFromDocuments(spark: SparkSession, dir: String,
+                         only: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         col("text").cast("binary").as("bytes"))
+    // `only` prunes BEFORE the typed maps: a single-kind consumer (q159
+    // reads audio, q160 video) must not pay the other kinds' payload
+    // synthesis — a kind filter AFTER mediaWithCodecs runs inside the
+    // row-by-row map and still encodes every payload (the r11 q159
+    // regression: adding GIF synthesis for video rows cost the
+    // audio-only query 1.6x until this pushdown).
+    only.fold(base)(k => base.where(col("kind") === k))
       .as[(Long, String, Array[Byte])]
       .map { case (id, kind, bytes) =>
         MediaRow(id, kind, bytes,
@@ -394,9 +402,10 @@ object Multimodal {
     * audio/video rows keep the fake byte payloads. This is the fixture
     * q39 decodes — image features come from real pixels through the JDK
     * codec, not the stub. */
-  def mediaWithImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaWithImages(spark: SparkSession, dir: String,
+                      only: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    mediaFromDocuments(spark, dir).map { r =>
+    mediaFromDocuments(spark, dir, only).map { r =>
       if (r.kind == "image") {
         val bytes = encodePng(r.media_id,
           8 + (r.media_id % 9).toInt, 8 + (r.media_id % 7).toInt)
@@ -416,9 +425,10 @@ object Multimodal {
     * `8 + id%7`, `2 + id%4` frames); image rows keep their real PNGs.
     * This is the fixture q159 and q160 decode — every kind through a
     * real JDK codec. */
-  def mediaWithCodecs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaWithCodecs(spark: SparkSession, dir: String,
+                      only: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    mediaWithImages(spark, dir).map { r =>
+    mediaWithImages(spark, dir, only).map { r =>
       if (r.kind == "audio") {
         val bytes = encodeWav(r.media_id,
           8000 * (1 + (r.media_id % 3).toInt), 32 + (r.media_id % 97).toInt)
@@ -501,8 +511,7 @@ object Multimodal {
     * records a rows-only check; sample-rate/duration determinism and
     * decode(encode(s)) == s are MultimodalSpec's job. */
   val q159_audio_features = QueryDef.unchecked("q159_audio_features") { (s, d) =>
-    decodeFeatures(mediaWithCodecs(s, d)).toDF()
-      .where(col("kind") === "audio")
+    decodeFeatures(mediaWithCodecs(s, d, only = Some("audio"))).toDF()
       .select(col("media_id"),
         col("width").as("sample_rate"),
         col("height").as("n_samples"),
@@ -520,7 +529,7 @@ object Multimodal {
     * rows-only check; frame-count/dimension determinism and
     * decode(encode(frames)) == frames are MultimodalSpec's job. */
   val q160_video_features = QueryDef.unchecked("q160_video_features") { (s, d) =>
-    decodeVideoFeatures(mediaWithCodecs(s, d)).toDF()
+    decodeVideoFeatures(mediaWithCodecs(s, d, only = Some("video"))).toDF()
       .select(col("media_id"), col("n_frames"), col("width"), col("height"),
         round(aggregate(col("embedding"),
           lit(0.0d), (a, x) => a + x.cast("double")), 4).as("emb_sum"))
