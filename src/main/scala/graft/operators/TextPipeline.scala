@@ -2022,8 +2022,9 @@ object TextPipeline {
       |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6
       |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val big = triShingles(s, d).select("doc_id", "sh").distinct()
-    setSimJoin(big, 0.6).orderBy("a", "b")
+    // no .distinct(): setSimJoin's collect_set dedups in-aggregate (r11)
+    setSimJoin(triShingles(s, d).select("doc_id", "sh"), 0.6)
+      .orderBy("a", "b")
   }
 
   /** Prefix-filtered EXACT set-similarity self-join core behind
@@ -2042,13 +2043,34 @@ object TextPipeline {
     * token / a few extra candidates) and the verify stage — the same
     * double compare the oracle runs — decides final membership. */
   def setSimJoin(sets: DataFrame, t: Double): DataFrame = {
-    val big = sets
     def oFloor(n: Column): Column = floor(lit(t) * n)
+    // r11 restructure (VERDICT r10 #6): ONE doc-keyed exchange folds the
+    // token stream into each doc's distinct sorted set, localCheckpointed
+    // (the q48/q127/q132 precedent) because THREE branches consume it —
+    // the token stream (freq + prefix), and both verify sides. Without
+    // the cut, Catalyst clones the whole token-stream lineage per
+    // differently-pruned branch (measured: the un-checkpointed fusion
+    // attempt planned SEVEN exchanges, duplicating the dedup and freq
+    // aggs). Wins vs the r10 shape, same hash:
+    //  - the (doc_id, sh) dedup exchange collapses INTO the set agg
+    //    (collect_set dedups in-aggregate);
+    //  - the per-doc size window disappears (n = size(arr));
+    //  - the prefix window re-uses the checkpoint's hash(doc_id)
+    //    partitioning (the freq attach is a broadcast/AQE join) — no
+    //    window exchange;
+    //  - the verify stage is scan-local array_intersect over the joined
+    //    candidate pair (tokens are distinct per doc, so the size IS the
+    //    old token-join count) — the former token-expansion join and its
+    //    (a, b)-keyed count agg disappear, as do the separate size-table
+    //    joins (n rides the arrays).
+    val docsets = sets.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n"))
+      .localCheckpoint()
+    val big = docsets.select(col("doc_id"), col("n"), explode(col("arr")).as("sh"))
     val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
-    val wDoc = Window.partitionBy("doc_id")
     val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
     val prefix = big.join(freq, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("pos", row_number().over(wPos))
       .where(col("pos") <= col("n") - oFloor(col("n")) + 1)
       .select("doc_id", "sh", "n")
@@ -2059,17 +2081,13 @@ object TextPipeline {
         // length filter: J >= t forces t|A| <= |B| <= |A|/t
         col("yn") >= oFloor(col("xn")) && col("xn") >= oFloor(col("yn")))
       .select("a", "b").distinct()
-    val sz = big.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // expand candidates by A's tokens, then equi-join on (b, sh): the
-    // second join's key INCLUDES the token, so only true intersection
-    // rows materialize (never the |A|×|B| cross per pair)
-    val inter = cand
-      .join(big.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    cand
+      .join(docsets.select(col("doc_id").as("a"), col("arr").as("arr_a"),
+        col("n").as("na")), Seq("a"))
+      .join(docsets.select(col("doc_id").as("b"), col("arr").as("arr_b"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("j_raw",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("j_raw") >= t)

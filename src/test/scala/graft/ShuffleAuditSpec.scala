@@ -123,11 +123,14 @@ class ShuffleAuditSpec extends SparkSpec {
     "q99_table_checksum" -> 2, // commutative folds ride ONE partial+final
                                // source agg (map-side exact on any
                                // partitioning — that's the point) + orderBy
-    "q100_setsim_join" -> 6, // bigram dedup + freq agg + ONE doc_id
-                             // exchange shared by both per-doc windows
-                             // + candidate distinct + intersection agg
-                             // + orderBy; the prefix/verify joins ride
-                             // existing partitionings or broadcast
+    "q100_setsim_join" -> 4, // r11 post-checkpoint plan (q48 rule): the
+                             // doc-set agg materializes at the
+                             // localCheckpoint cut; downstream = freq
+                             // agg + the candidate sh-join re-keys +
+                             // orderBy; verify is scan-local
+                             // array_intersect (no intersection agg,
+                             // no size-table joins, no dedup exchange
+                             // — collect_set dedups in-aggregate)
     "q101_incremental_agg" -> 4, // state agg + delta agg exchanges (the
                                  // split scans), the key-wise merge agg
                                  // reuses their partitioning at test SF
