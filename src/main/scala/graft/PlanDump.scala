@@ -28,7 +28,7 @@ object PlanDump {
       "q04_topk_words" -> "TakeOrderedAndProject — top-k without a global sort",
       "q25_cosine_topk" -> "native dot_product kernel inside codegen",
       "q40_asof_join" -> "as-of via union + running last — one shuffle by key",
-      "q44_sessionize" -> "one user_id shuffle serves window AND aggregation",
+      "q44_sessionize" -> "measured-skew routed (sessionizeAuto; this uniform fixture takes the DENSE plan): one user_id shuffle serves window AND aggregation — the chunked skew twin is a library function with its own budget, and the probe is one memoized scan per fixture",
       "q53_lsh_neardup" -> "cosine-threshold join rewritten to a banded LSH equi-join (hot buckets thinned to their representative INSIDE the rule — the Window+Filter over the left exploded side)",
       "q76_theta_rank_join" -> "theta-COUNT as a rank join: quantile range-buckets + per-bucket running count + broadcast prefix sums — one data shuffle where the q19 nested loop compares O(|L|x|R|) pairs",
       "q77_theta_agg_join" -> "the generalized theta aggregates (COUNT/SUM/AVG): the running SUM rides the SAME per-bucket window exchange as the count — no extra data shuffle over q76",
@@ -54,10 +54,11 @@ object PlanDump {
       "q147_stickiness" -> "DAU/WAU via ONE Expand-based multi-distinct aggregate over the exploded cover-day table — no DAU⋈WAU join, no range self-join of event-sized relations; Expand doubles rows, the join formulation re-shuffled the activity table twice more",
       "q149_auc" -> "ROC-AUC as a rank-sum on the SCORE HISTOGRAM: one value-keyed agg touches the corpus, the cumulative-negatives window runs on histogram-sized data — the global row-rank sort and the pos×neg pair join both never appear",
       "q151_jw_vocab" -> "native jaro_winkler codegen kernel inside the conditioned vocab self-join (BroadcastNestedLoopJoin over the Heaps-law vocab, never documents); a UDF here would box two strings per pair",
-      "q154_seq_pattern" -> "sequence-pattern matching, r10 skew-safe: ONE event-sized (user, event-time day) exchange builds day code strings; the segment-carry summaries (split on 'c', prefix/inner/suffix stats, pe boundary chars) are scan-local projections; the per-user stitch folds a user-DAY-sized table, the final agg has ≤2 keys",
+      "q154_seq_pattern" -> "measured-skew routed (r11; this uniform fixture takes the DENSE whole-string plan: one user exchange builds each code string, regexp_count is scan-local, final agg ≤2 keys). The chunked skew twin (day code strings + segment-carry stitch) is seqPatternChunked with its own 4-exchange budget",
       "q158_sessionize_skewsafe" -> "q44's output with the unsplittable hot-user window partition chunked by event-time day: the ONLY event-sized exchange is the (user, chunk) window; boundary/offset tables are map-side-combined user-DAY rows whose joins broadcast; partial sessions pre-aggregate on the same exchange so the final (user, sid) merge moves session-level rows only",
-      "q107_transitions" -> "the r10 lag-stitch template, union form: within-(user, day) lag with the previous ACTIVE day's last state riding the SAME window as a side=0 pseudo-row (no boundary join-back — zero Join nodes in this plan); the hot user is |active days| tasks; everything after the (src, dst) agg moves |event types|² rows",
-      "q115_rolling_median" -> "the r10 carry-fold template: within-(user, day) trailing frame + each day's incoming TAIL from one per-user fold over per-day tails — the frame-bounded holistic median keeps constant state AND a bounded max task")
+      "q107_transitions" -> "measured-skew routed (r11; this uniform fixture takes the DENSE plan: one per-user lag window, then everything after the (src, dst) agg moves |event types|² rows). The chunked skew twin (union-boundary lag stitch, zero Join nodes) is transitionsChunked with its own 6-exchange budget",
+      "q115_rolling_median" -> "measured-skew routed (r11; this uniform fixture takes the DENSE plan: one per-user frame window, ≤7-element frames scan-local). The chunked skew twin (within-day frame + incoming-tail carry fold) is rollingMedianChunked with its own 4-exchange budget",
+      "q100_setsim_join" -> "r11 checkpointed PPJoin: the doc-set table (collect_set dedup, one doc-keyed exchange) materializes at a localCheckpoint cut consumed by the freq/prefix stream AND both verify sides; verification is scan-local array_intersect over the joined candidate pair — post-checkpoint the plan is freq agg + candidate sh-join + orderBy")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"
