@@ -2451,45 +2451,25 @@ object Advanced {
     * From depth 0 the first advance ignores the clock entirely, so the
     * whole chunk effect is one precomputed fold.
     *
-    * Per (user, EVENT-TIME DAY) chunk, ONE keyed exchange collects the
-    * day's ordered (tsm, event_id, code) array; ONE scan-local
-    * `aggregate` HOF folds all three live entry states simultaneously
-    * (c0 = fold from depth 0; s1/s2 = folds that idle until the first
-    * code-2 / code-3 event seeds them, which also records the
-    * thresholds t2/t3 — a single traversal where the first version ran
-    * three folds plus two extract passes). The per-user stitch folds
-    * the user-DAY-sized summary table in chunk order:
+    * Per (user, EVENT-TIME DAY) chunk, ONE keyed exchange streams the
+    * day's (tsm, event_id)-sorted events through a single COMPILED
+    * typed fold (flatMapSortedGroups) running all three live entry
+    * states simultaneously (c0 = fold from depth 0; s1/s2 idle until
+    * the first code-2 / code-3 event seeds them, which also records
+    * the thresholds t2/t3). The per-user stitch folds the
+    * user-DAY-sized summary table in chunk order:
     * depth 0 → c0; depth d ∈ {1,2} → c_{d} if t_{d+1} ≤ anchor + Δ
     * else unchanged; depth 3 terminal. All-integer (epoch-µs) — bit-
     * exact vs the dense fold (pinned in AdvancedSpec, incl. clock
-    * windows spanning empty days and cross-midnight re-anchoring). */
+    * windows spanning empty days and cross-midnight re-anchoring).
+    * Typed, not an `aggregate` HOF expression, since r11 — see the
+    * in-body note on the interpreted fold's JIT bimodality. */
   def funnelDepthsChunked(events: DataFrame, deltaMicros: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    // one windowed-DFA step from (d, a) over event x
-    def clockStep(d: Column, a: Column, x: Column): Column =
-      when(x.getField("code") === d + 1 &&
-           (d === 0 || x.getField("tsm") <= a + deltaMicros),
-        struct((d + 1).as("d"), x.getField("tsm").as("anchor")))
-        .otherwise(struct(d.as("d"), a.as("anchor")))
-    // All three entry states fold in ONE pass (the r10 follow-up to the
-    // first three-fold version — the clock folds were the family's
-    // heaviest uniform per-chunk cost at skew2). s1/s2 idle until their
-    // seed event appears: the first code-(d+1) event both records the
-    // threshold tsm t AND is accepted (it trivially meets its own
-    // deadline), exactly what seeding clockFold at (d, t) produced.
-    val nullT = lit(null).cast("bigint")
-    def seededStep(s: Column, code: Int, x: Column): Column =
-      when(s.getField("t").isNull,
-        when(x.getField("code") === code,
-          struct(x.getField("tsm").as("t"), lit(code.toLong).as("d"),
-            x.getField("tsm").as("anchor")))
-          .otherwise(s))
-        .otherwise {
-          val st = clockStep(s.getField("d"), s.getField("anchor"), x)
-          struct(s.getField("t").as("t"), st.getField("d").as("d"),
-            st.getField("anchor").as("anchor"))
-        }
-    val summaries = events
+    val NoT = Long.MinValue    // "threshold not seen" sentinel
+    val coded = events
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
         col("event_id"),
         when(col("event_type") === "view", 1L)
@@ -2497,49 +2477,70 @@ object Advanced {
           .when(col("event_type") === "purchase", 3L)
           .otherwise(0L).as("code"))
       .withColumn("chunk", floor(col("tsm") / chunkUs))
-      .groupBy("user_id", "chunk")
-      .agg(sort_array(collect_list(
-        struct(col("tsm"), col("event_id"), col("code")))).as("evs"))
-      .select(col("user_id"), col("chunk"),
-        aggregate(col("evs"),
-          struct(
-            struct(lit(0L).as("d"), lit(0L).as("anchor")).as("c0"),
-            struct(nullT.as("t"), lit(1L).as("d"), nullT.as("anchor"))
-              .as("s1"),
-            struct(nullT.as("t"), lit(2L).as("d"), nullT.as("anchor"))
-              .as("s2")),
-          (acc, x) => struct(
-            clockStep(acc.getField("c0").getField("d"),
-              acc.getField("c0").getField("anchor"), x).as("c0"),
-            seededStep(acc.getField("s1"), 2, x).as("s1"),
-            seededStep(acc.getField("s2"), 3, x).as("s2"))).as("f"))
-      .select(col("user_id"), col("chunk"),
-        col("f.s1.t").as("t2"),
-        col("f.s2.t").as("t3"),
-        col("f.c0").as("c0"),
-        struct(col("f.s1.d").as("d"), col("f.s1.anchor").as("anchor"))
-          .as("c1"),
-        struct(col("f.s2.d").as("d"), col("f.s2.anchor").as("anchor"))
-          .as("c2"))
+      .select(col("user_id"), col("chunk"), col("tsm"), col("event_id"),
+        col("code"))
+      .as[(Long, Long, Long, Long, Long)]
+    // Per (user, EVENT-TIME DAY) chunk, ONE keyed exchange streams the
+    // day's (tsm, event_id)-ordered events through a COMPILED fold
+    // (flatMapSortedGroups — plain JVM bytecode) that runs all three
+    // live entry states simultaneously: c0 = the windowed DFA from
+    // depth 0; s1/s2 idle until their seed event (the first code-2 /
+    // code-3, which records the threshold t2/t3 AND is accepted — it
+    // trivially meets its own deadline), then step the same clock.
+    // r11 note: this fold was previously an `aggregate` HOF expression
+    // with nested-struct state — CodegenFallback, evaluated through the
+    // interpreted Expression tree — and exhibited a per-JVM bimodal
+    // 5× task-time split (a C2 compile/inline coin flip on the eval
+    // loop, reproduced fast AND slow on fresh 8g and 16g JVMs with
+    // identical plans; SKEW_r11_q142.json). A typed fold is ordinary
+    // bytecode on the hot path, which the JIT compiles predictably.
+    val summaries = coded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("tsm"), col("event_id")) {
+        case ((user, chunk), it) =>
+          var c0d = 0L; var c0a = 0L
+          var t2 = NoT; var s1d = 0L; var s1a = 0L
+          var t3 = NoT; var s2d = 0L; var s2a = 0L
+          it.foreach { case (_, _, tsm, _, code) =>
+            if (code == c0d + 1 && (c0d == 0L || tsm <= c0a + deltaMicros)) {
+              c0d += 1; c0a = tsm
+            }
+            if (t2 == NoT) {
+              if (code == 2L) { t2 = tsm; s1d = 2L; s1a = tsm }
+            } else if (code == s1d + 1 && tsm <= s1a + deltaMicros) {
+              s1d += 1; s1a = tsm
+            }
+            if (t3 == NoT) {
+              if (code == 3L) { t3 = tsm; s2d = 3L; s2a = tsm }
+            } else if (code == s2d + 1 && tsm <= s2a + deltaMicros) {
+              s2d += 1; s2a = tsm
+            }
+          }
+          Iterator((user, chunk, t2, t3, c0d, c0a, s1d, s1a, s2d, s2a))
+      }
+    // Per-user stitch over the user-DAY-sized summary table, in chunk
+    // order: depth 0 -> this chunk's c0 outcome; depth d in {1, 2} ->
+    // advance iff the chunk's first code-(d+1) event meets the deadline
+    // (monotone within-chunk timestamps make that single threshold
+    // sufficient: if the FIRST candidate misses, all do); depth 3
+    // terminal. All-integer epoch-us — bit-exact vs [[funnelDepths]]
+    // (pinned in AdvancedSpec, incl. clock windows spanning empty days
+    // and cross-midnight re-anchoring).
     summaries
-      .groupBy("user_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("chunk"), col("t2"), col("t3"),
-          col("c0"), col("c1"), col("c2")))),
-        struct(lit(0L).as("d"), lit(0L).as("anchor")),
-        (acc, c) => {
-          val d = acc.getField("d")
-          when(d === 0, c.getField("c0"))
-            .when(d === 1,
-              when(c.getField("t2").isNotNull &&
-                   c.getField("t2") <= acc.getField("anchor") + deltaMicros,
-                c.getField("c1")).otherwise(acc))
-            .when(d === 2,
-              when(c.getField("t3").isNotNull &&
-                   c.getField("t3") <= acc.getField("anchor") + deltaMicros,
-                c.getField("c2")).otherwise(acc))
-            .otherwise(acc) // depth 3: terminal
-        }).getField("d").as("depth"))
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (user, it) =>
+        var d = 0L; var a = 0L
+        it.foreach { case (_, _, t2, t3, c0d, c0a, s1d, s1a, s2d, s2a) =>
+          if (d == 0L) { d = c0d; a = c0a }
+          else if (d == 1L) {
+            if (t2 != NoT && t2 <= a + deltaMicros) { d = s1d; a = s1a }
+          } else if (d == 2L) {
+            if (t3 != NoT && t3 <= a + deltaMicros) { d = s2d; a = s2a }
+          } // d == 3: terminal
+        }
+        Iterator((user, d))
+      }
+      .toDF("user_id", "depth")
   }
 
   val q142_window_funnel = QueryDef(
