@@ -38,3 +38,49 @@ final class TopK(k: Int) extends Aggregator[Double, List[Double], Seq[Double]] {
   def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** Typed top-k ROWS aggregator — [[TopK]] generalized to carry a row
+  * payload: keeps the k best (value, key) pairs under the total order
+  * (value DESC, key ASC), so a ROW_NUMBER()-≤-k window over a
+  * LOW-CARDINALITY group key (q20's 5-priority top-3) becomes a plain
+  * hash aggregate with BOUNDED partial state. The window formulation
+  * must shuffle EVERY row into |groups| unsplittable window partitions
+  * and sort them — at 100 TB, 20% of the table lands in one task; this
+  * aggregator ships ≤ k pairs per group per map partition through the
+  * exchange and needs no sort at all. The (value, key) order is total
+  * whenever `key` is unique (q20's o_orderkey), so the output rows are
+  * BIT-IDENTICAL to the window's rn ≤ k rows with rn = position + 1.
+  *
+  * Buffer is a List sorted worst-retained-first: insert/merge O(k);
+  * k is small by contract.
+  */
+final class TopKRows(k: Int)
+  extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+  def zero: List[(Double, Long)] = Nil
+
+  /** a strictly better than b under (value DESC, key ASC); total for
+    * unique keys. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: List[(Double, Long)],
+                     x: (Double, Long)): List[(Double, Long)] =
+    if (buf.length < k) (x :: buf).sortWith((a, b) => better(b, a))
+    else if (better(x, buf.head)) (x :: buf.tail).sortWith((a, b) => better(b, a))
+    else buf
+
+  def reduce(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
+    insert(buf, x)
+
+  def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(insert)
+
+  /** Final output: best-first — position i IS the window's rn = i + 1. */
+  def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] =
+    buf.sortWith(better)
+
+  def bufferEncoder: Encoder[List[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+  def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -393,13 +393,24 @@ object Relational {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // r11: the ROW_NUMBER window over a 5-value key shuffles EVERY
+    // orders row into 5 unsplittable window partitions (at 100 TB one
+    // priority = 20% of the table in ONE task — the class's real scale
+    // exposure, closed here rather than via a skew fixture; NOTES r11).
+    // The unique o_orderkey tie-break makes (price DESC, key ASC) a
+    // total order, so top-3-per-group is a BOUNDED hash aggregate:
+    // graft.functions.TopKRows ships ≤3 (price, key) pairs per group
+    // per map partition through the exchange, no sort anywhere, and
+    // emits rows bit-identical to the window's rn ≤ 3.
+    val top3 = udaf(new graft.functions.TopKRows(3))
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 3)
-      .select(col("o_orderpriority"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .groupBy("o_orderpriority")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"),
+        posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("o_orderpriority"), col("r._2").as("o_orderkey"),
+        round(col("r._1"), 2).as("price"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("o_orderpriority", "rn")
   }
 

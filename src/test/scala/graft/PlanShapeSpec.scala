@@ -77,8 +77,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("codegen id"), "fingerprint scan fell out of codegen")
   }
 
-  test("Q20 rank-limit pushes down to WindowGroupLimit (no full sort per group)") {
-    assert(plan(Relational.q20_rank_window).contains("WindowGroupLimit"))
+  test("Q20 top-3-per-priority is a bounded hash aggregate — no window, " +
+    "no per-group sort (r11 TopKRows plan)") {
+    // The old plan pinned WindowGroupLimit (the best WINDOW plan Spark
+    // has); the r11 plan removes the window entirely — a partial+final
+    // hash agg over the TopKRows UDAF ships ≤3 pairs per group per map
+    // partition, so no orders-sized partition ever lands in one task.
+    import org.apache.spark.sql.functions.{col, round}
+    val p = plan(Relational.q20_rank_window)
+    assert(!p.contains("Window"), "q20 regressed to a window plan")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "q20's top-k should be an aggregate")
+    // and it still produces the window's exact rows (the oracle pins
+    // values; this pins the equivalence against the in-repo window form)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wantDf = Tables.orders(spark, sf0001)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy("o_orderpriority", "rn")
+    val got = Relational.q20_rank_window.build(spark, sf0001).collect().toSeq
+    assert(got == wantDf.collect().toSeq)
   }
 
   test("Q18 EXISTS/NOT EXISTS become semi/anti joins, not subquery loops") {

@@ -25,7 +25,9 @@ class ShuffleAuditSpec extends SparkSpec {
     "q04_topk_words" -> 1,     // groupBy; top-k is TakeOrdered, no sort shuffle
     "q08_global_agg" -> 1,     // partial agg → single-partition final
     "q09_pricing_summary" -> 2,
-    "q20_rank_window" -> 2,    // window partitionBy + orderBy
+    "q20_rank_window" -> 2,    // r11 TopKRows hash agg (<=3 pairs per
+                               // group per partition cross the exchange
+                               // — no window, no per-group sort) + orderBy
     "q35_embedding_neardup" -> 1, // broadcast pair-join; orderBy only
     "q40_asof_join" -> 2,      // union re-key by user + orderBy
     "q44_sessionize" -> 2,     // ONE shuffle by user_id serves window AND
