@@ -2129,8 +2129,9 @@ object TextPipeline {
       |FROM inter JOIN sz sa ON a = sa.doc_id
       |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
       |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val big = triShingles(s, d).select("doc_id", "sh").distinct()
-    containJoin(big, 4, 5).orderBy("a", "b")
+    // no .distinct(): containJoin's collect_set dedups in-aggregate (r11)
+    containJoin(triShingles(s, d).select("doc_id", "sh"), 4, 5)
+      .orderBy("a", "b")
   }
 
   /** Prefix-filtered EXACT containment self-join core behind
@@ -2144,34 +2145,41 @@ object TextPipeline {
     * ⌊(tNum·n + tDen − 1) / tDen⌋ is exact (integer quotients are
     * representable, so the double division is correctly rounded). */
   def containJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val big = sets
     val t = tNum.toDouble / tDen
     def o(n: Column): Column =
       floor((n * lit(tNum) + lit(tDen - 1)) / lit(tDen)).cast("long")
+    // r11: the q100 checkpointed doc-set restructure, one-sided (see
+    // setSimJoin — same rationale: one doc-keyed collect_set agg is the
+    // authoritative doc→set table for the token stream AND the verify
+    // sides; collect_set dedups in-aggregate, n = size(arr), and the
+    // verify is scan-local array_intersect — the token-expansion join,
+    // its (a, b) count agg, and the separate size-table joins all
+    // disappear).
+    val docsets = sets.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n"))
+      .localCheckpoint()
+    val big = docsets.select(col("doc_id"), col("n"), explode(col("arr")).as("sh"))
     val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
-    val wDoc = Window.partitionBy("doc_id")
     val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
     // required overlap o = ceil(t·n); probe prefix = first n − o + 1
-    val keyed = big.join(freq, Seq("sh"))
-      .withColumn("n", count(lit(1)).over(wDoc))
+    // (only the PROBE side prunes — the asymmetric contract)
+    val prefix = big.join(freq, Seq("sh"))
       .withColumn("pos", row_number().over(wPos))
-    val prefix = keyed
       .where(col("pos") <= col("n") - o(col("n")) + 1)
       .select(col("doc_id").as("a"), col("sh"), col("n").as("na"))
-    val sz = big.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = prefix
-      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .where(col("a") =!= col("b"))
-      .select("a", "b", "na").distinct()
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .where(col("nb") >= o(col("na")))
-      .select("a", "b", "na")
-    val inter = cand
-      .join(big.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(big.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"),
-        first("na").as("na"))
-    inter
+      .join(big.select(col("doc_id").as("b"), col("n").as("nb"), col("sh")),
+        Seq("sh"))
+      .where(col("a") =!= col("b") && col("nb") >= o(col("na")))
+      .select("a", "b").distinct()
+    cand
+      .join(docsets.select(col("doc_id").as("a"), col("arr").as("arr_a"),
+        col("n").as("na")), Seq("a"))
+      .join(docsets.select(col("doc_id").as("b"), col("arr").as("arr_b")),
+        Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("c_raw", col("inter").cast("double") / col("na"))
       .where(col("c_raw") >= t)
       .select(col("a"), col("b"), col("inter"), round(col("c_raw"), 4).as("c"))

@@ -169,10 +169,11 @@ class ShuffleAuditSpec extends SparkSpec {
     "q110_bpe_pairs" -> 1, // pair keyspace <= 26^2: map-side partials
                            // collapse before ONE exchange; top-100 is
                            // TakeOrdered, no sort shuffle
-    "q114_contain_join" -> 6, // q100's frame one-sided: shingle dedup +
-                              // freq agg + doc_id window + candidate
-                              // distinct + intersection agg + orderBy
-                              // (sizes/prefix joins broadcast at test SF)
+    "q114_contain_join" -> 4, // r11 post-checkpoint plan (q100's
+                              // restructure one-sided): freq agg +
+                              // candidate re-keys + orderBy; verify is
+                              // scan-local array_intersect, dedup rides
+                              // the checkpointed collect_set agg
     "q115_rolling_median" -> 2, // r11 auto-routed dense: ONE user
                                 // frame-window exchange (<=7-element
                                 // frames scan-local) + orderBy
