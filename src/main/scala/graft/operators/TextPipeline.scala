@@ -2855,6 +2855,131 @@ object TextPipeline {
       .orderBy(col("rrf").desc, col("doc_id")).limit(20)
   }
 
+  // ------------------------------------- per-source length-rank family
+  // q135/q141/q144 all need rk = ROW_NUMBER() OVER (PARTITION BY source
+  // ORDER BY n_chars, doc_id). A window puts every row of one source in
+  // ONE task — a 4M-row hot source measured 10–25 s max tasks (SKEW_r11
+  // hot-source addendum), the document-side twin of the events family's
+  // hot-user class. Same cure: probe the hottest source, route.
+
+  /** DENSE per-source length rank: the plain window. Fastest on even
+    * sources; max task linear in the hottest source's rows. Input needs
+    * (doc_id, source, n_chars); adds `rk` (long). */
+  def sourceLengthRanks(docs: DataFrame): DataFrame =
+    docs.withColumn("rk",
+      row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long"))
+
+  /** Skew-safe EXACT per-source length rank via range partitioning —
+    * no per-source task ever sees more than ~1/numPartitions of the
+    * corpus, whatever the source distribution (unlike the events
+    * family's (user, day) chunking, this needs no natural chunk key:
+    * the RANGE EXCHANGE is the chunker, and its sampler splits a hot
+    * source across as many partitions as its mass requires).
+    *
+    * Plan: range-repartition on the FULL sort key (source, n_chars,
+    * doc_id) + in-partition sort, so the global sorted order is
+    * "partition id, then position". `monotonically_increasing_id`
+    * encodes exactly that (partition id ≪ 33 | record position), so
+    * rk = cross-partition offset of (source, pid) + in-partition
+    * position − first position of (source, pid) + 1. The offset/min
+    * table has ≤ #sources + numPartitions − 1 rows (ranges are
+    * contiguous, so Σ per-partition distinct sources telescopes) — a
+    * node-sized side table whatever the corpus size; its prefix-sum
+    * window partitions are each ≤ numPartitions rows.
+    *
+    * The sorted frame feeds two consumers (the offset aggregate and
+    * the rank join), and `monotonically_increasing_id` is only
+    * meaningful if both see the SAME partition boundaries — the range
+    * sampler is nondeterministic across evaluations, so the frame is
+    * `localCheckpoint`ed (the [[graft.operators.Graph.triangleCounts]]
+    * double-scan discipline; linear in the three pruned columns).
+    * Exactness needs no tie handling: doc_id makes the sort key unique.
+    *
+    * Contract: `source` must be non-null (the fixture invariant) — the
+    * stitch join is an equi-join, so a null source would drop rows the
+    * dense window keeps. Unlike dense, rows are NOT emitted in window
+    * order; callers that need order sort downstream (all three
+    * registry users aggregate or re-sort anyway).
+    *
+    * Cost on even data: one range exchange (sampling pass + shuffle) +
+    * checkpoint + one small-table join — the routed family's usual
+    * bookkeeping tax (measured 1.8× wall on an even 10M-row corpus,
+    * SKEW_r11_hotsrc.json), paid only above the probe threshold; at a
+    * 4M-row hot source it wins wall 1.6× and max task 5.1×. */
+  def sourceLengthRanksRange(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = docs
+      .repartitionByRange(parts, col("source"), col("n_chars"), col("doc_id"))
+      .sortWithinPartitions("source", "n_chars", "doc_id")
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftrightunsigned(col("mid"), 33))
+      .withColumn("seq", col("mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("mid")
+      .localCheckpoint()
+    val offs = sorted.groupBy("pid", "source")
+      .agg(count(lit(1)).as("cnt"), min("seq").as("mseq"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.partitionBy("source").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "source", "mseq", "off")
+    sorted.join(offs, Seq("pid", "source"))
+      .withColumn("rk", col("off") + (col("seq") - col("mseq")) + lit(1L))
+      .drop("pid", "seq", "mseq", "off")
+  }
+
+  /** Estimated row count of the hottest SOURCE, from the same
+    * deterministic hash sample as
+    * [[graft.operators.Advanced.hottestKeyRows]] (struct includes
+    * doc_id so the sample stays per-row uniform). One scan + a
+    * map-side-combined count; the driver reads ONE row. */
+  def hottestSourceRows(docs: DataFrame, sampleMod: Int = 100): Long = {
+    val est = docs
+      .where(pmod(hash(struct(col("source"), col("doc_id"))),
+        lit(sampleMod)) === 0)
+      .groupBy("source").count()
+      .agg(max("count")).first()
+    if (est.isNullAt(0)) 0L else est.getLong(0) * sampleMod
+  }
+
+  /** Process-wide probe memo, keyed by caller-chosen key (the registry
+    * passes the fixture dir) — q135/q141/q144 over the same corpus pay
+    * ONE probe scan per JVM. Same contract as Advanced.hotKeyProbeCache. */
+  private val srcProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
+
+  /** [[hottestSourceRows]] through the process-wide memo. */
+  def hottestSourceRowsCached(docs: DataFrame, cacheKey: String,
+                              sampleMod: Int = 100): Long =
+    srcProbeCache.computeIfAbsent((cacheKey, sampleMod),
+      _ => java.lang.Long.valueOf(hottestSourceRows(docs, sampleMod)))
+      .longValue()
+
+  /** [[sourceLengthRanks]] vs [[sourceLengthRanksRange]] by measured
+    * source skew — the events family's
+    * [[graft.operators.Advanced.routeBySkew]] pattern on the documents
+    * axis. Threshold default reuses the family's measured 2.5M-row
+    * crossover ([[graft.operators.Advanced.defaultHotKeyRowThreshold]]):
+    * the cost structure matches (dense max task linear in hot-key rows
+    * over a 2–3-column payload vs flat range-exchange bookkeeping; at
+    * a 4M-row hot source the range plan wins wall AND max task — see
+    * the SKEW_r11 hot-source addendum). Both plans produce identical
+    * rows (unique sort key ⇒ one valid rank assignment; parity pinned
+    * in TextPipelineSpec), so routing never changes results. */
+  def sourceLengthRanksAuto(docs: DataFrame,
+                            hotSourceRowThreshold: Long =
+                              Advanced.defaultHotKeyRowThreshold,
+                            sampleMod: Int = 100,
+                            probeCacheKey: Option[String] = None): DataFrame = {
+    val hot = probeCacheKey match {
+      case Some(k) => hottestSourceRowsCached(docs, k, sampleMod)
+      case None    => hottestSourceRows(docs, sampleMod)
+    }
+    if (hot >= hotSourceRowThreshold) sourceLengthRanksRange(docs)
+    else sourceLengthRanks(docs)
+  }
+
   /** q135: quantile normalization across sources — the microarray-
     * normalization classic applied to corpus curation: force every
     * source's score distribution onto the shared shape by replacing
@@ -2879,10 +3004,10 @@ object TextPipeline {
       |      FROM v GROUP BY rk)
       |SELECT v.doc_id, v.source, v.n_chars, ROUND(m.qv, 4) AS qnorm
       |FROM v JOIN m ON v.rk = m.rk ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    val v = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rk", row_number().over(w))
+    val v = sourceLengthRanksAuto(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      probeCacheKey = Some(d))
     val m = v.groupBy("rk").agg(avg(col("n_chars").cast("double")).as("qv"))
     v.join(m, Seq("rk"))
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -3118,10 +3243,10 @@ object TextPipeline {
       |  r.rk AS rk
       |FROM r JOIN s ON r.source = s.source CROSS JOIN k
       |ORDER BY pos LIMIT 100""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    val r = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val r = sourceLengthRanksAuto(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      probeCacheKey = Some(d))
     val srcs = Tables.documents(s, d).select("source").distinct()
       .withColumn("sidx",
         row_number().over(Window.orderBy("source")).cast("long"))
@@ -3157,9 +3282,9 @@ object TextPipeline {
       |  ROUND((2.0 * SUM(rk * n_chars) - (COUNT(*) + 1) * SUM(n_chars))
       |        / (COUNT(*) * SUM(n_chars)), 4) AS gini
       |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    Tables.documents(s, d).select("source", "doc_id", "n_chars")
-      .withColumn("rk", row_number().over(w).cast("long"))
+    sourceLengthRanksAuto(
+      Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+      probeCacheKey = Some(d))
       .groupBy("source").agg(
         count(lit(1)).as("n"),
         sum("n_chars").as("sx"),

@@ -252,4 +252,54 @@ class TextPipelineSpec extends SparkSpec {
         s"doc ${2 * c}: $got fps < floor ${(nw + w - 1) / w}")
     }
   }
+
+  test("sourceLengthRanksRange == dense window rank row-for-row on the " +
+    "fixture corpus (ties included)") {
+    // q135/q141/q144's shared rank: the skew-safe range form must equal
+    // the window form on REAL data — n_chars ties inside a source are
+    // the interesting case (broken by doc_id; the range exchange may
+    // split a tie run across partitions).
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk").collect().toSeq
+    assert(rows(TextPipeline.sourceLengthRanksRange(docs)) ==
+      rows(TextPipeline.sourceLengthRanks(docs)))
+  }
+
+  test("sourceLengthRanksAuto: measured source skew picks the plan; " +
+    "rows identical either way") {
+    import spark.implicits._
+    // skewed: one source owns 30 rows (with n_chars ties); uniform: 6x2
+    val skewed = ((1 to 30).map(i => (i.toLong, "hot", 10L + i % 3)) :+
+      ((100L, "cold", 5L))).toDF("doc_id", "source", "n_chars")
+    val uniform = (1 to 6).flatMap(s => Seq(
+      (s * 10L, s"s$s", 3L), (s * 10L + 1, s"s$s", 4L)))
+      .toDF("doc_id", "source", "n_chars")
+    // sampleMod=1 keeps every row -> the probe is exact, no variance
+    assert(TextPipeline.hottestSourceRows(skewed, sampleMod = 1) == 30L)
+    assert(TextPipeline.hottestSourceRows(uniform, sampleMod = 1) == 2L)
+    val autoSk = TextPipeline.sourceLengthRanksAuto(skewed,
+      hotSourceRowThreshold = 10, sampleMod = 1)
+    val autoUn = TextPipeline.sourceLengthRanksAuto(uniform,
+      hotSourceRowThreshold = 10, sampleMod = 1)
+    // plan choice: the range form stitches through its mseq/off side
+    // table (the checkpoint hides monotonically_increasing_id behind a
+    // LogicalRDD); the dense form is a plain row_number window
+    assert(autoSk.queryExecution.analyzed.toString.contains("mseq"))
+    assert(!autoUn.queryExecution.analyzed.toString.contains("mseq"))
+    assert(autoUn.queryExecution.analyzed.toString.contains("row_number"))
+    // and BOTH choices produce exactly the dense plan's rows
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk").collect().toSeq
+    assert(rows(autoSk) == rows(TextPipeline.sourceLengthRanks(skewed)))
+    assert(rows(autoUn) == rows(TextPipeline.sourceLengthRanks(uniform)))
+    // empty input: probe returns 0, dense plan, no NPE
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_chars")
+    assert(TextPipeline.hottestSourceRows(empty, sampleMod = 1) == 0L)
+    assert(TextPipeline.sourceLengthRanksAuto(empty).collect().isEmpty)
+  }
 }
