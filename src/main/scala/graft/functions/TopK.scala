@@ -84,3 +84,39 @@ final class TopKRows(k: Int)
   def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** [[TopKRows]] with a STRING payload key — same bounded-partial-state
+  * contract under the total order (value DESC, key ASC lexicographic);
+  * total whenever `key` is unique within the group (q68's per-source
+  * distinct words). Counts passed as the Double value stay exact below
+  * 2⁵³. A sibling class rather than a generic because `Aggregator`
+  * needs concrete `ExpressionEncoder`s per payload type. */
+final class TopKRowsStr(k: Int)
+  extends Aggregator[(Double, String), List[(Double, String)], Seq[(Double, String)]] {
+  def zero: List[(Double, String)] = Nil
+
+  private def better(a: (Double, String), b: (Double, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: List[(Double, String)],
+                     x: (Double, String)): List[(Double, String)] =
+    if (buf.length < k) (x :: buf).sortWith((a, b) => better(b, a))
+    else if (better(x, buf.head)) (x :: buf.tail).sortWith((a, b) => better(b, a))
+    else buf
+
+  def reduce(buf: List[(Double, String)],
+             x: (Double, String)): List[(Double, String)] = insert(buf, x)
+
+  def merge(a: List[(Double, String)],
+            b: List[(Double, String)]): List[(Double, String)] =
+    b.foldLeft(a)(insert)
+
+  /** Final output: best-first — position i IS the window's rn = i + 1. */
+  def finish(buf: List[(Double, String)]): Seq[(Double, String)] =
+    buf.sortWith(better)
+
+  def bufferEncoder: Encoder[List[(Double, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, String)]]()
+  def outputEncoder: Encoder[Seq[(Double, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
+}

@@ -1442,8 +1442,17 @@ object TextPipeline {
   /** q68: term vector per host — the last of the six canonical
     * MapReduce workloads (MRPAPER §2.3: "Term-Vector per Host": the
     * most frequent terms per document source). groupBy(source, word)
-    * hash-agg with map-side combine, then a window top-5 per source —
-    * the same one-shuffle-plus-bounded-window shape as q20. */
+    * hash-agg with map-side combine, then top-5 per source.
+    *
+    * r11: the top-5 was a ROW_NUMBER window over the per-source
+    * vocabulary — one source's whole vocabulary in ONE task (the q20
+    * class: at 100 TB a crawl's biggest domain can carry a 10⁸-word
+    * vocabulary). Replaced by the q20 cure: a bounded
+    * [[graft.functions.TopKRowsStr]] partial+final hash aggregate ships
+    * ≤5 (cnt, word) pairs per source per map partition and never sorts;
+    * (cnt DESC, word ASC) is total (words are distinct per source after
+    * the count agg), so rows are bit-identical to the window's rn ≤ 5
+    * (counts exact as doubles below 2⁵³). */
   val q68_term_vectors = QueryDef(
     "q68_term_vectors",
     """WITH w AS (
@@ -1457,12 +1466,15 @@ object TextPipeline {
       |      FROM c)
       |SELECT source, word, cnt, rn FROM r WHERE rn <= 5
       |ORDER BY source, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))
+    val top5 = udaf(new graft.functions.TopKRowsStr(5))
     Text.tokens(Tables.documents(s, d), "source")
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 5)
-      .select("source", "word", "cnt", "rn")
+      .groupBy("source")
+      .agg(top5(col("cnt").cast("double"), col("word")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("source"), col("r._2").as("word"),
+        col("r._1").cast("long").as("cnt"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("source", "rn")
   }
 

@@ -104,6 +104,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(got == wantDf.collect().toSeq)
   }
 
+  test("Q68 top-5-terms-per-source is a bounded hash aggregate — no " +
+    "window, no per-group sort (r11 TopKRowsStr plan)") {
+    // Same cure as q20: the per-source vocabulary never lands in one
+    // window task; ≤5 (cnt, word) pairs per source per map partition.
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    import graft.operators.TextPipeline
+    val p = plan(TextPipeline.q68_term_vectors)
+    assert(!p.contains("Window"), "q68 regressed to a window plan")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "q68's top-k should be an aggregate")
+    // and it still produces the window's exact rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("word"))
+    val wantDf = graft.functions.Text
+      .tokens(Tables.documents(spark, sf0001), "source")
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "word", "cnt", "rn")
+      .orderBy("source", "rn")
+    val got = TextPipeline.q68_term_vectors.build(spark, sf0001)
+      .collect().toSeq
+    assert(got == wantDf.collect().toSeq)
+  }
+
   test("Q18 EXISTS/NOT EXISTS become semi/anti joins, not subquery loops") {
     val p = plan(Relational.q18_semi_anti)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
