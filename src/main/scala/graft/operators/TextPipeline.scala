@@ -652,7 +652,15 @@ object TextPipeline {
     * a content hash (NOT rand(): re-runs and engines agree bit-for-bit)
     * and keep the first 10. The standard deterministic-subset trick for
     * training-data pipelines: the sample is a pure function of the data,
-    * so a 100 TB re-run (or a different engine) selects the same docs. */
+    * so a 100 TB re-run (or a different engine) selects the same docs.
+    *
+    * r11: bottom-10-per-lang was a ROW_NUMBER window — one language's
+    * whole corpus in ONE task (at 100 TB `en` owns most of a crawl; the
+    * q20/q68 class). Now a bounded [[graft.functions.TopKRows]]
+    * partial+final hash aggregate over the NEGATED hash bucket (top-10
+    * of (−hb DESC, doc_id ASC) ≡ bottom-10 of (hb ASC, doc_id ASC), a
+    * total order), shipping ≤10 pairs per lang per map partition —
+    * rows bit-identical to the window's rn ≤ 10. */
   val q49_stratified_sample = QueryDef(
     "q49_stratified_sample",
     """WITH h AS (
@@ -667,12 +675,16 @@ object TextPipeline {
       |      FROM h)
       |SELECT lang, doc_id, hb, rn FROM r WHERE rn <= 10
       |ORDER BY lang, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("lang").orderBy("hb", "doc_id")
+    val bottom10 = udaf(new graft.functions.TopKRows(10))
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         (Text.polyHash(col("text"), 13L) % 1000L).as("hb"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 10)
+      .groupBy("lang")
+      .agg(bottom10((-col("hb")).cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("lang"), col("r._2").as("doc_id"),
+        (-col("r._1")).cast("long").as("hb"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("lang", "rn")
   }
 
@@ -881,11 +893,17 @@ object TextPipeline {
 
   /** q56: token-budget shard packing — assign each doc (per lang, in
     * doc_id order) to the training shard its running token count starts
-    * in. The sequence-packing step of a training-data pipeline as one
-    * window cumsum: a single shuffle by lang. At real scale lang is too
-    * coarse a partition key (skew) — production would pack per
-    * (lang, hash bucket); the per-lang form keeps the DuckDB oracle
-    * exact. */
+    * in. The sequence-packing step of a training-data pipeline as a
+    * per-lang cumsum.
+    *
+    * r11: the old note "at real scale lang is too coarse a partition
+    * key — production would pack per (lang, hash bucket)" retires: the
+    * builder now routes between the dense window cumsum (even langs)
+    * and [[RangeStitch.withRangePrefixSum]] (a hot language is split
+    * across partitions by the range exchange and stitched through
+    * per-(partition, lang) sum offsets — EXACT, same rows), by the
+    * measured hottest-lang probe. The probe runs on the pruned
+    * (doc_id, lang) projection so it never pays the tokenizer. */
   val q56_shard_pack = QueryDef(
     "q56_shard_pack",
     """WITH t AS (
@@ -901,12 +919,21 @@ object TextPipeline {
       |SELECT doc_id, lang, n_tok,
       |  CAST(FLOOR((cum - n_tok) / 500.0) AS BIGINT) AS shard
       |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(wordsCol).cast("long").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+    val hot = RangeStitch.hottestKeyRowsCached(
+      Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id", d)
+    val cum =
+      if (hot >= Advanced.defaultHotKeyRowThreshold)
+        RangeStitch.withRangePrefixSum(base, "lang", Seq("doc_id"),
+          "n_tok", "cum")
+      else {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("cum", sum("n_tok").over(w))
+      }
+    cum
       .select(col("doc_id"), col("lang"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / lit(500.0)).cast("long").as("shard"))
       .orderBy("lang", "doc_id")
@@ -1534,12 +1561,27 @@ object TextPipeline {
       |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r
       |WHERE rn <= CEIL(total * (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END))
       |ORDER BY lang, rn""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
-    Tables.documents(s, d)
+    // r11: the per-lang ROW_NUMBER + COUNT windows put one language's
+    // whole corpus in ONE task (the q49/q56 class) — routed between the
+    // dense window pair and RangeStitch's exact range rank + a lang-
+    // keyed total join (AQE broadcasts the node-sized totals; the probe
+    // runs on the pruned projection, never paying polyHash).
+    val h = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         Text.polyHash(col("text"), 17L).as("hk"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("total", count(lit(1)).over(Window.partitionBy("lang")))
+    val hot = RangeStitch.hottestKeyRowsCached(
+      Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id", d)
+    val ranked =
+      if (hot >= Advanced.defaultHotKeyRowThreshold) {
+        val rk = RangeStitch.withRangeRank(h, "lang", Seq("hk", "doc_id"),
+          "rn")
+        rk.join(rk.groupBy("lang").agg(count(lit(1)).as("total")), Seq("lang"))
+      } else {
+        val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+        h.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("total", count(lit(1)).over(Window.partitionBy("lang")))
+      }
+    ranked
       .where(col("rn") <= ceil(col("total") *
         when(col("lang") === "en", 0.5).otherwise(0.25)))
       .select("lang", "doc_id", "rn")
@@ -2883,114 +2925,39 @@ object TextPipeline {
         Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .cast("long"))
 
-  /** Skew-safe EXACT per-source length rank via range partitioning —
-    * no per-source task ever sees more than ~1/numPartitions of the
-    * corpus, whatever the source distribution (unlike the events
-    * family's (user, day) chunking, this needs no natural chunk key:
-    * the RANGE EXCHANGE is the chunker, and its sampler splits a hot
-    * source across as many partitions as its mass requires).
-    *
-    * Plan: range-repartition on the FULL sort key (source, n_chars,
-    * doc_id) + in-partition sort, so the global sorted order is
-    * "partition id, then position". `monotonically_increasing_id`
-    * encodes exactly that (partition id ≪ 33 | record position), so
-    * rk = cross-partition offset of (source, pid) + in-partition
-    * position − first position of (source, pid) + 1. The offset/min
-    * table has ≤ #sources + numPartitions − 1 rows (ranges are
-    * contiguous, so Σ per-partition distinct sources telescopes) — a
-    * node-sized side table whatever the corpus size; its prefix-sum
-    * window partitions are each ≤ numPartitions rows.
-    *
-    * The sorted frame feeds two consumers (the offset aggregate and
-    * the rank join), and `monotonically_increasing_id` is only
-    * meaningful if both see the SAME partition boundaries — the range
-    * sampler is nondeterministic across evaluations, so the frame is
-    * `localCheckpoint`ed (the [[graft.operators.Graph.triangleCounts]]
-    * double-scan discipline; linear in the three pruned columns).
-    * Exactness needs no tie handling: doc_id makes the sort key unique.
-    *
-    * Contract: `source` must be non-null (the fixture invariant) — the
-    * stitch join is an equi-join, so a null source would drop rows the
-    * dense window keeps. Unlike dense, rows are NOT emitted in window
-    * order; callers that need order sort downstream (all three
-    * registry users aggregate or re-sort anyway).
-    *
-    * Cost on even data: one range exchange (sampling pass + shuffle) +
-    * checkpoint + one small-table join — the routed family's usual
-    * bookkeeping tax (measured 1.8× wall on an even 10M-row corpus,
-    * SKEW_r11_hotsrc.json), paid only above the probe threshold; at a
-    * 4M-row hot source it wins wall 1.6× and max task 5.1×. */
-  def sourceLengthRanksRange(docs: DataFrame): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = docs
-      .repartitionByRange(parts, col("source"), col("n_chars"), col("doc_id"))
-      .sortWithinPartitions("source", "n_chars", "doc_id")
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftrightunsigned(col("mid"), 33))
-      .withColumn("seq", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("mid")
-      .localCheckpoint()
-    val offs = sorted.groupBy("pid", "source")
-      .agg(count(lit(1)).as("cnt"), min("seq").as("mseq"))
-      .withColumn("off", coalesce(
-        sum("cnt").over(Window.partitionBy("source").orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "source", "mseq", "off")
-    sorted.join(offs, Seq("pid", "source"))
-      .withColumn("rk", col("off") + (col("seq") - col("mseq")) + lit(1L))
-      .drop("pid", "seq", "mseq", "off")
-  }
+  /** Skew-safe EXACT per-source length rank — [[RangeStitch.withRangeRank]]
+    * on (source | n_chars, doc_id): the range exchange is the chunker,
+    * so no per-source task ever sees more than ~1/numPartitions of the
+    * corpus whatever the source distribution. Measured (SKEW_r11_hotsrc
+    * .json): at a 4M-row hot source it wins wall 1.6× and max task 5.1×
+    * over the dense window; on even data it costs 1.8× — which is why
+    * the registry routes through [[sourceLengthRanksAuto]]. Full
+    * derivation and contracts (non-null key, unique sort key, unordered
+    * output) in [[RangeStitch]]'s scaladoc. */
+  def sourceLengthRanksRange(docs: DataFrame): DataFrame =
+    RangeStitch.withRangeRank(docs, "source", Seq("n_chars", "doc_id"))
 
-  /** Estimated row count of the hottest SOURCE, from the same
-    * deterministic hash sample as
-    * [[graft.operators.Advanced.hottestKeyRows]] (struct includes
-    * doc_id so the sample stays per-row uniform). One scan + a
-    * map-side-combined count; the driver reads ONE row. */
-  def hottestSourceRows(docs: DataFrame, sampleMod: Int = 100): Long = {
-    val est = docs
-      .where(pmod(hash(struct(col("source"), col("doc_id"))),
-        lit(sampleMod)) === 0)
-      .groupBy("source").count()
-      .agg(max("count")).first()
-    if (est.isNullAt(0)) 0L else est.getLong(0) * sampleMod
-  }
-
-  /** Process-wide probe memo, keyed by caller-chosen key (the registry
-    * passes the fixture dir) — q135/q141/q144 over the same corpus pay
-    * ONE probe scan per JVM. Same contract as Advanced.hotKeyProbeCache. */
-  private val srcProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
-
-  /** [[hottestSourceRows]] through the process-wide memo. */
-  def hottestSourceRowsCached(docs: DataFrame, cacheKey: String,
-                              sampleMod: Int = 100): Long =
-    srcProbeCache.computeIfAbsent((cacheKey, sampleMod),
-      _ => java.lang.Long.valueOf(hottestSourceRows(docs, sampleMod)))
-      .longValue()
+  /** Estimated row count of the hottest SOURCE —
+    * [[RangeStitch.hottestKeyRows]] probing `source` (doc_id keeps the
+    * hash sample per-row uniform). */
+  def hottestSourceRows(docs: DataFrame, sampleMod: Int = 100): Long =
+    RangeStitch.hottestKeyRows(docs, "source", "doc_id", sampleMod)
 
   /** [[sourceLengthRanks]] vs [[sourceLengthRanksRange]] by measured
-    * source skew — the events family's
-    * [[graft.operators.Advanced.routeBySkew]] pattern on the documents
-    * axis. Threshold default reuses the family's measured 2.5M-row
-    * crossover ([[graft.operators.Advanced.defaultHotKeyRowThreshold]]):
-    * the cost structure matches (dense max task linear in hot-key rows
-    * over a 2–3-column payload vs flat range-exchange bookkeeping; at
-    * a 4M-row hot source the range plan wins wall AND max task — see
-    * the SKEW_r11 hot-source addendum). Both plans produce identical
-    * rows (unique sort key ⇒ one valid rank assignment; parity pinned
-    * in TextPipelineSpec), so routing never changes results. */
+    * source skew — [[RangeStitch.routeBySkew]] on the documents axis;
+    * q135/q141/q144 route through this with the fixture dir as
+    * `probeCacheKey` (ONE probe scan per corpus per JVM). Both plans
+    * produce identical rows (unique sort key ⇒ one valid rank
+    * assignment; parity pinned in TextPipelineSpec), so routing never
+    * changes results. */
   def sourceLengthRanksAuto(docs: DataFrame,
                             hotSourceRowThreshold: Long =
                               Advanced.defaultHotKeyRowThreshold,
                             sampleMod: Int = 100,
-                            probeCacheKey: Option[String] = None): DataFrame = {
-    val hot = probeCacheKey match {
-      case Some(k) => hottestSourceRowsCached(docs, k, sampleMod)
-      case None    => hottestSourceRows(docs, sampleMod)
-    }
-    if (hot >= hotSourceRowThreshold) sourceLengthRanksRange(docs)
-    else sourceLengthRanks(docs)
-  }
+                            probeCacheKey: Option[String] = None): DataFrame =
+    RangeStitch.routeBySkew(docs, "source", "doc_id",
+      sourceLengthRanks, sourceLengthRanksRange,
+      hotSourceRowThreshold, sampleMod, probeCacheKey)
 
   /** q135: quantile normalization across sources — the microarray-
     * normalization classic applied to corpus curation: force every
