@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Advanced
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Advanced, RangeStitch, TextPipeline}
 
 /** Dense-vs-chunked parity harness for the routed events-window family
   * (VERDICT r10 #3): the registry's auto-routing picks the DENSE plan on
@@ -12,6 +15,10 @@ import graft.operators.Advanced
   * point it at `local-cluster[2,8,2048]` (SPARK_GRAFT_MASTER) to prove
   * the stitch survives real serialization + network shuffle, not just
   * one local[n] heap.
+  *
+  * Late-r11 additions: the three document-side RangeStitch pairs
+  * (per-source length rank, per-lang rank, per-lang prefix sum) —
+  * same rationale, the ranged arms only run above the skew threshold.
   *
   * Usage: ChunkedParity <sfDir> [operator...]  → one OK/DIFF line per
   * pair + a final JSON line; exits non-zero on any DIFF.
@@ -48,7 +55,29 @@ object ChunkedParity {
         Advanced.rollingMedianChunked(ev)),
       ("twap", Advanced.twap(ev), Advanced.twapChunked(ev)),
       ("seqPattern", Advanced.seqPattern(ev), Advanced.seqPatternChunked(ev)),
-      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev)))
+      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev))) ++ {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val ordered = Seq("doc_id", "source", "lang", "n_chars", "rk")
+      val cumCols = Seq("doc_id", "source", "lang", "n_chars", "cum")
+      Seq(
+        ("sourceRank",
+          TextPipeline.sourceLengthRanks(docs).select(ordered.map(col): _*),
+          TextPipeline.sourceLengthRanksRange(docs).select(ordered.map(col): _*)),
+        ("langRank",
+          docs.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+            .cast("long")).select(ordered.map(col): _*),
+          RangeStitch.withRangeRank(docs, "lang", Seq("n_chars", "doc_id"))
+            .select(ordered.map(col): _*)),
+        ("langPrefixSum",
+          docs.withColumn("cum", sum("n_chars").over(
+            Window.partitionBy("lang").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .select(cumCols.map(col): _*),
+          RangeStitch.withRangePrefixSum(docs, "lang", Seq("doc_id"),
+            "n_chars", "cum").select(cumCols.map(col): _*)))
+    }
 
     var bad = 0
     val results = pairs
