@@ -122,15 +122,25 @@ object RangeStitch {
       _ => java.lang.Long.valueOf(hottestKeyRows(df, key, idCol, sampleMod)))
       .longValue()
 
+  /** Measured crossover for THIS kernel (CROSSOVER_r11_rank.json: hot
+    * key at 0.5M/1M/2M/4M rows over 10M docs, quiet box): the dense
+    * window's wall grows linearly with the hot key (1.77/2.41/3.81/
+    * 6.98 s, max task 1.14/1.69/3.26/6.29) while the range plan is flat
+    * bookkeeping (walls 3.3–4.3 s, max task ~1.0–1.3 s throughout) —
+    * walls cross EXACTLY at 2M, where the range plan's max task is
+    * already 2.5× better. 2M is therefore the routing default (the
+    * events family's 2.5M is the same measurement made on sessionize;
+    * this kernel's own ladder sits a touch lower). */
+  val defaultHotKeyRowThreshold: Long = 2000000L
+
   /** Route a dense-window builder vs its range-stitch twin by measured
     * key skew ([[Advanced.routeBySkew]]'s shape, generalized to any
-    * key column). Threshold default is the family's measured 2.5M-row
-    * crossover. */
+    * key column). Threshold default is [[defaultHotKeyRowThreshold]],
+    * this kernel's own measured crossover. */
   def routeBySkew(df: DataFrame, key: String, idCol: String,
                   dense: DataFrame => DataFrame,
                   ranged: DataFrame => DataFrame,
-                  hotKeyRowThreshold: Long =
-                    Advanced.defaultHotKeyRowThreshold,
+                  hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                   sampleMod: Int = 100,
                   probeCacheKey: Option[String] = None): DataFrame = {
     val hot = probeCacheKey match {

@@ -925,7 +925,7 @@ object TextPipeline {
     val hot = RangeStitch.hottestKeyRowsCached(
       Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id", d)
     val cum =
-      if (hot >= Advanced.defaultHotKeyRowThreshold)
+      if (hot >= RangeStitch.defaultHotKeyRowThreshold)
         RangeStitch.withRangePrefixSum(base, "lang", Seq("doc_id"),
           "n_tok", "cum")
       else {
@@ -1572,7 +1572,7 @@ object TextPipeline {
     val hot = RangeStitch.hottestKeyRowsCached(
       Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id", d)
     val ranked =
-      if (hot >= Advanced.defaultHotKeyRowThreshold) {
+      if (hot >= RangeStitch.defaultHotKeyRowThreshold) {
         val rk = RangeStitch.withRangeRank(h, "lang", Seq("hk", "doc_id"),
           "rn")
         rk.join(rk.groupBy("lang").agg(count(lit(1)).as("total")), Seq("lang"))
@@ -2952,7 +2952,7 @@ object TextPipeline {
     * changes results. */
   def sourceLengthRanksAuto(docs: DataFrame,
                             hotSourceRowThreshold: Long =
-                              Advanced.defaultHotKeyRowThreshold,
+                              RangeStitch.defaultHotKeyRowThreshold,
                             sampleMod: Int = 100,
                             probeCacheKey: Option[String] = None): DataFrame =
     RangeStitch.routeBySkew(docs, "source", "doc_id",
