@@ -44,6 +44,10 @@ object ChunkedParity {
     val delta = 3L * 24 * 3600 * 1000000
     val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("sessionize", Advanced.sessionize(ev), Advanced.sessionizeChunked(ev)),
+      // rowsPerChunk=64 forces many stitched count-chunks per user at
+      // any fixture size (the late-r11 single-day-flood escalation tier)
+      ("sessionizeCount", Advanced.sessionize(ev),
+        Advanced.sessionizeCountChunked(ev, rowsPerChunk = 64L)),
       ("funnelDepth", Advanced.funnelDepth(ev),
         Advanced.funnelDepthChunked(ev)),
       ("funnelDepths", Advanced.funnelDepths(ev, delta),

@@ -479,12 +479,47 @@ object Advanced {
   /** The q158 plan as a library function: skew-safe chunked
     * sessionization — max task bounded by rows-per-user-DAY, ~2× the
     * dense plan's wall on even data (see BASELINE). Output schema and
-    * rows identical to [[sessionize]]. */
+    * rows identical to [[sessionize]]. A SINGLE-DAY flood (one user,
+    * millions of rows, one day) collapses the day chunk back into one
+    * task — [[sessionizeCountChunked]] is the escalation tier
+    * ([[sessionizeAuto]] routes to it on a measured hot user-DAY). */
   def sessionizeChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk
-    val ev = events
+    sessionizeFromChunks(events
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("chunk", floor(col("us") / chunkUs))
+      .withColumn("chunk", floor(col("us") / chunkUs)))
+  }
+
+  /** [[sessionizeChunked]] with COUNT-based chunks: chunk =
+    * ⌊(rank−1)/rowsPerChunk⌋ over the skew-safe
+    * [[RangeStitch.withRangeRank]] per-user (ts, event_id) position —
+    * so EVERY chunk holds ≤ rowsPerChunk rows whatever the time
+    * distribution. The day-chunk form's residual assumption
+    * (rows-per-user-DAY bounded) fails on a single-day flood — at a
+    * 4M-row one-day hot user its max tasks measured 10–17 s
+    * (SKEW_r11_dayflood.json); this form bounds them by construction.
+    * The stitch algebra is unchanged: it only assumes chunks partition
+    * each user's timeline in (ts, event_id) order, which rank-order
+    * chunks do by construction (us = unix_micros(ts) is order- and
+    * tie-equivalent to ts at the micros precision the fixture
+    * contract pins). Costs one extra range exchange + checkpoint over
+    * the day form — the escalation tier's price, paid only above the
+    * [[sessionizeAuto]] user-day probe threshold. */
+  def sessionizeCountChunked(events: DataFrame,
+                             rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    sessionizeFromChunks(
+      ranked.withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+        .drop("rk"))
+  }
+
+  /** Shared stitch body of the two chunked forms: expects
+    * (user_id, event_id, ts, us, chunk) where chunks partition each
+    * user's (ts, event_id)-ordered timeline into consecutive groups. */
+  private def sessionizeFromChunks(ev: DataFrame): DataFrame = {
     val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     val cum2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
@@ -565,6 +600,29 @@ object Advanced {
       _ => java.lang.Long.valueOf(hottestKeyRows(events, sampleMod)))
       .longValue()
 
+  /** Estimated row count of the hottest (user, event-time DAY) pair —
+    * the day-chunk tier's residual-exposure probe (same hash sample as
+    * [[hottestKeyRows]], grouped one level finer). Only consulted
+    * AFTER the hot-user probe has already routed away from the dense
+    * plan, so even-keyed corpora never pay this scan. */
+  def hottestUserDayRows(events: DataFrame, sampleMod: Int = 100): Long = {
+    val est = events
+      .where(pmod(hash(struct(col("user_id"), col("event_id"), col("ts"))),
+        lit(sampleMod)) === 0)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .count()
+      .agg(max("count")).first()
+    if (est.isNullAt(0)) 0L else est.getLong(0) * sampleMod
+  }
+
+  /** [[hottestUserDayRows]] through the process-wide memo. */
+  def hottestUserDayRowsCached(events: DataFrame, cacheKey: String,
+                               sampleMod: Int = 100): Long =
+    hotKeyProbeCache.computeIfAbsent((cacheKey + "#userday", sampleMod),
+      _ => java.lang.Long.valueOf(hottestUserDayRows(events, sampleMod)))
+      .longValue()
+
   /** Measured-skew crossover default, from the CROSSOVER_r10 ladder
     * (hot user at 0.5M/1M/2M/4M rows over 10M events, sessionize): the
     * dense wall grows with the hot key (3.2/3.7/5.2/15.2 s) while the
@@ -605,14 +663,29 @@ object Advanced {
     if (hot >= hotKeyRowThreshold) chunked(events) else dense(events)
   }
 
-  /** [[sessionize]] vs [[sessionizeChunked]] by measured skew — see
-    * [[routeBySkew]]. The q44 registry entry routes through this. */
+  /** [[sessionize]] vs [[sessionizeChunked]] vs
+    * [[sessionizeCountChunked]] by measured skew — see [[routeBySkew]].
+    * The q44 registry entry routes through this. Three tiers: dense
+    * below the hot-user threshold; day-chunked above it; count-chunked
+    * when the hottest single (user, DAY) ALSO exceeds the
+    * [[RangeStitch.defaultHotKeyRowThreshold]] (the same hot-window
+    * phenomenon one level down — a single-day flood measured 10–17 s
+    * max tasks on the day-chunk form, SKEW_r11_dayflood.json). The
+    * user-day probe runs lazily, only after tier 1 has already routed
+    * away from dense. */
   def sessionizeAuto(events: DataFrame,
                      hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                      sampleMod: Int = 100,
                      probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, sessionize, sessionizeChunked,
-      hotKeyRowThreshold, sampleMod, probeCacheKey)
+    routeBySkew(events, sessionize, ev => {
+      val hotDay = probeCacheKey match {
+        case Some(k) => hottestUserDayRowsCached(ev, k, sampleMod)
+        case None    => hottestUserDayRows(ev, sampleMod)
+      }
+      if (hotDay >= RangeStitch.defaultHotKeyRowThreshold)
+        sessionizeCountChunked(ev)
+      else sessionizeChunked(ev)
+    }, hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** [[funnelDepth]] vs [[funnelDepthChunked]] by measured skew — see
     * [[routeBySkew]]. The q62 registry entry routes through this. */

@@ -350,6 +350,65 @@ class AdvancedSpec extends SparkSpec {
     assert(Advanced.sessionizeAuto(empty).collect().isEmpty)
   }
 
+  test("sessionizeCountChunked == dense sessionize: tiny chunks force " +
+    "session-spanning chunk boundaries; fixture corpus parity") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // one user, one DAY (the day-chunk form's blind spot): sessions of
+    // 4+3 rows with a 40-min gap; rowsPerChunk=3 forces boundaries both
+    // INSIDE a session (rows 3|4) and right at the session break
+    val flood = (Seq(
+      (1L, 1L, t("2024-03-01 10:00:00")), (1L, 2L, t("2024-03-01 10:05:00")),
+      (1L, 3L, t("2024-03-01 10:10:00")), (1L, 4L, t("2024-03-01 10:15:00")),
+      (1L, 5L, t("2024-03-01 11:00:00")), (1L, 6L, t("2024-03-01 11:10:00")),
+      (1L, 7L, t("2024-03-01 11:20:00"))) ++
+      // second user with equal timestamps (tie-break by event_id spans
+      // a chunk boundary too)
+      (1 to 5).map(i => (2L, 10L + i, t("2024-03-02 09:00:00"))))
+      .toDF("user_id", "event_id", "ts")
+    for (n <- Seq(1L, 2L, 3L, 100L)) {
+      assert(Advanced.sessionizeCountChunked(flood, rowsPerChunk = n)
+        .collect().toSeq == Advanced.sessionize(flood).collect().toSeq,
+        s"rowsPerChunk=$n")
+    }
+    // fixture corpus: real timestamps, many users
+    val ev = Tables.events(spark, sf0001)
+    assert(Advanced.sessionizeCountChunked(ev, rowsPerChunk = 64L)
+      .collect().toSeq == Advanced.sessionize(ev).collect().toSeq)
+  }
+
+  test("sessionizeAuto three tiers: dense / day-chunk / count-chunk by " +
+    "the two probes") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // hot user (30 rows) all in ONE day -> tier 3 (count-chunked)
+    val flood = ((1 to 30).map(i =>
+      (1L, i.toLong, t(f"2024-03-01 10:$i%02d:00"))) :+
+      (2L, 100L, t("2024-03-02 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    // hot user (30 rows) spread over 30 days -> tier 2 (day-chunked)
+    val spread = ((1 to 30).map(i =>
+      (1L, i.toLong, t(f"2024-03-${i}%02d 10:00:00"))) :+
+      (2L, 100L, t("2024-04-05 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    assert(Advanced.hottestUserDayRows(flood, sampleMod = 1) == 30L)
+    assert(Advanced.hottestUserDayRows(spread, sampleMod = 1) == 1L)
+    // force tier boundaries low; RangeStitch threshold is fixed at 2M,
+    // so pin tier 3 via the probe value + direct builder parity instead
+    val autoSpread = Advanced.sessionizeAuto(spread, hotKeyRowThreshold = 10,
+      sampleMod = 1)
+    // tier 2: chunk attribute present, no checkpoint LogicalRDD
+    assert(autoSpread.queryExecution.analyzed.toString.contains("chunk"))
+    assert(!autoSpread.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    assert(autoSpread.collect().toSeq ==
+      Advanced.sessionize(spread).collect().toSeq)
+    // tier 3 output parity on the flood stream (the routing constant
+    // is the measured 2M crossover — not reachable by a unit fixture,
+    // so the tier-3 arm is exercised directly)
+    assert(Advanced.sessionizeCountChunked(flood).collect().toSeq ==
+      Advanced.sessionize(flood).collect().toSeq)
+  }
+
   // ------------------------------------------------------------------
   // Round-10 hot-user chunk-stitch rewrites (VERDICT r9 #1): each of
   // q107/q112/q62/q142/q154 now runs on the q158 event-time-day chunk
