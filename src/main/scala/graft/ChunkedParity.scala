@@ -50,6 +50,8 @@ object ChunkedParity {
         Advanced.sessionizeCountChunked(ev, rowsPerChunk = 64L)),
       ("funnelDepth", Advanced.funnelDepth(ev),
         Advanced.funnelDepthChunked(ev)),
+      ("funnelDepthCount", Advanced.funnelDepth(ev),
+        Advanced.funnelDepthCountChunked(ev, rowsPerChunk = 64L)),
       ("funnelDepths", Advanced.funnelDepths(ev, delta),
         Advanced.funnelDepthsChunked(ev, delta)),
       ("transitions", Advanced.transitions(ev),

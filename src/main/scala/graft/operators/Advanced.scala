@@ -688,7 +688,17 @@ object Advanced {
     }, hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** [[funnelDepth]] vs [[funnelDepthChunked]] by measured skew — see
-    * [[routeBySkew]]. The q62 registry entry routes through this. */
+    * [[routeBySkew]]. The q62 registry entry routes through this.
+    *
+    * Deliberately TWO tiers, not three: the sessionize-style count-
+    * chunk escalation was built ([[funnelDepthCountChunked]]) and
+    * MEASURED on the single-day-flood fixture — it made q62 WORSE
+    * (wall 8.7 → 18.2 s): the funnel's per-chunk work is one cheap
+    * integer fold, so its flood max task is only 2.6–4.1 s and the
+    * RangeStitch rank's extra exchange + checkpoint costs more than it
+    * saves. Escalation pays when the per-chunk work is heavy
+    * (sessionize: 11.5 → 1.9 s max task, wall halved) — the measured
+    * applicability boundary, SKEW_r11_dayflood.json. */
   def funnelDepthAuto(events: DataFrame,
                       hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                       sampleMod: Int = 100,
@@ -967,13 +977,43 @@ object Advanced {
     * fold (pinned in AdvancedSpec, incl. cross-midnight stage order). */
   def funnelDepthChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    events
-      .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === "view", 1L)
-          .when(col("event_type") === "click", 2L)
-          .when(col("event_type") === "purchase", 3L)
-          .otherwise(0L).as("code"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+    funnelDepthFromChunks(funnelCoded(events)
+      .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs)))
+  }
+
+  /** [[funnelDepthChunked]] with COUNT-based chunks (the
+    * [[sessionizeCountChunked]] escalation applied to the funnel DFA):
+    * chunk = ⌊(rank−1)/rowsPerChunk⌋ over the skew-safe RangeStitch
+    * per-user position, so BOTH the per-chunk collect_list buffer AND
+    * the scan-local vector fold are bounded by rowsPerChunk for ANY
+    * time distribution (the day form's 4M-struct single-day-flood
+    * buffer measured 2.6–4.1 s max tasks, SKEW_r11_dayflood.json).
+    * The 4-vector composition is split-point-agnostic — it composes
+    * over ANY ordered partition of the user's code sequence — so the
+    * stitch is unchanged. */
+  def funnelDepthCountChunked(events: DataFrame,
+                              rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      funnelCoded(events).withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    funnelDepthFromChunks(
+      ranked.withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+        .drop("rk", "us"))
+  }
+
+  /** The funnel stage coding shared by the chunked forms. */
+  private def funnelCoded(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("code"))
+
+  /** Shared DFA-fold body: expects (user_id, ts, event_id, code, chunk)
+    * where chunks partition each user's (ts, event_id)-ordered stream
+    * into consecutive groups. */
+  private def funnelDepthFromChunks(coded: DataFrame): DataFrame =
+    coded
       .groupBy("user_id", "chunk")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("code")))).as("evs"))
@@ -989,7 +1029,6 @@ object Advanced {
         (acc, c) => element_at(c.getField("vec"), (acc + 1).cast("int")))
         .as("funnel_depth"))
       .orderBy("user_id")
-  }
 
   /** q70: SLIDING window in batch (T2's batch twin — T1 tumbling has
     * q22, T3 session has q44; this closes the last §2.10 row with no

@@ -409,6 +409,34 @@ class AdvancedSpec extends SparkSpec {
       Advanced.sessionize(flood).collect().toSeq)
   }
 
+  test("funnelDepthCountChunked == dense fold: stage sequences split " +
+    "at arbitrary count-chunk boundaries; fixture parity") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // one user, one day: view->click->purchase with distractors, so the
+    // depth only resolves correctly if chunk composition preserves
+    // order across arbitrary split points
+    val flood = Seq(
+      (1L, 1L, t("2024-03-01 10:00:00"), "search"),
+      (1L, 2L, t("2024-03-01 10:01:00"), "view"),
+      (1L, 3L, t("2024-03-01 10:02:00"), "view"),
+      (1L, 4L, t("2024-03-01 10:03:00"), "click"),
+      (1L, 5L, t("2024-03-01 10:04:00"), "search"),
+      (1L, 6L, t("2024-03-01 10:05:00"), "purchase"),
+      (2L, 7L, t("2024-03-01 11:00:00"), "click"), // click before view: depth 0
+      (2L, 8L, t("2024-03-01 11:01:00"), "view"),
+      (3L, 9L, t("2024-03-01 12:00:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    for (n <- Seq(1L, 2L, 4L, 100L)) {
+      assert(Advanced.funnelDepthCountChunked(flood, rowsPerChunk = n)
+        .collect().toSeq == Advanced.funnelDepth(flood).collect().toSeq,
+        s"rowsPerChunk=$n")
+    }
+    val ev = Tables.events(spark, sf0001)
+    assert(Advanced.funnelDepthCountChunked(ev, rowsPerChunk = 64L)
+      .collect().toSeq == Advanced.funnelDepth(ev).collect().toSeq)
+  }
+
   // ------------------------------------------------------------------
   // Round-10 hot-user chunk-stitch rewrites (VERDICT r9 #1): each of
   // q107/q112/q62/q142/q154 now runs on the q158 event-time-day chunk
