@@ -86,7 +86,8 @@ final class TopKRows(k: Int)
 }
 
 /** [[TopKRows]] with a STRING payload key — same bounded-partial-state
-  * contract under the total order (value DESC, key ASC lexicographic);
+  * contract under the total order (value DESC, key ASC in code-point /
+  * UTF-8-binary order, matching Spark's UTF8String window sort);
   * total whenever `key` is unique within the group (q68's per-source
   * distinct words). Counts passed as the Double value stay exact below
   * 2⁵³. A sibling class rather than a generic because `Aggregator`
@@ -95,8 +96,30 @@ final class TopKRowsStr(k: Int)
   extends Aggregator[(Double, String), List[(Double, String)], Seq[(Double, String)]] {
   def zero: List[(Double, String)] = Nil
 
+  /** Code-point (= UTF-8 byte = Spark UTF8String binary) order, NOT
+    * Java String's UTF-16 code-unit order (ADVICE r11): the two differ
+    * when supplementary-plane characters (stored as surrogate pairs,
+    * 0xD800–0xDFFF code units) mix with U+E000–U+FFFF — UTF-16 sorts
+    * the latter AFTER the surrogates even though their code points are
+    * smaller. The window this class claims bit-identity with orders by
+    * UTF8String, so ties must break the same way for ANY key corpus,
+    * not just [a-z]+ tokens. Allocation-free (no UTF8String boxing in
+    * the per-row reduce path). */
+  private def keyLt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i == a.length && j < b.length // exhausted prefix sorts first
+  }
+
   private def better(a: (Double, String), b: (Double, String)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    a._1 > b._1 || (a._1 == b._1 && keyLt(a._2, b._2))
 
   private def insert(buf: List[(Double, String)],
                      x: (Double, String)): List[(Double, String)] =

@@ -672,17 +672,23 @@ object Advanced {
     * phenomenon one level down — a single-day flood measured 10–17 s
     * max tasks on the day-chunk form, SKEW_r11_dayflood.json). The
     * user-day probe runs lazily, only after tier 1 has already routed
-    * away from dense. */
+    * away from dense. `escalationThreshold` (the tier-3 trigger,
+    * default = the RangeStitch kernel's measured crossover) is a
+    * parameter so the routing branch itself is unit-drivable (ADVICE
+    * r11) — AdvancedSpec forces tier 3 through THIS router on a small
+    * fixture and pins the routed output. */
   def sessionizeAuto(events: DataFrame,
                      hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                      sampleMod: Int = 100,
-                     probeCacheKey: Option[String] = None): DataFrame =
+                     probeCacheKey: Option[String] = None,
+                     escalationThreshold: Long =
+                       RangeStitch.defaultHotKeyRowThreshold): DataFrame =
     routeBySkew(events, sessionize, ev => {
       val hotDay = probeCacheKey match {
         case Some(k) => hottestUserDayRowsCached(ev, k, sampleMod)
         case None    => hottestUserDayRows(ev, sampleMod)
       }
-      if (hotDay >= RangeStitch.defaultHotKeyRowThreshold)
+      if (hotDay >= escalationThreshold)
         sessionizeCountChunked(ev)
       else sessionizeChunked(ev)
     }, hotKeyRowThreshold, sampleMod, probeCacheKey)

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *    column a unique id); `key` must be non-null (the stitch join is
   *    an equi-join — a null key would drop rows the dense window keeps).
   *  - The sorted frame feeds two consumers and the range sampler is
-  *    nondeterministic across evaluations, so it is `localCheckpoint`ed
-  *    (pass only pruned columns in).
+  *    nondeterministic across evaluations, so it is cut through
+  *    [[Checkpoints.cut]] (pass only pruned columns in) —
+  *    `localCheckpoint` by default; see that object's scaladoc for the
+  *    executor-loss durability contract (fail-fast, never a wrong
+  *    answer) and the reliable-`checkpoint` cluster knob.
   *  - Output rows are NOT in window order; sort downstream if needed.
   *  - Even-data cost ≈ 1.8× the dense window (SKEW_r11_hotsrc.json) —
   *    callers route through a hottest-key probe and pay it only above
@@ -42,13 +45,21 @@ object RangeStitch {
                             orderCols: Seq[String]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val rangeCols = (key +: orderCols).map(col)
-    df.repartitionByRange(parts, rangeCols: _*)
-      .sortWithinPartitions(key, orderCols: _*)
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftrightunsigned(col("mid"), 33))
-      .withColumn("seq", col("mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("mid")
-      .localCheckpoint()
+    // pid comes from spark_partition_id() — an API-contract value —
+    // rather than the high bits of monotonically_increasing_id (ADVICE
+    // r11: that layout, pid << 33 | record#, is an undocumented-stable
+    // implementation detail). seq still reads mid's low 33 bits: the
+    // record counter is the in-partition row position we need, and no
+    // public function exposes it without a second sort. Ceiling: seq
+    // wraps if ONE range partition exceeds 2^33 (~8.6B) rows — at that
+    // point the partition itself is already a failed exchange (a single
+    // task owning terabytes), so the stitch is not the binding limit.
+    Checkpoints.cut(
+      df.repartitionByRange(parts, rangeCols: _*)
+        .sortWithinPartitions(key, orderCols: _*)
+        .withColumn("pid", spark_partition_id().cast("long"))
+        .withColumn("seq",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))))
   }
 
   private def prevPids(key: String): Column =
@@ -110,15 +121,20 @@ object RangeStitch {
   }
 
   /** Process-wide probe memo keyed by caller-chosen key + the probed
-    * column — registry queries over the same fixture pay ONE probe scan
-    * per (table, key column) per JVM. */
+    * key column + the id column — registry queries over the same
+    * fixture pay ONE probe scan per (table, key column) per JVM. idCol
+    * is part of the key (ADVICE r11) because it is the only in-API
+    * distinguisher of WHICH table was probed: two different tables
+    * under one fixture-dir cacheKey with a same-named key column (e.g.
+    * both carrying `lang`) must not share an estimate — mirrors how
+    * [[Advanced.hottestUserDayRowsCached]] suffixes its key. */
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int), java.lang.Long]()
 
   /** [[hottestKeyRows]] through the process-wide memo. */
   def hottestKeyRowsCached(df: DataFrame, key: String, idCol: String,
                            cacheKey: String, sampleMod: Int = 100): Long =
-    probeCache.computeIfAbsent((cacheKey, key, sampleMod),
+    probeCache.computeIfAbsent((cacheKey, key, idCol, sampleMod),
       _ => java.lang.Long.valueOf(hottestKeyRows(df, key, idCol, sampleMod)))
       .longValue()
 

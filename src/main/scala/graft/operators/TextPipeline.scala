@@ -2117,10 +2117,12 @@ object TextPipeline {
     //    old token-join count) — the former token-expansion join and its
     //    (a, b)-keyed count agg disappear, as do the separate size-table
     //    joins (n rides the arrays).
-    val docsets = sets.groupBy("doc_id")
+    // Cut policy (durability on clusters): Checkpoints.cut — see its
+    // scaladoc for the localCheckpoint fail-fast contract + the
+    // reliable-checkpoint knob.
+    val docsets = Checkpoints.cut(sets.groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("arr"))
-      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n")))
     val big = docsets.select(col("doc_id"), col("n"), explode(col("arr")).as("sh"))
     val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
     val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")
@@ -2209,10 +2211,9 @@ object TextPipeline {
     // verify is scan-local array_intersect — the token-expansion join,
     // its (a, b) count agg, and the separate size-table joins all
     // disappear).
-    val docsets = sets.groupBy("doc_id")
+    val docsets = Checkpoints.cut(sets.groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("arr"))
-      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("n")))
     val big = docsets.select(col("doc_id"), col("n"), explode(col("arr")).as("sh"))
     val freq = big.groupBy("sh").agg(count(lit(1)).as("f"))
     val wPos = Window.partitionBy("doc_id").orderBy("f", "sh")

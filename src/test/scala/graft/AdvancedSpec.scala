@@ -393,8 +393,6 @@ class AdvancedSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts")
     assert(Advanced.hottestUserDayRows(flood, sampleMod = 1) == 30L)
     assert(Advanced.hottestUserDayRows(spread, sampleMod = 1) == 1L)
-    // force tier boundaries low; RangeStitch threshold is fixed at 2M,
-    // so pin tier 3 via the probe value + direct builder parity instead
     val autoSpread = Advanced.sessionizeAuto(spread, hotKeyRowThreshold = 10,
       sampleMod = 1)
     // tier 2: chunk attribute present, no checkpoint LogicalRDD
@@ -402,9 +400,20 @@ class AdvancedSpec extends SparkSpec {
     assert(!autoSpread.queryExecution.analyzed.toString.contains("LogicalRDD"))
     assert(autoSpread.collect().toSeq ==
       Advanced.sessionize(spread).collect().toSeq)
-    // tier 3 output parity on the flood stream (the routing constant
-    // is the measured 2M crossover — not reachable by a unit fixture,
-    // so the tier-3 arm is exercised directly)
+    // tier 3 THROUGH the auto router (ADVICE r11): escalationThreshold
+    // forced down so the hottest user-day (30 rows, one day) trips the
+    // count-chunk branch — the checkpoint's LogicalRDD marks the
+    // RangeStitch plan, and the routed rows equal dense
+    val autoFlood = Advanced.sessionizeAuto(flood, hotKeyRowThreshold = 10,
+      sampleMod = 1, escalationThreshold = 20L)
+    assert(autoFlood.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    assert(autoFlood.collect().toSeq ==
+      Advanced.sessionize(flood).collect().toSeq)
+    // same flood stream, default (2M) escalation: stays tier 2
+    val autoFlood2 = Advanced.sessionizeAuto(flood, hotKeyRowThreshold = 10,
+      sampleMod = 1)
+    assert(!autoFlood2.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    // direct tier-3 builder parity at the default chunk size
     assert(Advanced.sessionizeCountChunked(flood).collect().toSeq ==
       Advanced.sessionize(flood).collect().toSeq)
   }
@@ -860,5 +869,29 @@ class AdvancedSpec extends SparkSpec {
     // a fresh key re-probes
     assert(Advanced.hottestKeyRowsCached(evUn, key + "-2", sampleMod = 1)
       == 1L)
+  }
+
+  test("hottestKeyRows probe contract (VERDICT r11 #4): event_id " +
+    "duplicated ACROSS users stays exact; byte-identical (event_id, ts) " +
+    "within a user is all-or-nothing as documented") {
+    import spark.implicits._
+    // two users share every event_id value 1..20 but ts varies per row:
+    // the sample hashes struct(user_id, event_id, ts), so the cross-user
+    // collision is harmless and the exact probe sees 20 rows per user
+    val dup = (1 to 20).flatMap(i => Seq(
+      (1L, i.toLong, t(f"2024-03-01 10:${i % 60}%02d:00")),
+      (2L, i.toLong, t(f"2024-03-01 11:${i % 60}%02d:00"))))
+      .toDF("user_id", "event_id", "ts")
+    assert(Advanced.hottestKeyRows(dup, sampleMod = 1) == 20L)
+    // degenerate case the scaladoc warns about: one user's rows all
+    // byte-identical on (event_id, ts) -> ONE hash bucket, so a sampled
+    // probe is all-or-nothing for that user (0 or count*sampleMod),
+    // never a fractional estimate
+    val ident = (1 to 16).map(_ => (1L, 7L, t("2024-03-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val est = Advanced.hottestKeyRows(ident, sampleMod = 4)
+    assert(est == 0L || est == 64L, s"expected all-or-nothing, got $est")
+    // sampleMod=1 (exact) is immune even to the degenerate shape
+    assert(Advanced.hottestKeyRows(ident, sampleMod = 1) == 16L)
   }
 }

@@ -129,6 +129,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(got == wantDf.collect().toSeq)
   }
 
+  test("TopKRowsStr tie-break == Spark's UTF8String window order on " +
+    "supplementary-plane keys (ADVICE r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    // Keys straddling the UTF-16/code-point divergence: in Java String
+    // (UTF-16 code-unit) order U+E000..U+FFFF sort AFTER surrogate
+    // pairs; in code-point (= UTF-8 byte = UTF8String) order they sort
+    // BEFORE the supplementary planes.
+    val keys = Seq("\ufffd", "\ud83d\ude00" /* U+1F600 */,
+      "\ue000", "z", "\ud800\udc00" /* U+10000 */)
+    val df = keys.map(k => (1L, 1.0, k)).toDF("g", "v", "key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("key"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .orderBy("rn").select("key").as[String].collect().toSeq
+    val agg = new graft.functions.TopKRowsStr(keys.length)
+    val got = agg
+      .finish(keys.foldLeft(agg.zero)((b, k) => agg.reduce(b, (1.0, k))))
+      .map(_._2)
+    assert(got == want)
+    // the divergence is real: naive Java-String sorting differs here
+    assert(keys.sorted != want)
+  }
+
   test("Q18 EXISTS/NOT EXISTS become semi/anti joins, not subquery loops") {
     val p = plan(Relational.q18_semi_anti)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))

@@ -94,4 +94,34 @@ class RangeStitchSpec extends SparkSpec {
       .collect().isEmpty)
     assert(RangeStitch.hottestKeyRows(empty, "key", "id", 1) == 0L)
   }
+
+  test("Checkpoints.cut reliable knob: checkpoint-dir cuts produce the " +
+    "same rows as the localCheckpoint default (VERDICT r11 #6)") {
+    import graft.operators.Checkpoints
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-ckpt").toString
+    val dense = docs.withColumn("rk",
+      row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "lang", "n_chars", "rk")
+      .orderBy("lang", "rk").collect().toSeq
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    try {
+      val ranged = RangeStitch.withRangeRank(docs, "lang",
+        Seq("n_chars", "doc_id"))
+        .select("doc_id", "lang", "n_chars", "rk")
+        .orderBy("lang", "rk").collect().toSeq
+      assert(ranged == dense)
+      // the reliable cut actually wrote to the checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, "reliable cut never touched the checkpoint dir")
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableConf)
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
