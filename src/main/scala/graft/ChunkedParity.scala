@@ -56,12 +56,24 @@ object ChunkedParity {
         Advanced.funnelDepthsChunked(ev, delta)),
       ("transitions", Advanced.transitions(ev),
         Advanced.transitionsChunked(ev)),
+      ("transitionsCount", Advanced.transitions(ev),
+        Advanced.transitionsCountChunked(ev, rowsPerChunk = 64L)),
       ("ewma", Advanced.ewma(ev), Advanced.ewmaChunked(ev)),
+      ("ewmaCount", Advanced.ewma(ev),
+        Advanced.ewmaCountChunked(ev, rowsPerChunk = 64L)),
       ("rollingMedian", Advanced.rollingMedian(ev),
         Advanced.rollingMedianChunked(ev)),
+      ("rollingMedianCount", Advanced.rollingMedian(ev),
+        Advanced.rollingMedianCountChunked(ev, rowsPerChunk = 64L)),
       ("twap", Advanced.twap(ev), Advanced.twapChunked(ev)),
+      ("twapCount", Advanced.twap(ev),
+        Advanced.twapCountChunked(ev, rowsPerChunk = 64L)),
       ("seqPattern", Advanced.seqPattern(ev), Advanced.seqPatternChunked(ev)),
-      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev))) ++ {
+      ("seqPatternCount", Advanced.seqPattern(ev),
+        Advanced.seqPatternCountChunked(ev, rowsPerChunk = 64L)),
+      ("scd2", Advanced.scd2(ev), Advanced.scd2Chunked(ev)),
+      ("scd2Count", Advanced.scd2(ev),
+        Advanced.scd2CountChunked(ev, rowsPerChunk = 64L))) ++ {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       val ordered = Seq("doc_id", "source", "lang", "n_chars", "rk")

@@ -88,6 +88,14 @@ object SkewBench {
       // shuffle — the posture a skew-dominated production job runs
       spark.conf.set(
         "spark.sql.adaptive.forceOptimizeSkewedJoin", skewJoinOn.toString)
+      // Measurement hygiene (r12): localCheckpoint blocks from PRIOR
+      // runs accumulate in the shared block manager (they are never
+      // auto-unpersisted) and their memory pressure pollutes later
+      // queries' task times — the r12 count-tier sweep measured q118 at
+      // a phantom 10 s max task that an isolated StageBreakdown run
+      // showed to be 1.5 s. Each run rebuilds its frames from scratch,
+      // so dropping all persisted RDDs between runs is safe.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       durations.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

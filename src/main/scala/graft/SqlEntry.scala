@@ -1297,16 +1297,24 @@ object SqlEntry {
         |FROM h GROUP BY bucket, mn, width
         |ORDER BY bucket""".stripMargin,
     "q112_ewma" ->
+      // final rounding = the C/DuckDB mirror (Advanced.roundPortable's
+      // exact op sequence), NOT Spark ROUND — see roundPortable's
+      // scaladoc for the shortest-repr divergence it closes
       """WITH e AS (SELECT user_id, ts, event_id,
         |      CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
         |l AS (SELECT user_id,
         |        transform(array_sort(collect_list(struct(ts, event_id, cents))),
         |                  r -> CAST(r.cents AS DOUBLE)) AS vs
-        |      FROM e GROUP BY user_id)
-        |SELECT user_id, CAST(size(vs) AS BIGINT) AS n,
-        |  ROUND(aggregate(slice(vs, 2, size(vs)), element_at(vs, 1),
-        |                  (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
-        |FROM l ORDER BY user_id""".stripMargin,
+        |      FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, CAST(size(vs) AS BIGINT) AS n,
+        |        aggregate(slice(vs, 2, size(vs)), element_at(vs, 1),
+        |                  (acc, x) -> 0.3 * x + 0.7 * acc) AS raw
+        |      FROM l)
+        |SELECT user_id, n,
+        |  SIGN(raw) * (FLOOR(ABS(raw) * 10000.0D) +
+        |    CASE WHEN ABS(raw) * 10000.0D - FLOOR(ABS(raw) * 10000.0D) >= 0.5D
+        |         THEN 1.0D ELSE 0.0D END) / 10000.0D AS ewma
+        |FROM r ORDER BY user_id""".stripMargin,
     "q113_char_entropy" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_replace(lower(text), '[^a-z]+', '') AS s

@@ -43,9 +43,16 @@ object StreamBench {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val op = if (args.length > 3) args(3) else "doc"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Shuffle width = state-store SHARD count for a streaming stateful
+    // op (fixed at first checkpoint). Decoupled from cores (VERDICT r11
+    // #7) so the state-sharding scaling leg can vary one without the
+    // other; SPARK_GRAFT_MASTER mirrors Verify's multi-JVM override.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongConf, "true")
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -140,7 +147,7 @@ object StreamBench {
       case "embprobe" => "EmbDedup.probesTtl"
       case _ => "incrementalCandidatesTtl"
     }
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"$opName","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.1f,"unit":"rows/sec","steady_rows_per_sec":$steady%.1f,"op":"$opName","store":"rocksdb","changelog_checkpointing":true,"no_data_batches":false,"rows":$rows,"batch_size":$batchSize,"batches":${(rows + batchSize - 1) / batchSize},"secs":$secs%.3f,"batch_secs":$perBatch,"shuffle_partitions":$shufflePartitions,"master":"$master","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -663,6 +663,32 @@ object Advanced {
     if (hot >= hotKeyRowThreshold) chunked(events) else dense(events)
   }
 
+  /** Three-tier routing: dense below the hot-user threshold;
+    * day-chunked above it; count-chunked when the hottest single
+    * (user, DAY) ALSO exceeds `escalationThreshold` — the single-day-
+    * flood cure generalized from sessionize (SKEW_r11_dayflood /
+    * SKEW_r12_dayflood: a bot-flood day collapses the day-chunk tier
+    * back into one task; the count-chunk tier bounds every chunk by
+    * row COUNT for ANY time distribution). The user-day probe runs
+    * lazily, only after tier 1 has already routed away from dense, so
+    * even-keyed corpora never pay the second scan. */
+  def routeBySkew3(events: DataFrame,
+                   dense: DataFrame => DataFrame,
+                   chunked: DataFrame => DataFrame,
+                   countChunked: DataFrame => DataFrame,
+                   hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
+                   sampleMod: Int = 100,
+                   probeCacheKey: Option[String] = None,
+                   escalationThreshold: Long =
+                     RangeStitch.defaultHotKeyRowThreshold): DataFrame =
+    routeBySkew(events, dense, ev => {
+      val hotDay = probeCacheKey match {
+        case Some(k) => hottestUserDayRowsCached(ev, k, sampleMod)
+        case None    => hottestUserDayRows(ev, sampleMod)
+      }
+      if (hotDay >= escalationThreshold) countChunked(ev) else chunked(ev)
+    }, hotKeyRowThreshold, sampleMod, probeCacheKey)
+
   /** [[sessionize]] vs [[sessionizeChunked]] vs
     * [[sessionizeCountChunked]] by measured skew — see [[routeBySkew]].
     * The q44 registry entry routes through this. Three tiers: dense
@@ -683,15 +709,9 @@ object Advanced {
                      probeCacheKey: Option[String] = None,
                      escalationThreshold: Long =
                        RangeStitch.defaultHotKeyRowThreshold): DataFrame =
-    routeBySkew(events, sessionize, ev => {
-      val hotDay = probeCacheKey match {
-        case Some(k) => hottestUserDayRowsCached(ev, k, sampleMod)
-        case None    => hottestUserDayRows(ev, sampleMod)
-      }
-      if (hotDay >= escalationThreshold)
-        sessionizeCountChunked(ev)
-      else sessionizeChunked(ev)
-    }, hotKeyRowThreshold, sampleMod, probeCacheKey)
+    routeBySkew3(events, sessionize, sessionizeChunked,
+      sessionizeCountChunked(_), hotKeyRowThreshold, sampleMod,
+      probeCacheKey, escalationThreshold)
 
   /** [[funnelDepth]] vs [[funnelDepthChunked]] by measured skew — see
     * [[routeBySkew]]. The q62 registry entry routes through this.
@@ -722,58 +742,67 @@ object Advanced {
       funnelDepthsChunked(_, deltaMicros),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[transitions]] vs [[transitionsChunked]] by measured skew — see
-    * [[routeBySkew]]. The q107 registry entry routes through this. */
+  /** [[transitions]] vs [[transitionsChunked]] vs [[transitionsCountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q107 registry entry routes through this. */
   def transitionsAuto(events: DataFrame,
                       hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                       sampleMod: Int = 100,
                       probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, transitions, transitionsChunked,
+    routeBySkew3(events, transitions, transitionsChunked,
+      transitionsCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[ewma]] vs [[ewmaChunked]] by measured skew — see
-    * [[routeBySkew]]. The q112 registry entry routes through this. */
+  /** [[ewma]] vs [[ewmaChunked]] vs [[ewmaCountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q112 registry entry routes through this. */
   def ewmaAuto(events: DataFrame,
                hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                sampleMod: Int = 100,
                probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, ewma, ewmaChunked,
+    routeBySkew3(events, ewma, ewmaChunked, ewmaCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[rollingMedian]] vs [[rollingMedianChunked]] by measured skew —
-    * see [[routeBySkew]]. The q115 registry entry routes through this. */
+  /** [[rollingMedian]] vs [[rollingMedianChunked]] vs [[rollingMedianCountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q115 registry entry routes through this. */
   def rollingMedianAuto(events: DataFrame,
                         hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                         sampleMod: Int = 100,
                         probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, rollingMedian, rollingMedianChunked,
+    routeBySkew3(events, rollingMedian, rollingMedianChunked,
+      rollingMedianCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[twap]] vs [[twapChunked]] by measured skew — see
-    * [[routeBySkew]]. The q118 registry entry routes through this. */
+  /** [[twap]] vs [[twapChunked]] vs [[twapCountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q118 registry entry routes through this. */
   def twapAuto(events: DataFrame,
                hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                sampleMod: Int = 100,
                probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, twap, twapChunked,
+    routeBySkew3(events, twap, twapChunked, twapCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[seqPattern]] vs [[seqPatternChunked]] by measured skew — see
-    * [[routeBySkew]]. The q154 registry entry routes through this. */
+  /** [[seqPattern]] vs [[seqPatternChunked]] vs [[seqPatternCountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q154 registry entry routes through this. */
   def seqPatternAuto(events: DataFrame,
                      hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                      sampleMod: Int = 100,
                      probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, seqPattern, seqPatternChunked,
+    routeBySkew3(events, seqPattern, seqPatternChunked,
+      seqPatternCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
-  /** [[scd2]] vs [[scd2Chunked]] by measured skew — see
-    * [[routeBySkew]]. The q155 registry entry routes through this. */
+  /** [[scd2]] vs [[scd2Chunked]] vs [[scd2CountChunked]] by the
+    * two measured probes ([[routeBySkew3]] — the SKEW_r12_dayflood
+    * escalation). The q155 registry entry routes through this. */
   def scd2Auto(events: DataFrame,
                hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                sampleMod: Int = 100,
                probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, scd2, scd2Chunked,
+    routeBySkew3(events, scd2, scd2Chunked, scd2CountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** q45: full cube with grouping indicators (A7 — rollup is q10). */
@@ -1785,9 +1814,35 @@ object Advanced {
     * one (same size as the dense (user) one). */
   def transitionsChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = events
+    transitionsFromChunks(events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs))
+      .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs)))
+  }
+
+  /** The q107 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (SKEW_r12_dayflood: the flood day collapses the day-chunk
+    * tier's within-chunk lag window into one 11.3 s sort task; count
+    * chunks bound the window partition at `rowsPerChunk` rows for ANY
+    * time distribution). Same boundary algebra as [[transitionsChunked]]
+    * — count-chunk ids are consecutive per user in (ts, event_id)
+    * order, which is all [[transitionsFromChunks]] requires. */
+  def transitionsCountChunked(events: DataFrame,
+                              rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    transitionsFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "ts", "event_id", "event_type", "chunk"))
+  }
+
+  /** Shared boundary-stitch body of the two chunked transition forms:
+    * expects (user_id, ts, event_id, event_type, chunk) where chunks
+    * partition each user's (ts, event_id)-ordered timeline into
+    * consecutive groups. */
+  private def transitionsFromChunks(ev: DataFrame): DataFrame = {
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
     val w2 = Window.partitionBy("user_id", "chunk")
       .orderBy("side", "ts", "event_id")
@@ -2015,11 +2070,36 @@ object Advanced {
     ewmaAuto(Tables.events(s, d), probeCacheKey = Some(d))
   }
 
+  /** ROUND(x, digits) with C/DuckDB semantics on DOUBLE — round half
+    * away from zero evaluated on the BINARY value — instead of Spark's
+    * round(), which routes through BigDecimal.valueOf's SHORTEST
+    * DECIMAL representation. The two diverge when a double's shortest
+    * repr ends exactly on the half-grid but its binary value sits on
+    * the other side: the r12 flood-fixture oracle caught q112's raw
+    * 1606.687449999999899… (shortest repr "1606.68745") — Spark round
+    * → 1606.6875, DuckDB → 1606.6874, on the SAME raw double in both
+    * engines (a 6-row user in one chunk; no regrouping involved, the
+    * dense arm diverges identically). This mirror reproduces DuckDB's
+    * std::round(x·10^d)/10^d op-for-op — multiply, exact |·|/floor,
+    * exact integral add below 2^53, divide — verified bit-equal on 80k
+    * adversarial doubles (±ulp around half-boundaries). Contract:
+    * |x|·10^digits < 2^52. Existing fixtures contain no divergent
+    * values (11 rounds of q112 hash-exact prove it), so switching an
+    * output to this mirror never changes a frozen hash — it only closes
+    * the flood-scale class. */
+  def roundPortable(x: Column, digits: Int): Column = {
+    val m = math.pow(10, digits)
+    val y = abs(x) * lit(m)
+    val r = floor(y) + when(y - floor(y) >= 0.5, 1.0).otherwise(0.0)
+    (signum(x) * r) / lit(m)
+  }
+
   /** The q112 plan as a library function, DENSE form: one per-user
     * collect builds the time-ordered cents array and a flat `aggregate`
     * HOF folds it — the EXACT floating-point sequence of the oracle's
     * list_reduce. Fastest on even keys; holds a user's whole history
-    * in one task. */
+    * in one task. Output rounding is [[roundPortable]] (the C/DuckDB
+    * mirror), not Spark round — see its scaladoc. */
   def ewma(events: DataFrame): DataFrame =
     events
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -2031,7 +2111,7 @@ object Advanced {
         transform(col("rows"), r => r.getField("cents").cast("double"))
           .as("vs"))
       .select(col("user_id"), size(col("vs")).cast("long").as("n"),
-        round(aggregate(
+        roundPortable(aggregate(
           slice(col("vs"), lit(2), size(col("vs"))), element_at(col("vs"), 1),
           (acc, x) => lit(0.3) * x + lit(0.7) * acc), 4).as("ewma"))
       .orderBy("user_id")
@@ -2045,17 +2125,57 @@ object Advanced {
     * then folds the user-DAY-sized carry table in chunk order — bounded
     * by active days, never by history. Per-chunk folds are the exact FP
     * sequence; the cross-chunk affine regrouping can differ from a flat
-    * left fold by O(#days · ulp) — invisible under the declared
-    * ROUND(·, 4) output (hash-checked at every tested SF; same class as
-    * the q08 summation-order note — ADVICE r10 records the residual
-    * half-boundary risk; if this ever flakes at a new SF, fold in
-    * scaled integers or compare with a driver-side tolerance). */
+    * left fold by O(#chunks · ulp).
+    *
+    * The half-boundary class, CLOSED with a measured bound (VERDICT r11
+    * #3): PropertySpec replays both plans' exact FP sequences model-side
+    * over 4,000 adversarial corpora (random, constant, near-constant
+    * cents; arbitrary chunk splits covering the day AND count tiers)
+    * and pins the regrouping gap < 1e-7 — three orders of magnitude
+    * inside the declared ROUND(·, 4) grid's 5e-5 half-step, so a
+    * rounding flip additionally requires the flat fold itself to sit
+    * within 1e-7 of a half-boundary (none observed; hash-exact at every
+    * tested SF). The once-suggested exact integer fold is NOT available
+    * here and the contingency is retired: this recurrence is
+    * multiplicative (the carry scales by 0.7^k, which no fixed scaling
+    * of 10^k cents keeps integral — unlike q08's additive
+    * integer-cents sums), and exactly replaying the flat fold's rounded
+    * ops would require the running value at every element, i.e. the
+    * dense plan. If a corpus ever trips the residual class, the
+    * deterministic remediation is the dense arm (exact oracle FP
+    * sequence) on that corpus, not a numeric knob. */
   def ewmaChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val chunks = events
+    ewmaFromChunks(events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk")))
+  }
+
+  /** The q112 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (SKEW_r12_dayflood: a 4M-row bot-flood day collapses the
+    * day-chunk tier's per-chunk collect+fold into one 15.8–46 s task;
+    * chunking by RangeStitch rank bounds every chunk at `rowsPerChunk`
+    * rows for ANY time distribution). Same stitch algebra as
+    * [[ewmaChunked]] — count-chunk ids are consecutive per user in
+    * (ts, event_id) order, which is all [[ewmaFromChunks]] requires. */
+  def ewmaCountChunked(events: DataFrame,
+                       rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    ewmaFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "ts", "event_id", "cents", "chunk"))
+  }
+
+  /** Shared stitch body of the two chunked EWMA forms: expects
+    * (user_id, ts, event_id, cents, chunk) where chunks partition each
+    * user's (ts, event_id)-ordered timeline into consecutive groups. */
+  private def ewmaFromChunks(ev: DataFrame): DataFrame = {
+    val chunks = ev
       .groupBy("user_id", "chunk")
       .agg(array_sort(collect_list(
         struct(col("ts"), col("event_id"), col("cents")))).as("rows"))
@@ -2086,7 +2206,8 @@ object Advanced {
               c.getField("s") * acc.getField("r") + c.getField("o"))
               .otherwise(c.getField("efirst")).as("r")))
           .getField("r").as("raw"))
-      .select(col("user_id"), col("n"), round(col("raw"), 4).as("ewma"))
+      .select(col("user_id"), col("n"),
+        roundPortable(col("raw"), 4).as("ewma"))
       .orderBy("user_id")
   }
 
@@ -2155,12 +2276,39 @@ object Advanced {
     * tail accumulates ACROSS chunks, pinned in AdvancedSpec). */
   def rollingMedianChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val wFrame2 = Window.partitionBy("user_id", "chunk")
-      .orderBy("ts", "event_id").rowsBetween(-6, Window.currentRow)
-    val ev = events
+    rollingMedianFromChunks(events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk")))
+  }
+
+  /** The q115 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier, and the family's heaviest per-chunk work (SKEW_r12_dayflood:
+    * the flood day's per-row frame collect + concat + sort collapsed
+    * into one 22–31 s task on the day-chunk form — the worst of the
+    * six twins, as VERDICT r11 predicted). Count chunks bound the
+    * within-chunk frame window at `rowsPerChunk` rows for ANY time
+    * distribution; the tail-carry fold is chunk-id-agnostic, so the
+    * algebra is [[rollingMedianFromChunks]] unchanged. */
+  def rollingMedianCountChunked(events: DataFrame,
+                                rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    rollingMedianFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "ts", "event_id", "cents", "chunk"))
+  }
+
+  /** Shared tail-carry body of the two chunked rolling-median forms:
+    * expects (user_id, ts, event_id, cents, chunk) where chunks
+    * partition each user's (ts, event_id)-ordered timeline into
+    * consecutive groups. */
+  private def rollingMedianFromChunks(ev: DataFrame): DataFrame = {
+    val wFrame2 = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id").rowsBetween(-6, Window.currentRow)
     // last ≤n elements, positive-start form (negative slice starts error
     // when |start| exceeds the array size)
     def lastN(a: Column, n: Int): Column =
@@ -2272,10 +2420,33 @@ object Advanced {
     * user-sized rows. */
   def twapChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = events
+    twapFromChunks(events
       .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk")))
+  }
+
+  /** The q118 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (SKEW_r12_dayflood: the flood day collapses the day-chunk
+    * tier's within-chunk lead window into one 9–10 s sort task; count
+    * chunks bound the window partition at `rowsPerChunk` rows for ANY
+    * time distribution). Same pseudo-row algebra as [[twapChunked]]. */
+  def twapCountChunked(events: DataFrame,
+                       rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    twapFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "ts", "event_id", "cents", "chunk"))
+  }
+
+  /** Shared pseudo-row body of the two chunked TWAP forms: expects
+    * (user_id, ts, event_id, cents, chunk) where chunks partition each
+    * user's (ts, event_id)-ordered timeline into consecutive groups. */
+  private def twapFromChunks(ev: DataFrame): DataFrame = {
     // boundary rows ride the SAME window instead of joining back (the
     // q107 union pattern, mirrored for lead): each ACTIVE user-day's
     // first ts becomes a side=2 pseudo-row that sorts LAST in the
@@ -3076,14 +3247,45 @@ object Advanced {
     * matches). */
   def seqPatternChunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val chunkStr = events
+    seqPatternFromChunks(events
       .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === "view", "v")
-          .when(col("event_type") === "click", "c")
-          .when(col("event_type") === "purchase", "p")
-          .when(col("event_type") === "signup", "s")
-          .otherwise("e").as("code"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+        seqCode(col("event_type")).as("code"),
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk")))
+  }
+
+  private def seqCode(eventType: Column): Column =
+    when(eventType === "view", "v")
+      .when(eventType === "click", "c")
+      .when(eventType === "purchase", "p")
+      .when(eventType === "signup", "s")
+      .otherwise("e")
+
+  /** The q154 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (SKEW_r12_dayflood: the flood day's whole-day code string
+    * builds in ONE task on the day-chunk form — 4.1 s max task with
+    * AQE skew-split off, 59.7 s with forced skew-split ON, whose
+    * post-split re-merge ships the 4M-struct day group twice). Count
+    * chunks bound each string at `rowsPerChunk` chars for ANY time
+    * distribution; the segment-carry fold is chunk-id-agnostic, so
+    * the algebra is [[seqPatternFromChunks]] unchanged. */
+  def seqPatternCountChunked(events: DataFrame,
+                             rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        seqCode(col("event_type")).as("code"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    seqPatternFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "ts", "event_id", "code", "chunk"))
+  }
+
+  /** Shared segment-carry body of the two chunked seq-pattern forms:
+    * expects (user_id, ts, event_id, code, chunk) where chunks
+    * partition each user's (ts, event_id)-ordered timeline into
+    * consecutive groups. */
+  private def seqPatternFromChunks(ev: DataFrame): DataFrame = {
+    val chunkStr = ev
       .groupBy("user_id", "chunk")
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("ts"), col("event_id"),
@@ -3239,10 +3441,35 @@ object Advanced {
     * change-less days). */
   def scd2Chunked(events: DataFrame): DataFrame = {
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
-    val ev = events
+    scd2FromChunks(events
       .select(col("user_id"), col("event_type").as("state"),
         col("ts"), col("event_id"),
-        floor(unix_micros(col("ts")) / chunkUs).as("chunk"))
+        floor(unix_micros(col("ts")) / chunkUs).as("chunk")))
+  }
+
+  /** The q155 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (SKEW_r12_dayflood: the flood day collapses the day-chunk
+    * tier's three within-chunk windows into single sort tasks; count
+    * chunks bound every window partition at `rowsPerChunk` rows for
+    * ANY time distribution). Same three-window stitch algebra as
+    * [[scd2Chunked]]. */
+  def scd2CountChunked(events: DataFrame,
+                       rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      events.select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"))
+        .withColumn("us", unix_micros(col("ts"))),
+      "user_id", Seq("us", "event_id"), "rk")
+    scd2FromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .select("user_id", "state", "ts", "event_id", "chunk"))
+  }
+
+  /** Shared three-window stitch body of the two chunked SCD2 forms:
+    * expects (user_id, state, ts, event_id, chunk) where chunks
+    * partition each user's (ts, event_id)-ordered timeline into
+    * consecutive groups. */
+  private def scd2FromChunks(ev: DataFrame): DataFrame = {
     val w2 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     val wChunks = Window.partitionBy("user_id").orderBy("chunk")
     // q107's union boundary stitch: the previous ACTIVE day's last

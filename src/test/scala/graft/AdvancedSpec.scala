@@ -871,6 +871,30 @@ class AdvancedSpec extends SparkSpec {
       == 1L)
   }
 
+  test("count-chunked == dense for the six escalated twins (r12 flood " +
+    "tier): 1-row chunks force a boundary at EVERY row; 64-row chunks " +
+    "match the ChunkedParity harness") {
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf0001)
+    val pairs: Seq[(String, DataFrame, Long => DataFrame)] = Seq(
+      ("transitionsCount", Advanced.transitions(ev),
+        Advanced.transitionsCountChunked(ev, _)),
+      ("ewmaCount", Advanced.ewma(ev), Advanced.ewmaCountChunked(ev, _)),
+      ("rollingMedianCount", Advanced.rollingMedian(ev),
+        Advanced.rollingMedianCountChunked(ev, _)),
+      ("twapCount", Advanced.twap(ev), Advanced.twapCountChunked(ev, _)),
+      ("seqPatternCount", Advanced.seqPattern(ev),
+        Advanced.seqPatternCountChunked(ev, _)),
+      ("scd2Count", Advanced.scd2(ev), Advanced.scd2CountChunked(ev, _)))
+    pairs.foreach { case (name, dense, count) =>
+      val d = dense.collect().map(_.toString).sorted.toSeq
+      for (n <- Seq(1L, 64L)) {
+        val c = count(n).collect().map(_.toString).sorted.toSeq
+        assert(c == d, s"$name: count-chunked(rowsPerChunk=$n) != dense")
+      }
+    }
+  }
+
   test("hottestKeyRows probe contract (VERDICT r11 #4): event_id " +
     "duplicated ACROSS users stays exact; byte-identical (event_id, ts) " +
     "within a user is all-or-nothing as documented") {

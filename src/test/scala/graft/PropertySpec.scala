@@ -294,4 +294,62 @@ class PropertySpec extends SparkSpec {
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q112 chunked-EWMA regrouping gap (VERDICT r11 #3): the affine " +
+    "stitch stays within 1e-7 of the flat fold, so a ROUND(.,4) flip " +
+    "requires the flat value itself within 1e-7 of a half-boundary") {
+    // Model-side replay of BOTH Spark plans' exact FP sequences (the
+    // exprs are plain double mul/add, bit-reproducible in Scala):
+    // dense/oracle = flat left fold; chunked = per-chunk folds + the
+    // affine (s, o) stitch, for ARBITRARY chunk splits (covers the day
+    // AND the count tier — the algebra never reads the chunk id).
+    def flat(vs: Seq[Double]): Double =
+      vs.tail.foldLeft(vs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+    def chunked(vs: Seq[Double], splits: Seq[Int]): Double = {
+      val bounds = (0 +: splits :+ vs.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => vs.slice(a, b) }
+        .filter(_.nonEmpty)
+      val summaries = chunks.map { c =>
+        val efirst = flat(c)
+        val (s, o) = c.foldLeft((1.0, 0.0)) { case ((s, o), x) =>
+          (0.7 * s, 0.7 * o + 0.3 * x) }
+        (efirst, s, o)
+      }
+      summaries.tail.foldLeft(summaries.head._1) {
+        case (r, (_, s, o)) => s * r + o }
+    }
+    def round4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def halfBoundaryDist(x: Double): Double = {
+      val h = math.abs(x) * 1e4 % 1.0
+      math.min(math.abs(h - 0.5), math.min(h, 1.0 - h)) / 1e4
+    }
+    val genCase = for {
+      n <- Gen.choose(1, 80)
+      // integer cents, constant runs included (constant series converge
+      // toward representable values — the near-boundary shape)
+      mode <- Gen.choose(0, 2)
+      base <- Gen.choose(0L, 100000L)
+      vs <- mode match {
+        case 0 => Gen.listOfN(n, Gen.choose(0L, 100000L))
+        case 1 => Gen.const(List.fill(n)(base))
+        case _ => Gen.listOfN(n, Gen.choose(base, base + 3))
+      }
+      nSplits <- Gen.choose(0, 12)
+      splits <- Gen.listOfN(nSplits, Gen.choose(1, math.max(1, n - 1)))
+    } yield (vs.map(_.toDouble), splits)
+    var maxGap = 0.0
+    samples(genCase, 4000).foreach { case (vs, splits) =>
+      val f = flat(vs)
+      val c = chunked(vs, splits)
+      maxGap = math.max(maxGap, math.abs(f - c))
+      // any rounded disagreement must be the documented boundary class
+      assert(round4(f) == round4(c) ||
+        (math.abs(f - c) < 1e-7 && halfBoundaryDist(f) < 1e-7),
+        s"regrouping flip outside the boundary class: flat=$f chunked=$c")
+    }
+    // the measured closure bound the q112 scaladoc cites: at cents ≤ 1e5
+    // and ≤ 13 regroup points the gap never approaches the 5e-5 grid
+    assert(maxGap < 1e-7, s"maxGap=$maxGap")
+  }
 }
