@@ -54,6 +54,8 @@ object ChunkedParity {
         Advanced.funnelDepthCountChunked(ev, rowsPerChunk = 64L)),
       ("funnelDepths", Advanced.funnelDepths(ev, delta),
         Advanced.funnelDepthsChunked(ev, delta)),
+      ("funnelDepthsCount", Advanced.funnelDepths(ev, delta),
+        Advanced.funnelDepthsCountChunked(ev, delta, rowsPerChunk = 64L)),
       ("transitions", Advanced.transitions(ev),
         Advanced.transitionsChunked(ev)),
       ("transitionsCount", Advanced.transitions(ev),

@@ -738,8 +738,9 @@ object Advanced {
                        hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                        sampleMod: Int = 100,
                        probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, funnelDepths(_, deltaMicros),
+    routeBySkew3(events, funnelDepths(_, deltaMicros),
       funnelDepthsChunked(_, deltaMicros),
+      funnelDepthsCountChunked(_, deltaMicros),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** [[transitions]] vs [[transitionsChunked]] vs [[transitionsCountChunked]] by the
@@ -2754,18 +2755,45 @@ object Advanced {
     * Typed, not an `aggregate` HOF expression, since r11 — see the
     * in-body note on the interpreted fold's JIT bimodality. */
   def funnelDepthsChunked(events: DataFrame, deltaMicros: Long): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val chunkUs = 86400000000L // one event-time day per chunk (q158)
+    funnelDepthsFromChunks(windowFunnelCoded(events)
+      .withColumn("chunk", floor(col("tsm") / chunkUs)), deltaMicros)
+  }
+
+  private def windowFunnelCoded(events: DataFrame): DataFrame =
+    events.select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+      col("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("code"))
+
+  /** The q142 plan, COUNT-CHUNKED — the single-day-flood escalation
+    * tier (the r11 dayflood artifact measured the day-chunk form at a
+    * 9.2–9.8 s flood max task — the q107/q118 range, both of which
+    * escalated and won in r12; the SKEW_r12 addendum measures this
+    * arm). Same DFA-summary algebra as [[funnelDepthsChunked]] —
+    * count-chunk ids are consecutive per user in (tsm, event_id)
+    * order, which is all the stitch requires. */
+  def funnelDepthsCountChunked(events: DataFrame, deltaMicros: Long,
+                               rowsPerChunk: Long = 262144L): DataFrame = {
+    val ranked = RangeStitch.withRangeRank(
+      windowFunnelCoded(events), "user_id", Seq("tsm", "event_id"), "rk")
+    funnelDepthsFromChunks(ranked
+      .withColumn("chunk", floor((col("rk") - 1) / rowsPerChunk))
+      .drop("rk"), deltaMicros)
+  }
+
+  /** Shared DFA-summary body of the two chunked window-funnel forms:
+    * expects (user_id, tsm, event_id, code, chunk) where chunks
+    * partition each user's (tsm, event_id)-ordered timeline into
+    * consecutive groups. */
+  private def funnelDepthsFromChunks(evWithChunk: DataFrame,
+                                     deltaMicros: Long): DataFrame = {
+    val spark = evWithChunk.sparkSession
+    import spark.implicits._
     val NoT = Long.MinValue    // "threshold not seen" sentinel
-    val coded = events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
-        col("event_id"),
-        when(col("event_type") === "view", 1L)
-          .when(col("event_type") === "click", 2L)
-          .when(col("event_type") === "purchase", 3L)
-          .otherwise(0L).as("code"))
-      .withColumn("chunk", floor(col("tsm") / chunkUs))
+    val coded = evWithChunk
       .select(col("user_id"), col("chunk"), col("tsm"), col("event_id"),
         col("code"))
       .as[(Long, Long, Long, Long, Long)]

@@ -877,6 +877,8 @@ class AdvancedSpec extends SparkSpec {
     import org.apache.spark.sql.DataFrame
     val ev = Tables.events(spark, sf0001)
     val pairs: Seq[(String, DataFrame, Long => DataFrame)] = Seq(
+      ("funnelDepthsCount", Advanced.funnelDepths(ev, 3L * 24 * 3600 * 1000000),
+        Advanced.funnelDepthsCountChunked(ev, 3L * 24 * 3600 * 1000000, _)),
       ("transitionsCount", Advanced.transitions(ev),
         Advanced.transitionsCountChunked(ev, _)),
       ("ewmaCount", Advanced.ewma(ev), Advanced.ewmaCountChunked(ev, _)),
