@@ -716,20 +716,21 @@ object Advanced {
   /** [[funnelDepth]] vs [[funnelDepthChunked]] by measured skew — see
     * [[routeBySkew]]. The q62 registry entry routes through this.
     *
-    * Deliberately TWO tiers, not three: the sessionize-style count-
-    * chunk escalation was built ([[funnelDepthCountChunked]]) and
-    * MEASURED on the single-day-flood fixture — it made q62 WORSE
-    * (wall 8.7 → 18.2 s): the funnel's per-chunk work is one cheap
-    * integer fold, so its flood max task is only 2.6–4.1 s and the
-    * RangeStitch rank's extra exchange + checkpoint costs more than it
-    * saves. Escalation pays when the per-chunk work is heavy
-    * (sessionize: 11.5 → 1.9 s max task, wall halved) — the measured
-    * applicability boundary, SKEW_r11_dayflood.json. */
+    * Three-tier since late r12 — a REVERSED adjudication: the r11
+    * "escalation made q62 worse (8.7 → 18.2 s)" comparison turned out
+    * to have measured the interpreted `aggregate`-HOF chunk fold under
+    * two unknown C2 compile draws (fresh-JVM walls flipped
+    * 68.5/15.8/15.1 s on identical plans — the q142 bimodality). With
+    * [[funnelDepthFromChunks]] rewritten as a typed compiled fold the
+    * comparison is stable and the count tier WINS the flood fixture
+    * (5.2–6.4 s walls vs the day tier's 10–16 s, max task bounded) —
+    * see SKEW_r12_dayflood.json's re-adjudication entry. */
   def funnelDepthAuto(events: DataFrame,
                       hotKeyRowThreshold: Long = defaultHotKeyRowThreshold,
                       sampleMod: Int = 100,
                       probeCacheKey: Option[String] = None): DataFrame =
-    routeBySkew(events, funnelDepth, funnelDepthChunked,
+    routeBySkew3(events, funnelDepth, funnelDepthChunked,
+      funnelDepthCountChunked(_),
       hotKeyRowThreshold, sampleMod, probeCacheKey)
 
   /** [[funnelDepths]] vs [[funnelDepthsChunked]] by measured skew — see
@@ -926,19 +927,21 @@ object Advanced {
     * counts if it occurs AFTER the previous one (strict event-order
     * state machine, not bag-of-events).
     *
-    * Routed by MEASURED skew ([[routeBySkew]], VERDICT r10 #1): even
-    * keys run [[funnelDepth]] (one per-user collect + single fold), a
-    * Zipf-hot key runs [[funnelDepthChunked]] — the q158 skew-safe
-    * template applied to the funnel DFA (VERDICT r9 #1: the old
-    * whole-history `collect_list` materialized a Zipf-hot user's 4M-row
-    * stream as ONE array in ONE task). The depth fold is a monotone
-    * function over a 4-state DFA, so each (user, event-time day) chunk
-    * composes to a 4-vector (out-depth per in-depth) and the per-user
-    * stitch indexes through the user-DAY-sized vector table — bounded
-    * by active days, never by history; all-integer, bit-exact either
-    * way. The 100 TB posture: in both forms the only event-sized
-    * exchange is the keyed collect; the classic alternative (3
-    * self-joins on ts ranges) shuffles the table 3×. */
+    * Routed by MEASURED skew ([[routeBySkew3]], three tiers since late
+    * r12): even keys run [[funnelDepth]] (one per-user collect + single
+    * fold), a Zipf-hot key runs [[funnelDepthChunked]] — the q158
+    * skew-safe template applied to the funnel DFA (VERDICT r9 #1: the
+    * old whole-history `collect_list` materialized a Zipf-hot user's
+    * 4M-row stream as ONE array in ONE task) — and a measured
+    * single-day FLOOD escalates to [[funnelDepthCountChunked]] (the
+    * r12 re-adjudication; see [[funnelDepthAuto]]). The depth fold is a
+    * monotone function over a 4-state DFA, so each chunk composes to a
+    * 4-vector (out-depth per in-depth) and the per-user stitch indexes
+    * through the chunk-count-sized vector table — bounded by active
+    * days (or rowsPerChunk), never by history; all-integer, bit-exact
+    * in every form. The 100 TB posture: in all forms the only
+    * event-sized exchange is the keyed collect; the classic alternative
+    * (3 self-joins on ts ranges) shuffles the table 3×. */
   val q62_funnel = QueryDef(
     "q62_funnel",
     // Oracle formulation note: the greedy fold (advance iff the next code
@@ -1047,17 +1050,37 @@ object Advanced {
 
   /** Shared DFA-fold body: expects (user_id, ts, event_id, code, chunk)
     * where chunks partition each user's (ts, event_id)-ordered stream
-    * into consecutive groups. */
-  private def funnelDepthFromChunks(coded: DataFrame): DataFrame =
+    * into consecutive groups.
+    *
+    * The per-chunk 4-vector is a TYPED compiled fold (r12 — the q142
+    * cure, third confirmed site): the previous `aggregate`-HOF form is
+    * CodegenFallback, and three fresh JVMs on the flood fixture
+    * measured its stage MEDIAN task flipping 1.6 ↔ 29.7 s on identical
+    * plans (walls 68.5/15.8/15.1 s — the r11 "escalation made q62
+    * worse" adjudication was itself taken under an unknown C2 draw).
+    * All-integer arithmetic, so the typed loop is trivially bit-exact. */
+  private def funnelDepthFromChunks(coded: DataFrame): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
     coded
-      .groupBy("user_id", "chunk")
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("code")))).as("evs"))
-      .select(col("user_id"), col("chunk"),
-        aggregate(transform(col("evs"), e => e.getField("code")),
-          array(lit(0L), lit(1L), lit(2L), lit(3L)),
-          (acc, x) => transform(acc, a => when(x === a + 1, a + 1).otherwise(a)))
-          .as("vec"))
+      .select(col("user_id"), col("chunk"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("code"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("tsm"), col("event_id")) {
+        case ((user, chunk), it) =>
+          // vec(d) = exit depth of this chunk for a user entering at d
+          val acc = Array(0L, 1L, 2L, 3L)
+          it.foreach { case (_, _, _, _, x) =>
+            var i = 0
+            while (i < 4) {
+              if (x == acc(i) + 1) acc(i) += 1
+              i += 1
+            }
+          }
+          Iterator((user, chunk, acc.toSeq))
+      }
+      .toDF("user_id", "chunk", "vec")
       .groupBy("user_id")
       .agg(aggregate(
         array_sort(collect_list(struct(col("chunk"), col("vec")))),
@@ -1065,6 +1088,7 @@ object Advanced {
         (acc, c) => element_at(c.getField("vec"), (acc + 1).cast("int")))
         .as("funnel_depth"))
       .orderBy("user_id")
+  }
 
   /** q70: SLIDING window in batch (T2's batch twin — T1 tumbling has
     * q22, T3 session has q44; this closes the last §2.10 row with no
@@ -2176,31 +2200,45 @@ object Advanced {
     * (user_id, ts, event_id, cents, chunk) where chunks partition each
     * user's (ts, event_id)-ordered timeline into consecutive groups. */
   private def ewmaFromChunks(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    // Per-chunk summaries as a TYPED compiled fold (r12 — the q142 r11
+    // cure applied here): the previous `aggregate` HOF form is
+    // CodegenFallback, and on events-sized chunks its interpreted eval
+    // loop reproduced q142's per-JVM C2 bimodality — three fresh JVMs
+    // measured the same 2×-flood stage at 5.4 vs 14.9 s MEDIAN task
+    // (walls 22.9/32.6/69.6 s, identical plans). Plain bytecode JITs
+    // predictably. The FP sequence is op-for-op the HOF's: e seeded by
+    // the first element then e = 0.3·x + 0.7·e; s = 0.7·s;
+    // o = 0.7·o + 0.3·x over every element in (ts, event_id) order —
+    // results are bit-identical (oracle hashes unchanged at every SF).
     val chunks = ev
-      .groupBy("user_id", "chunk")
-      .agg(array_sort(collect_list(
-        struct(col("ts"), col("event_id"), col("cents")))).as("rows"))
-      .select(col("user_id"), col("chunk"),
-        transform(col("rows"), r => r.getField("cents").cast("double"))
-          .as("vs"))
-      .select(col("user_id"), col("chunk"),
-        size(col("vs")).cast("long").as("cn"),
-        // this chunk as the START of the series: first element seeds
-        aggregate(
-          slice(col("vs"), lit(2), size(col("vs"))), element_at(col("vs"), 1),
-          (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("efirst"),
-        // this chunk applied to a prior ewma r: r ↦ s·r + o
-        aggregate(col("vs"),
-          struct(lit(1.0).as("s"), lit(0.0).as("o")),
-          (acc, x) => struct(
-            (lit(0.7) * acc.getField("s")).as("s"),
-            (lit(0.7) * acc.getField("o") + lit(0.3) * x).as("o"))).as("so"))
+      .select(col("user_id"), col("chunk"), unix_micros(col("ts")).as("tsm"),
+        col("event_id"), col("cents"))
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("tsm"), col("event_id")) {
+        case ((user, chunk), it) =>
+          var n = 0L
+          var e = 0.0
+          var s = 1.0
+          var o = 0.0
+          it.foreach { case (_, _, _, _, cents) =>
+            val x = cents.toDouble
+            e = if (n == 0L) x else 0.3 * x + 0.7 * e
+            s = 0.7 * s
+            o = 0.7 * o + 0.3 * x
+            n += 1
+          }
+          Iterator((user, chunk, n, e, s, o))
+      }
+      .toDF("user_id", "chunk", "cn", "efirst", "s", "o")
     chunks
       .groupBy("user_id")
       .agg(sum("cn").as("n"),
         aggregate(
           array_sort(collect_list(struct(col("chunk"), col("efirst"),
-            col("so.s").as("s"), col("so.o").as("o")))),
+            col("s"), col("o")))),
           struct(lit(false).as("has"), lit(0.0).as("r")),
           (acc, c) => struct(lit(true).as("has"),
             when(acc.getField("has"),

@@ -295,6 +295,35 @@ class PropertySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("roundPortable == C/DuckDB binary-value rounding on the flood-" +
+    "fixture divergent double (and differs from Spark round there)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    // the r12 flood-oracle finding: this raw's shortest decimal repr is
+    // "1606.68745" but its binary value sits BELOW the tie
+    val raw = 1606.68745 // parses to 1606.687449999999899...
+    // exact binary expansion (java.math.BigDecimal(double)) sits BELOW
+    // the tie, while the shortest repr (BigDecimal.valueOf = what Spark
+    // round() sees) IS the tie — that asymmetry is the whole class
+    assert(new java.math.BigDecimal(raw)
+      .compareTo(new java.math.BigDecimal("1606.68745")) < 0)
+    assert(java.math.BigDecimal.valueOf(raw)
+      .compareTo(new java.math.BigDecimal("1606.68745")) == 0)
+    val df = Seq(raw, -raw, 0.0, 1606.6874)
+      .toDF("x")
+      .select(col("x"), Advanced.roundPortable(col("x"), 4).as("p"),
+        round(col("x"), 4).as("s"))
+    val byX = df.collect().map(r =>
+      r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the divergent value: portable follows the binary value (DuckDB),
+    // Spark round follows the shortest repr
+    assert(byX(raw) == (1606.6874, 1606.6875))
+    assert(byX(-raw) == (-1606.6874, -1606.6875)) // away-from-zero mirror
+    // non-divergent values agree between the two
+    assert(byX(0.0)._1 == byX(0.0)._2)
+    assert(byX(1606.6874)._1 == byX(1606.6874)._2)
+  }
+
   test("q112 chunked-EWMA regrouping gap (VERDICT r11 #3): the affine " +
     "stitch stays within 1e-7 of the flat fold, so a ROUND(.,4) flip " +
     "requires the flat value itself within 1e-7 of a half-boundary") {
