@@ -73,4 +73,32 @@ object VectorExpressions {
     VectorKernels.column(
       org.apache.spark.sql.graftvec.JaroWinkler(
         VectorKernels.expression(a), VectorKernels.expression(b)))
+
+  /** One-pass winnowing fingerprint set (sorted distinct array)
+    * ([[org.apache.spark.sql.graftvec.WinnowFps]]). */
+  def winnowFps(s: Column, k: Int, w: Int): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.WinnowFps(
+        VectorKernels.expression(s), k, w))
+
+  /** Distinct ≤2-deletion variant hashes (SymSpell depth-2 keys)
+    * ([[org.apache.spark.sql.graftvec.DeletionHashes]]). */
+  def deletionHashes(s: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.DeletionHashes(
+        VectorKernels.expression(s)))
+
+  /** Two-pointer intersection of sorted duplicate-free long arrays
+    * ([[org.apache.spark.sql.graftvec.SortedIntersect]]). */
+  def sortedIntersect(a: Column, b: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.SortedIntersect(
+        VectorKernels.expression(a), VectorKernels.expression(b)))
+
+  /** One-pass q113 character-entropy fold
+    * ([[org.apache.spark.sql.graftvec.EntropySum]]). */
+  def entropySum(s: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.EntropySum(
+        VectorKernels.expression(s)))
 }

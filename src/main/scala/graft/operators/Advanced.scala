@@ -1419,20 +1419,17 @@ object Advanced {
     * recall loss on pairs ONLY reachable through melted buckets; 0 =
     * exact, the default and the registry contract). */
   def fuzzyJoin2(rows: DataFrame, maxBucket: Int = 0): DataFrame = {
-    // single-deletion variants of an arbitrary string column
-    def dels(v: Column): Column =
-      transform(sequence(lit(0), length(v) - 1),
-        i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v) - i - 1)))
-    // depth-0 ∪ depth-1 ∪ depth-2 = the name, its deletions, and the
-    // deletions of the deletions (array_distinct: two deletion orders
-    // reaching the same string must key once)
-    val d1 = array_union(array(col("name")), dels(col("name")))
-    val d2 = array_distinct(concat(d1, flatten(transform(d1, v => dels(v)))))
-    // 8-byte hashed keys: the join/shuffle moves longs, not ~len-char
-    // strings; a hash collision only mints a false candidate, which the
-    // levenshtein verify kills — exactness is unaffected
+    // r12 (guide §4): the ≤2-deletion key set is one native
+    // prefix-hash pass (deletion_hashes kernel) — the old interpreted
+    // transform chain materialized ~L² variant STRINGS per row
+    // (O(L³) copied chars) before hashing them. Keys stay 8-byte
+    // longs; a hash collision only mints a false candidate, which the
+    // levenshtein verify kills — exactness is unaffected (see the
+    // kernel scaladoc for why the hash family itself is free to change:
+    // both sides agree, true pairs share an exact variant string).
     val keyed = rows.select(col("id"), col("name"),
-      explode(transform(d2, v => xxhash64(v))).as("k"))
+      explode(graft.expressions.VectorExpressions
+        .deletionHashes(col("name"))).as("k"))
     val capped =
       if (maxBucket <= 0) keyed
       else {
@@ -1713,27 +1710,48 @@ object Advanced {
       |  CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
       |FROM lineitem
       |ORDER BY col_name""".stripMargin) { (s, d) =>
+    // r12 optimization (measured: the old 4-way countDistinct planned
+    // Spark's Expand rewrite — 5× the scan's rows through ONE
+    // wide-5-tuple-key hash aggregate, and at sf0.1 the whole 3M-row
+    // expansion ran inside a single 6.2 s map task; guide §1.2 "the
+    // distributed algorithm" + §2.3 aggregate-before-shuffle): profile
+    // each column with its OWN value-keyed aggregate. Per branch the
+    // map side collapses to that column's per-task NDV before the
+    // exchange (3 / 2 / 50 / 20k rows here), every key is a single
+    // primitive/short string (codegen hash agg, no Expand row
+    // multiplication), and the four branches are independent stages
+    // that run CONCURRENTLY (§2.6). From the value-keyed aggregate:
+    // n_rows = Σ cnt, n_null = Σ cnt over the null key, ndv = count of
+    // non-null keys, min/max over keys — identical values to the
+    // Expand form, re-proven against the oracle.
+    // Two type-homogeneous unions (string columns; numeric-as-long
+    // columns) keep the whole profile at 5 exchanges — under the
+    // suite-wide 6-shuffle ceiling — while still never running Expand:
+    // per union, ONE (col_name, value)-keyed aggregate (map side
+    // collapses to per-task NDV) and ONE |columns|-keyed rollup.
+    // l_quantity is cast to long BEFORE the min/max instead of after —
+    // equal because the fixture quantities are integral (TPC-H
+    // contract; re-proven by the oracle at every SF).
     val li = Tables.lineitem(s, d)
-    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-    val wide = li.agg(
-      count(lit(1)).as("n_rows"),
-      nulls("l_returnflag").as("nl_rf"), countDistinct(col("l_returnflag")).as("ndv_rf"),
-      min("l_returnflag").cast("string").as("mn_rf"), max("l_returnflag").cast("string").as("mx_rf"),
-      nulls("l_linestatus").as("nl_ls"), countDistinct(col("l_linestatus")).as("ndv_ls"),
-      min("l_linestatus").cast("string").as("mn_ls"), max("l_linestatus").cast("string").as("mx_ls"),
-      nulls("l_quantity").as("nl_qt"), countDistinct(col("l_quantity")).as("ndv_qt"),
-      min("l_quantity").cast("long").cast("string").as("mn_qt"),
-      max("l_quantity").cast("long").cast("string").as("mx_qt"),
-      nulls("l_partkey").as("nl_pk"), countDistinct(col("l_partkey")).as("ndv_pk"),
-      min("l_partkey").cast("string").as("mn_pk"), max("l_partkey").cast("string").as("mx_pk"))
-    def row(name: String, sfx: String) = struct(
-      lit(name).as("col_name"), col("n_rows"),
-      col(s"nl_$sfx").as("n_null"), col(s"ndv_$sfx").as("ndv"),
-      col(s"mn_$sfx").as("min_val"), col(s"mx_$sfx").as("max_val"))
-    wide.select(explode(array(
-        row("l_returnflag", "rf"), row("l_linestatus", "ls"),
-        row("l_quantity", "qt"), row("l_partkey", "pk"))).as("r"))
-      .select("r.*")
+    def branch(cols: Seq[(String, Column)]): DataFrame =
+      cols.map { case (n, v) => li.select(lit(n).as("cn"), v.as("v")) }
+        .reduce(_ unionAll _)
+    def prof(vals: DataFrame): DataFrame =
+      vals.groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("cn").agg(
+          sum("cnt").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("v")).as("ndv"),
+          min(col("v")).cast("string").as("min_val"),
+          max(col("v")).cast("string").as("max_val"))
+        .select(col("cn").as("col_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_val"), col("max_val"))
+    prof(branch(Seq(
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"))))
+      .unionAll(prof(branch(Seq(
+        "l_quantity" -> col("l_quantity").cast("long"),
+        "l_partkey" -> col("l_partkey")))))
       .orderBy("col_name")
   }
 
@@ -2685,18 +2703,15 @@ object Advanced {
     val nu = sets.agg(count(lit(1)).cast("double").as("nu"))
     val mg = sets.select(explode(col("ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("m"))
-    // diagonal-inclusive index fan-out (sequence(i, n-1) never runs
-    // start > stop, which Spark would generate DESCENDING) + an a<b
-    // filter after the explode — distinct sorted sets make a<b ⇔ i<j
-    val idx = sequence(lit(0), size(col("ts")) - 1)
+    // r12 (guide §4): the i<j pair fan-out is two codegen posexplodes
+    // with a j>i filter (the q117 rewrite) — the nested interpreted
+    // transform/flatten lambda chain is gone. Distinct sorted sets make
+    // j>i ⇔ a<b, so the pair stream is identical.
     val pairs = sets
-      .select(explode(flatten(transform(idx, i =>
-        transform(sequence(i, size(col("ts")) - 1), j =>
-          struct(element_at(col("ts"), (i + 1).cast("int")).as("a"),
-            element_at(col("ts"), (j + 1).cast("int")).as("b"))))))
-        .as("p"))
-      .where(col("p.a") < col("p.b"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("ts"), posexplode(col("ts")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ts")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_users"))
     pairs
       .join(broadcast(mg.select(col("t").as("a"), col("m").as("ma"))), "a")

@@ -89,11 +89,15 @@ object Graph {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), Text.wordsOf(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)
+    // r12 (guide §4): adjacent pairs via arrays_zip of the two slices —
+    // whole-stage codegen — instead of the interpreted
+    // transform(sequence, element_at) lambda. Same (src, dst) stream.
     val edges = words.select(
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("src"),
-          element_at(col("ws"), (i + 1).cast("int")).as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
+      explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("e"))
+      .select(col("e").getField("0").as("src"),
+        col("e").getField("1").as("dst"))
     pageRank(edges, iters = 10)
       .select(col("id").as("word"), round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("word")).limit(20)
@@ -125,9 +129,13 @@ object Graph {
     * table. Everything is node- or edge-sized hash shuffles with
     * bounded array payloads; nothing is collected to the driver. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // r12: node ids normalized to long up front (the same contract as
+    // [[TextPipeline.connectedComponents]]) so the closing stage can use
+    // the native long-array sorted_intersect kernel; every caller
+    // already passes numeric ids.
     val e = edges
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
@@ -152,23 +160,37 @@ object Graph {
     // shuffled: only edge-sized tables with bounded array payloads move,
     // and the sole data-sized explode emits 1 row per ACTUAL triangle
     // (the w-attribution), ≪ wedge count on any real graph.
+    // r12 (guide §4 — StageBreakdown attributed 49.5 s of q117's task
+    // time to this one stage, dominated by array_intersect's per-ROW
+    // OpenHashSet build): sort each adjacency list once in the collect
+    // aggregate (O(k log k) per node), then every edge's intersection
+    // is a native two-pointer merge (sorted_intersect kernel) — zero
+    // per-row allocation. Oriented edges are distinct by construction,
+    // so the sorted lists are duplicate-free, as the kernel requires.
     val adj = oriented.groupBy(col("src").as("n"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val closed = oriented
       .join(adj.select(col("n").as("src"), col("nbrs").as("nu")), "src")
-      // dst may have no out-edges (orientation sinks): left + empty array
-      .join(adj.select(col("n").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+      // r12: INNER join on dst — a dst with no out-edges (orientation
+      // sink) yielded nv = null → intersect with empty → w = [] →
+      // filtered anyway; dropping those rows AT the join is the same
+      // result one operator earlier and frees AQE's build-side choice.
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(col("src"), col("dst"),
-        // slice(nu, 1, 0) = a typed empty array whatever the node type
-        array_intersect(col("nu"),
-          coalesce(col("nv"), slice(col("nu"), 1, 0))).as("w"))
+        graft.expressions.VectorExpressions.sortedIntersect(
+          col("nu"), col("nv")).as("w"))
       .where(size(col("w")) > 0)
+    // r12 (guide §4 — the closing stage measured 49.8 s of task time at
+    // sf0.1, dominated by the interpreted transform/concat lambdas that
+    // built the 3-per-triangle attribution array per EDGE row): emit the
+    // w-member row first (codegen Generate — one row per ACTUAL
+    // triangle, exactly as before), then fan each triangle to its 3
+    // nodes with a plain CreateArray explode — every operator
+    // whole-stage codegen, zero interpreted lambdas. Same multiset of
+    // node rows, same counts.
     closed
-      .select(explode(concat(
-        // x and y each join size(w) triangles; each w joins one
-        transform(col("w"), _ => col("src")),
-        transform(col("w"), _ => col("dst")),
-        col("w"))).as("node"))
+      .select(col("src"), col("dst"), explode(col("w")).as("wn"))
+      .select(explode(array(col("src"), col("dst"), col("wn"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
@@ -195,13 +217,24 @@ object Graph {
       |  COUNT(*) AS triangles
       |FROM n GROUP BY node
       |ORDER BY triangles DESC, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
+    // r12 optimization (guide §2.4 remove shuffles + §4 codegen): the
+    // old shape was DISTINCT (ok, pk) [exchange 1] feeding a self-join
+    // on ok — which re-exchanges BOTH join branches by ok and scans
+    // lineitem twice. One collect_set aggregate keyed on ok dedups pk
+    // in-aggregate and produces each order's item set in a single
+    // exchange; the a<b fan-out is two codegen posexplodes over the
+    // sorted set (bounded by the per-order item count, ≤ 7 here) with
+    // an i<j filter — no interpreted lambdas. Same edge set, same
+    // triangles, same output.
+    val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    triangleCounts(edges)
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ps")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .select(col("a"), col("b"))
+    triangleCounts(pairs)
       .select(col("node").cast("long").as("p_partkey"), col("triangles"))
       .orderBy(col("triangles").desc, col("p_partkey")).limit(20)
   }

@@ -283,8 +283,16 @@ object Multimodal {
     * frame-0 dimensions in the (width, height) axes — the q39 luma fold
     * extended along the time axis. Frame count is surfaced separately
     * by [[decodeVideoFeatures]]. */
-  private[graft] def decodeGif(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
-    val frames = decodeGifFrames(bytes)
+  private[graft] def decodeGif(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
+    gifLumaFold(decodeGifFrames(bytes), dim)
+
+  /** The luma fold of [[decodeGif]] over ALREADY-decoded frames — split
+    * out (r12) so [[decodeVideoFeatures]] can decode each payload ONCE
+    * for both the frame count and the feature fold (it previously ran
+    * the GIF reader twice per row). */
+  private[graft] def gifLumaFold(
+      frames: IndexedSeq[java.awt.image.BufferedImage],
+      dim: Int): (Int, Int, Array[Float]) = {
     val w = frames.head.getWidth
     val h = frames.head.getHeight
     val emb = new Array[Float](dim)
@@ -458,8 +466,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       if (isGif(r.bytes)) {
+        // r12: decode once — frame count and luma fold share the frames
         val frames = decodeGifFrames(r.bytes)
-        val (w, h, emb) = decodeGif(r.bytes, dim)
+        val (w, h, emb) = gifLumaFold(frames, dim)
         Some(VideoFeature(r.media_id, frames.size, w, h, emb))
       } else None
     })

@@ -873,28 +873,32 @@ object Similarity {
       |  ROUND(sp / n.n - (mi.s / n.n) * (mj.s / n.n), 4) + 0.0 AS cov
       |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
       |ORDER BY i, j""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val n = emb.agg(count(lit(1)).cast("double").as("n"))
-    val m = emb
-      .select(posexplode(col("embedding")).as(Seq("p", "e")))
-      .groupBy((col("p") + 1).as("i"))
-      .agg(sum(col("e").cast("double")).as("s"))
-    val dims = sequence(lit(0), size(col("embedding")) - 1)
-    val p = emb
-      .select(explode(flatten(transform(dims, i =>
-        transform(sequence(i, size(col("embedding")) - 1), j =>
-          struct((i + 1).as("i"), (j + 1).as("j"),
-            (element_at(col("embedding"), (i + 1).cast("int")).cast("double") *
-              element_at(col("embedding"), (j + 1).cast("int")).cast("double"))
-              .as("v")))))).as("t"))
-      .groupBy(col("t.i"), col("t.j")).agg(sum("t.v").as("sp"))
-    p.join(broadcast(m.select(col("i"), col("s").as("si"))), "i")
-      .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        // + 0.0 folds IEEE −0.0 to +0.0 so both engines render "0.0"
-        (round(col("sp") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")),
-          4) + lit(0.0)).as("cov"))
+    // r12 optimization (guide §2.3/§4): ONE corpus scan through the
+    // typed GramMatrix aggregator replaces three branches (count agg,
+    // posexplode mean agg, and the d²/2-struct explode + 2,080-key hash
+    // agg built from interpreted HOF lambdas). The corpus never fans
+    // out: each map partition ships one (n, Σxᵢ, Σxᵢxⱼ) buffer, and the
+    // 2,080 output rows are generated scan-locally from the single
+    // aggregated state. Same cov formula, same round-after-divide
+    // contract (see GramMatrix scaladoc on summation order).
+    val gram = udaf(new graft.functions.GramMatrix)
+    val g = Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(gram(col("v")).as("g"))
+    val dd = size(col("g.s"))
+    // element_at index into the row-major upper triangle, 1-based:
+    // for 0-based (i0, j0) = (i−1, j−1): i0·d − i0(i0−1)/2 + (j0−i0) + 1
+    def pIdx(i: Column, j: Column): Column =
+      ((i - 1) * dd - ((i - 1) * (i - 2)) / 2 + (j - i) + 1).cast("int")
+    g.select(explode(flatten(transform(sequence(lit(1), dd), i =>
+        transform(sequence(i, dd), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            // + 0.0 folds IEEE −0.0 to +0.0 so both engines render "0.0"
+            (round(element_at(col("g.p"), pIdx(i, j)) / col("g.n").cast("double") -
+              (element_at(col("g.s"), i.cast("int")) / col("g.n").cast("double")) *
+                (element_at(col("g.s"), j.cast("int")) / col("g.n").cast("double")),
+              4) + lit(0.0)).as("cov")))))).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.cov"))
       .orderBy("i", "j")
   }
 

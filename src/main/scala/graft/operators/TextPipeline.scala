@@ -336,12 +336,13 @@ object TextPipeline {
       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
       |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val arr = Tables.documents(s, d).where(col("doc_id") < 50)
-      .select(col("doc_id"), Text.wordsOf(col("text")).as("ws"))
-    val bg = arr.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("word"))
+    // r12 (guide §4): native word_ngrams(n=2) — same space-joined
+    // bigram strings as the replaced transform/element_at/concat chain
+    // (TextPipelineSpec parity pin), one byte scan, no lambdas
+    val bg = Tables.documents(s, d).where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode(graft.expressions.VectorExpressions.wordNgrams(col("text"), 2))
+          .as("word"))
       .distinct()
     // 0.05: the synthetic 31-word-vocab docs top out at ~0.10 bigram
     // Jaccard — a higher cut makes the oracle check vacuous (0 rows)
@@ -595,12 +596,19 @@ object TextPipeline {
       val oneHop = labels.select("id", "rep").union(prop)
         .groupBy("id").agg(min("rep").as("rep"))
       // pointer jump: follow the label's own label — labels is node-sized
-      // (≪ edges), so this self-join is cheap relative to the prop join.
+      // (≪ edges), so each self-join is cheap relative to the prop join.
       // oneHop ids are unique and L(rep) <= rep, so the jump is a 1:1
       // left join + coalesce, no re-aggregation needed. Near-dup graphs
       // are shallow and converge in 2-3 plain rounds; only engage the
       // jump once plain propagation has NOT closed by round 3, so the
-      // common case pays nothing and deep chains still double per round
+      // common case pays nothing and deep chains still double per round.
+      // r12 note: two variants were built and MEASURED WORSE on the
+      // 12-round q74 graph, so this shape stands — a double
+      // jump(jump(·)) per round (the un-checkpointed round subtree
+      // appears 4× in the plan; q74 3.2→5.0 s) and jump-from-round-0
+      // (extra join stages in the shallow rounds buy nothing; 4.7 s).
+      // The round cost is stage-scheduling latency, not data — fewer,
+      // heavier rounds is the wrong trade here.
       val next = (if (iter < 2) oneHop else {
         val hop2 = oneHop.select(col("id").as("jid"), col("rep").as("jrep"))
         oneHop.join(hop2, col("rep") === col("jid"), "left")
@@ -1078,15 +1086,16 @@ object TextPipeline {
     * shingle stream behind q59's exact decontamination and q93's
     * bloom-prefiltered twin. */
   private[graft] def triShingles(s: SparkSession, d: String): DataFrame =
+    // r12 (guide §4): the native word_ngrams kernel (one byte scan,
+    // allocates exactly the output shingles) replaces the lower/split/
+    // transform/concat_ws chain — the q55/q83 kernel applied to the
+    // shared q59/q93/q100/q114 shingle stream. Same strings
+    // (TextPipelineSpec pins kernel == built-in on the whole fixture);
+    // docs with < 3 words yield an empty array → no rows, as before.
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), wordsCol.as("words"))
-      .where(size(col("words")) >= 3)
       .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("words")) - 2),
-          i => concat_ws(" ",
-            element_at(col("words"), i),
-            element_at(col("words"), i + 1),
-            element_at(col("words"), i + 2)))).as("sh"))
+        explode(graft.expressions.VectorExpressions.wordNgrams(col("text"), 3))
+          .as("sh"))
 
   val q59_decontam = QueryDef(
     "q59_decontam",
@@ -2364,10 +2373,19 @@ object TextPipeline {
       |  CAST(BIT_XOR(fp) AS BIGINT) AS fp_xor,
       |  CAST(MIN(fp) AS BIGINT) AS fp_min, CAST(MAX(fp) AS BIGINT) AS fp_max
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    winnowFingerprints(Tables.documents(s, d), k = 8, w = 4)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
-        min("fp").as("fp_min"), max("fp").as("fp_max"))
+    // r12 optimization: the kernel returns each doc's DISTINCT sorted
+    // fingerprint set scan-locally, so the per-doc aggregate is array
+    // arithmetic over a bounded (≤ #grams) array — the exploded form's
+    // three data-sized exchanges (position explode → doc window →
+    // DISTINCT → groupBy) disappear; the only exchange left is the
+    // output ORDER BY. Values bit-identical (integer hashes, same set).
+    winnowArrays(Tables.documents(s, d), k = 8, w = 4)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x))
+          .as("fp_xor"),
+        element_at(col("fps"), 1).as("fp_min"),
+        element_at(col("fps"), -1).as("fp_max"))
       .orderBy("doc_id")
   }
 
@@ -2379,23 +2397,24 @@ object TextPipeline {
     * of w consecutive k-gram hashes, identical in both documents, and
     * each window contributes its minimum. Docs whose normalized stream
     * is shorter than k produce no fingerprints (nothing to hash). */
-  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val wMin = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, w - 1)
-    val wCnt = Window.partitionBy("doc_id")
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
+    winnowArrays(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** r12: the scan-local winnowing core — (doc_id, fps) with `fps` the
+    * doc's distinct fingerprint set, sorted ascending, computed in one
+    * fused pass by [[graft.expressions.VectorExpressions.winnowFps]]
+    * (same k-gram polyHash fold + full-window sliding min as the
+    * replaced explode/window/distinct chain — see the kernel scaladoc
+    * for the bit-identity argument). Docs with no full window (letters
+    * stream shorter than k + w − 1) are filtered out, matching the
+    * exploded form's empty output for them. */
+  private[graft] def winnowArrays(docs: DataFrame, k: Int, w: Int): DataFrame =
     docs
       .select(col("doc_id"),
-        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
-      .where(length(col("s")) >= k)
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        Text.polyHash(col("s").substr(col("i"), lit(k)), 7L).as("h"))
-      .select(col("doc_id"), col("i"),
-        min("h").over(wMin).as("fp"), count(lit(1)).over(wCnt).as("ng"))
-      .where(col("i") <= col("ng") - (w - 1))
-      .select("doc_id", "fp").distinct()
-  }
+        graft.expressions.VectorExpressions.winnowFps(
+          regexp_replace(lower(col("text")), "[^a-z]+", ""), k, w).as("fps"))
+      .where(size(col("fps")) > 0)
 
   /** q110: BPE pair statistics — the corpus-wide adjacent-symbol-pair
     * frequency table that drives one byte-pair-encoding merge step
@@ -2454,21 +2473,20 @@ object TextPipeline {
       |        c -> (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))),
       |    (acc, x) -> acc + x), 4) AS entropy
       |FROM cs ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val letters = array(('a' to 'z').map(ch => lit(ch.toString)): _*)
+    // r12 optimization (guide §4 per-task work): the 26-branch
+    // replace()-chain counted each letter with a fresh full-string copy
+    // (26 scans + 26 allocations per row) and folded entropy through an
+    // interpreted HOF; EntropySum is ONE fused codegen pass with the
+    // bit-identical double sequence (same counts, same a→z fold order,
+    // same ops — see the kernel scaladoc). round() stays the Spark
+    // expression so rounding semantics are untouched.
     Tables.documents(s, d)
       .select(col("doc_id"),
         regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
       .where(length(col("s")) > 0)
-      .select(col("doc_id"), length(col("s")).cast("long").as("n"),
-        filter(
-          transform(letters, ch =>
-            length(col("s")) - length(replace(col("s"), ch, lit("")))),
-          x => x > 0).as("counts"))
-      .select(col("doc_id"), col("n").as("n_char"),
-        round(-aggregate(
-          transform(col("counts"), c =>
-            (c.cast("double") / col("n")) * log(c.cast("double") / col("n"))),
-          lit(0.0), (acc, x) => acc + x), 4).as("entropy"))
+      .select(col("doc_id"), length(col("s")).cast("long").as("n_char"),
+        round(-graft.expressions.VectorExpressions.entropySum(col("s")), 4)
+          .as("entropy"))
       .orderBy("doc_id")
   }
 
@@ -2505,13 +2523,15 @@ object TextPipeline {
       |  ROUND(ln((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
       |           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 4) AS pmi
       |FROM w WHERE n >= 5 ORDER BY a, b""".stripMargin) { (s, d) =>
+    // r12 (guide §4): adjacent pairs via arrays_zip of the two slices —
+    // whole-stage codegen, no interpreted lambda (the q116 rewrite)
     val pairs = Tables.documents(s, d)
       .select(Text.wordsOf(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("a"),
-          element_at(col("ws"), (i + 1).cast("int")).as("b")))).as("p"))
-      .select(col("p.a"), col("p.b"))
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
     pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
       .select(col("a"), col("b"), col("n"),
         sum("n").over(Window.partitionBy("a")).as("ca"),

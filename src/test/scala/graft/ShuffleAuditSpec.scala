@@ -150,9 +150,14 @@ class ShuffleAuditSpec extends SparkSpec {
     "q104_fuzzy_join_lev2" -> 2, // q92's shape at depth 2: the key
                                  // self-join collapses/broadcasts at
                                  // test SF; candidate distinct + orderBy
-    "q105_profile" -> 2,   // Expand rewrite: 4 exact NDVs in one scan,
-                           // dedup agg + count agg — 2 exchanges no
-                           // matter how many columns are profiled
+    "q105_profile" -> 5,   // r12: two tag-unioned value-keyed aggregates
+                           // (string cols; numeric cols) + their
+                           // |columns|-keyed rollups + orderBy — every
+                           // exchange moves per-task-NDV-sized rows.
+                           // Replaced the 2-exchange Expand rewrite
+                           // whose map side pushed 5× the scan through
+                           // ONE wide-key hash agg (measured: a single
+                           // 6.2 s task at sf0.1)
     "q106_retention" -> 3, // ONE user-keyed collect_set exchange (the
                            // only data-sized one), the matrix-sized
                            // (cohort, week) agg + orderBy
@@ -162,13 +167,22 @@ class ShuffleAuditSpec extends SparkSpec {
                              // |event types|^2 rows only
     "q108_ohlc" -> 2,      // min_by/max_by keep OHLC inside ONE hash
                            // agg exchange (no window sort) + orderBy
-    "q109_winnow" -> 2,    // gram explode + hash are scan-local; ONE
-                           // doc_id exchange serves window-min,
-                           // distinct, and digest agg (subset keys);
-                           // + orderBy
+    "q109_winnow" -> 1,    // r12: the winnow_fps kernel computes each
+                           // doc's distinct fingerprint set inside the
+                           // scan task — the gram explode, doc window,
+                           // DISTINCT, and digest agg all disappeared;
+                           // orderBy is the only exchange left
     "q110_bpe_pairs" -> 1, // pair keyspace <= 26^2: map-side partials
                            // collapse before ONE exchange; top-100 is
                            // TakeOrdered, no sort shuffle
+    "q117_triangles" -> 5, // r12 pin: per-order collect_set + scan-local
+                           // posexplode pair fan-out (the old DISTINCT +
+                           // ok-keyed self-join re-exchanged the table
+                           // twice more); then edge distinct, deg agg,
+                           // the two deg attaches, node agg — top-20 is
+                           // TakeOrdered (exchanges behind the two
+                           // localCheckpoint cuts are counted by their
+                           // own segments, not here)
     "q114_contain_join" -> 4, // r11 post-checkpoint plan (q100's
                               // restructure one-sided): freq agg +
                               // candidate re-keys + orderBy; verify is
@@ -182,9 +196,10 @@ class ShuffleAuditSpec extends SparkSpec {
                            // math is scan-local integer arithmetic
     "q112_ewma" -> 2,      // r11 auto-routed dense: ONE user collect
                            // exchange (flat fold scan-local) + orderBy
-    "q113_char_entropy" -> 1, // no explode, no agg: 26 replace-counts +
-                              // the entropy fold are all scan-local HOFs
-                              // — orderBy is the only exchange
+    "q113_char_entropy" -> 1, // no explode, no agg: one scan-local
+                              // entropy_sum kernel pass (r12 — was 26
+                              // replace-counts + an interpreted HOF
+                              // fold) — orderBy is the only exchange
     "q98_interval_join" -> 4, // distinct-users agg + the bucketized
                               // equi-join at test SFs broadcasts the
                               // interval-days side (headroom for the
@@ -226,11 +241,14 @@ class ShuffleAuditSpec extends SparkSpec {
                                   // size-count-sized) + orderBy; the
                                   // pair/components stages are cut by
                                   // localCheckpoint like q48
-    "q128_embed_cov" -> 4,        // d-key means + d(d+1)/2-key product
-                                  // sums + 1-row count (all map-side
-                                  // collapsed to ≤2144 rows/partition)
-                                  // + orderBy; mean/count joins
-                                  // broadcast dimension-sized tables
+    "q128_embed_cov" -> 1,        // r12: ONE GramMatrix typed aggregate
+                                  // (each map partition ships a single
+                                  // (n, Σxᵢ, Σxᵢxⱼ) buffer) replaces the
+                                  // 3-branch explode/hash-agg plan; the
+                                  // 2,080 output rows are generated from
+                                  // the 1-row state, already single-
+                                  // partition, so even the orderBy needs
+                                  // no exchange
     "q129_fk_audit" -> 5,         // key-sized FK agg + its dim join +
                                   // the uniqueness key agg + the three
                                   // 1-row check aggs' exchanges +

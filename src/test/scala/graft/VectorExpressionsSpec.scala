@@ -262,4 +262,129 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(dup == ref)
   }
+
+  test("winnow_fps kernel == the exploded window/distinct formulation " +
+    "(r12 q109 rewrite) on fixture corpus + edge strings") {
+    import graft.expressions.VectorExpressions.winnowFps
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (8, 4)
+    import spark.implicits._
+    // edges: too short for a gram; grams but no full window (len = k+w-2);
+    // exactly one window (len = k+w-1); repeated text (duplicate fps)
+    val edges = Seq("", "abcdefg", "a" * (k + w - 2), "b" * (k + w - 1),
+      "the quick brown fox " * 10).zipWithIndex
+      .map { case (t, i) => (2000L + i, t) }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .union(edges.toDF("doc_id", "text"))
+    // the replaced formulation, verbatim (pre-r12 winnowFingerprints)
+    val wMin = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wCnt = Window.partitionBy("doc_id")
+    val old = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
+      .where(length(col("s")) >= k)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        graft.functions.Text.polyHash(col("s").substr(col("i"), lit(k)), 7L).as("h"))
+      .select(col("doc_id"), col("i"),
+        min("h").over(wMin).as("fp"), count(lit(1)).over(wCnt).as("ng"))
+      .where(col("i") <= col("ng") - (w - 1))
+      .groupBy("doc_id").agg(sort_array(collect_set("fp")).as("fps"))
+    val neu = docs
+      .select(col("doc_id"),
+        winnowFps(regexp_replace(lower(col("text")), "[^a-z]+", ""), k, w)
+          .as("fps"))
+      .where(size(col("fps")) > 0)
+    val oldRows = old.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val neuRows = neu.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(neuRows == oldRows)
+    // the no-full-window edges produce nothing in either form
+    assert(!neuRows.contains(2000L) && !neuRows.contains(2001L) &&
+      !neuRows.contains(2002L))
+    assert(neuRows.contains(2003L)) // exactly one full window
+  }
+
+  test("entropy_sum kernel == the 26×replace + HOF fold formulation " +
+    "(r12 q113 rewrite), bit-identical doubles") {
+    import graft.expressions.VectorExpressions.entropySum
+    import spark.implicits._
+    val edges = Seq("a", "zzzz", "abcdefghijklmnopqrstuvwxyz",
+      "the quick brown fox jumps over the lazy dog")
+      .zipWithIndex.map { case (t, i) => (3000L + i, t) }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .union(edges.toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z]+", "").as("s"))
+      .where(length(col("s")) > 0)
+    val letters = array(('a' to 'z').map(ch => lit(ch.toString)): _*)
+    val oldFold = aggregate(
+      transform(
+        filter(
+          transform(letters, ch =>
+            length(col("s")) - length(replace(col("s"), ch, lit("")))),
+          x => x > 0),
+        c => (c.cast("double") / length(col("s")).cast("long")) *
+          log(c.cast("double") / length(col("s")).cast("long"))),
+      lit(0.0), (acc, x) => acc + x)
+    // bit-identical RAW doubles (not just post-round): same counts, same
+    // a→z order, same ops — the =!= comparison is exact
+    val bad = docs.select(col("doc_id"), entropySum(col("s")).as("neu"),
+      oldFold.as("old")).where(col("neu") =!= col("old"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+  }
+
+  test("GramMatrix aggregator == the explode/hash-agg covariance " +
+    "formulation (r12 q128 rewrite) on the fixture, post-round") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // the replaced q128 formulation, verbatim
+    val n = emb.agg(count(lit(1)).cast("double").as("n"))
+    val m = emb
+      .select(posexplode(col("embedding")).as(Seq("p", "e")))
+      .groupBy((col("p") + 1).as("i"))
+      .agg(sum(col("e").cast("double")).as("s"))
+    val dims = sequence(lit(0), size(col("embedding")) - 1)
+    val p = emb
+      .select(explode(flatten(transform(dims, i =>
+        transform(sequence(i, size(col("embedding")) - 1), j =>
+          struct((i + 1).as("i"), (j + 1).as("j"),
+            (element_at(col("embedding"), (i + 1).cast("int")).cast("double") *
+              element_at(col("embedding"), (j + 1).cast("int")).cast("double"))
+              .as("v")))))).as("t"))
+      .groupBy(col("t.i"), col("t.j")).agg(sum("t.v").as("sp"))
+    val old = p.join(broadcast(m.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (round(col("sp") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")),
+          4) + lit(0.0)).as("cov"))
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val neu = SparkEntry.queries("q128_embed_cov")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(neu.length == old.length)
+    neu.zip(old).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("q117 pair generation: collect_set fan-out == distinct self-join " +
+    "(r12 rewrite), identical canonical edge sets") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val old = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neu = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ps")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .select(col("a"), col("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neu == old)
+    assert(neu.forall { case (a, b) => a < b })
+  }
 }

@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Lock-free graft runner off compiled classes (no sbt): the same JVM
+# flags the driver uses. Usage: tools/graft_java.sh <MainClass> [args...]
+# Env passthrough: SPARK_GRAFT_SF_DIR/CPUS/BENCH_PASSES/MASTER/
+# SHUFFLE_PARTITIONS, SPARK_DRIVER_MEM.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ADD_OPENS=()
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent \
+         java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+         java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS+=("--add-opens" "$p=ALL-UNNAMED")
+done
+exec env SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
