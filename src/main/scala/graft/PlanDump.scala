@@ -46,8 +46,8 @@ object PlanDump {
       "q98_interval_join" -> "interval join bucketized: intervals fan out to covered day keys scan-locally, the match is a plain (user, day) equi-join + residual BETWEEN — no per-user cross product",
       "q102_chunk_overlap" -> "token-window chunking: tokenize -> sequence -> posexplode -> slice, ONE codegen generate stage over the scan — zero data shuffles, the only exchange is the output sort",
       "q103_kl_divergence" -> "KL domain shift as a LINEAR re-key chain: one corpus-sized (source, word) agg, word-window, per-source fold, corpus total via a #sources-row window — no branch re-reads the aggregate, no exchange-reuse bet",
-      "q104_fuzzy_join_lev2" -> "depth-2 SymSpell blocking: the candidate join/distinct move 16-byte (a, b) id pairs only; names re-attach after the fan-out stage for the levenshtein verify",
-      "q117_triangles" -> "degree-oriented triangle closing: edge-sized joins attach O(sqrt m) adjacency arrays, array_intersect runs inside the scan stage — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle",
+      "q104_fuzzy_join_lev2" -> "depth-2 SymSpell blocking (r12: the key set is one native deletion_hashes prefix-hash pass — no variant strings materialized): the candidate join/distinct move 16-byte (a, b) id pairs only; names re-attach after the fan-out stage for the levenshtein verify",
+      "q117_triangles" -> "degree-oriented triangle closing (r12: per-order collect_set + posexplode pair fan-out replaces the distinct+self-join edge build; adjacency sorted once and closed with the native two-pointer sorted_intersect — array_intersect's per-row hash set was the measured 49.5s stage): edge-sized joins attach O(sqrt m) adjacency arrays — the quadratic wedge set never materializes; explode emits one row per ACTUAL triangle",
       "q119_pmi_collocations" -> "PMI marginals as WINDOW sums over the one compacted pair aggregate — the 3-branch re-agg join form re-ran the corpus-sized pair agg per branch (8 shuffles measured); this chain runs 2, everything post-agg vocab²-sized",
       "q122_neardup_matrix" -> "source provenance RIDES the pair pipeline keys (functionally-dependent groupBy columns) — no corpus-sized doc→source dimension join after pair generation, the r6 broadcast-losers lesson applied to metadata attachment",
       "q124_skyline" -> "Pareto dominance via TWO range frames sharing ONE sort: desc integer RANGE to -1 = strictly-better prices, (currentRow,currentRow) = the tie group — the O(n²) NOT EXISTS self-join the oracle runs never appears in the plan",
@@ -58,7 +58,7 @@ object PlanDump {
       "q158_sessionize_skewsafe" -> "q44's output with the unsplittable hot-user window partition chunked by event-time day: the ONLY event-sized exchange is the (user, chunk) window; boundary/offset tables are map-side-combined user-DAY rows whose joins broadcast; partial sessions pre-aggregate on the same exchange so the final (user, sid) merge moves session-level rows only",
       "q107_transitions" -> "measured-skew routed (r11; this uniform fixture takes the DENSE plan: one per-user lag window, then everything after the (src, dst) agg moves |event types|² rows). The chunked skew twin (union-boundary lag stitch, zero Join nodes) is transitionsChunked with its own 6-exchange budget",
       "q115_rolling_median" -> "measured-skew routed (r11; this uniform fixture takes the DENSE plan: one per-user frame window, ≤7-element frames scan-local). The chunked skew twin (within-day frame + incoming-tail carry fold) is rollingMedianChunked with its own 4-exchange budget",
-      "q100_setsim_join" -> "r11 checkpointed PPJoin: the doc-set table (collect_set dedup, one doc-keyed exchange) materializes at a localCheckpoint cut consumed by the freq/prefix stream AND both verify sides; verification is scan-local array_intersect over the joined candidate pair — post-checkpoint the plan is freq agg + candidate sh-join + orderBy")
+      "q100_setsim_join" -> "r11 checkpointed PPJoin: the doc-set table (collect_set dedup, one doc-keyed exchange) materializes at a localCheckpoint cut consumed by the freq/prefix stream AND both verify sides; verification is a scan-local native sorted_intersect_count over the joined candidate pair (r12 — the sets are sort_array'd, so |A∩B| is a two-pointer merge, no per-pair hash set) — post-checkpoint the plan is freq agg + candidate sh-join + orderBy")
 
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of the flagship queries\n\n"

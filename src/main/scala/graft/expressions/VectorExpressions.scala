@@ -95,6 +95,13 @@ object VectorExpressions {
       org.apache.spark.sql.graftvec.SortedIntersect(
         VectorKernels.expression(a), VectorKernels.expression(b)))
 
+  /** |A ∩ B| of sorted duplicate-free string arrays
+    * ([[org.apache.spark.sql.graftvec.SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    VectorKernels.column(
+      org.apache.spark.sql.graftvec.SortedIntersectCount(
+        VectorKernels.expression(a), VectorKernels.expression(b)))
+
   /** One-pass q113 character-entropy fold
     * ([[org.apache.spark.sql.graftvec.EntropySum]]). */
   def entropySum(s: Column): Column =

@@ -536,11 +536,13 @@ object TextPipeline {
     // self-join here would reintroduce exactly the quadratic stage LSH
     // exists to avoid — candidate count, not corpus size, bounds this.)
     val sets = setRows.groupBy("doc_id")
-      .agg(collect_set(col("word")).as("ws"))
+      .agg(sort_array(collect_set(col("word"))).as("ws"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
       .join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
-      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("double"))
+      // r12: sorted sets + native two-pointer count (see setSimJoin)
+      .withColumn("i", graft.expressions.VectorExpressions
+        .sortedIntersectCount(col("wa"), col("wb")).cast("double"))
       .withColumn("rawjac", col("i") / (size(col("wa")) + size(col("wb")) - col("i")))
       .where(col("rawjac") >= tau)
       .select(col("a"), col("b"), round(col("rawjac"), 4).as("jac"))
@@ -2151,8 +2153,13 @@ object TextPipeline {
         col("n").as("na")), Seq("a"))
       .join(docsets.select(col("doc_id").as("b"), col("arr").as("arr_b"),
         col("n").as("nb")), Seq("b"))
+      // r12 (guide §4): the doc sets are sort_array'd and duplicate-
+      // free, so |A∩B| is a native two-pointer merge — array_intersect
+      // built a per-PAIR UTF8String hash set and materialized the
+      // intersection that size() immediately reduced. Same count.
       .withColumn("inter",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        graft.expressions.VectorExpressions.sortedIntersectCount(
+          col("arr_a"), col("arr_b")))
       .withColumn("j_raw",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("j_raw") >= t)
@@ -2242,8 +2249,10 @@ object TextPipeline {
         col("n").as("na")), Seq("a"))
       .join(docsets.select(col("doc_id").as("b"), col("arr").as("arr_b")),
         Seq("b"))
+      // r12: native sorted two-pointer count — see setSimJoin
       .withColumn("inter",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        graft.expressions.VectorExpressions.sortedIntersectCount(
+          col("arr_a"), col("arr_b")))
       .withColumn("c_raw", col("inter").cast("double") / col("na"))
       .where(col("c_raw") >= t)
       .select(col("a"), col("b"), col("inter"), round(col("c_raw"), 4).as("c"))

@@ -366,6 +366,33 @@ class VectorExpressionsSpec extends SparkSpec {
     neu.zip(old).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted " +
+    "distinct string sets (r12 q100/q114 verify rewrite)") {
+    import graft.expressions.VectorExpressions.sortedIntersectCount
+    // fixture doc trigram sets (the exact q100 shape) + edge cases
+    val sets = graft.operators.TextPipeline
+      .triShingles(spark, sf0001).where(col("doc_id") < 60)
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("arr"))
+    val pairs = sets.select(col("doc_id").as("a"), col("arr").as("aa"))
+      .crossJoin(sets.select(col("doc_id").as("b"), col("arr").as("ab")))
+      .where(col("a") < col("b"))
+    val bad = pairs.select(
+        sortedIntersectCount(col("aa"), col("ab")).as("neu"),
+        size(array_intersect(col("aa"), col("ab"))).cast("long").as("old"))
+      .where(col("neu") =!= col("old"))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+    import spark.implicits._
+    // empty / disjoint / identical / subset
+    val edge = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("b"))).toDF("x", "y")
+    val got = edge.select(sortedIntersectCount(col("x"), col("y")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 2L, 1L))
+  }
+
   test("q117 pair generation: collect_set fan-out == distinct self-join " +
     "(r12 rewrite), identical canonical edge sets") {
     val li = Tables.lineitem(spark, sf0001)
